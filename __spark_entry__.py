@@ -1,38 +1,250 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship trade-ETL query on sf0.001.
+`queries()` maps every implemented operator (SURVEY.md §2 + north-star
+training-data ops) to a (spark, sf_dir) -> DataFrame callable.
+`oracle_sql()` gives the DuckDB-equivalent SQL for each; column names and
+rounding match the Spark side exactly so the driver's order-insensitive
+value hash is stable.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from marketstream_etl_spark.plans import analytics, tpch
+from marketstream_etl_spark.plans.trades_view import TRADES_CTE
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (keep in lockstep with the Spark operators).
+# ---------------------------------------------------------------------------
+
+_REASON_CASE = """
+    CASE
+        WHEN NOT coalesce(regexp_full_match(symbol, '[A-Z]{1,10}'), false)
+            THEN 'invalid symbol'
+        WHEN NOT coalesce(price > 0 AND price < 1000000.0, false)
+            THEN 'invalid price'
+        WHEN NOT coalesce(volume > 0, false) THEN 'invalid volume'
+        WHEN NOT coalesce(side IN ('B','S','N'), false) THEN 'invalid side'
+        WHEN NOT coalesce("type" IN ('M','L','I'), false) THEN 'invalid type'
+        WHEN NOT coalesce("timestamp" > 0, false) THEN 'invalid timestamp'
+        ELSE NULL
+    END
+"""
+
+_VALID_WHERE = """
+    regexp_full_match(symbol, '[A-Z]{1,10}') AND price > 0
+    AND price < 1000000.0 AND volume > 0 AND side IN ('B','S','N')
+    AND "type" IN ('M','L','I') AND "timestamp" > 0
+"""
+
+# Per-symbol indicator snapshot with exact reference semantics
+# (TechnicalIndicators.hpp:79-330); see operators/indicators.py.
+_INDICATORS_SQL = f"""
+WITH trades AS ({TRADES_CTE}),
+valid AS (SELECT * FROM trades WHERE {_VALID_WHERE}),
+ann AS (
+    SELECT symbol, price, volume,
+        row_number() OVER (PARTITION BY symbol
+                           ORDER BY "timestamp" DESC, trade_id DESC) AS rn_desc,
+        count(*) OVER (PARTITION BY symbol) AS n,
+        price - lag(price) OVER (PARTITION BY symbol
+                                 ORDER BY "timestamp", trade_id) AS change
+    FROM valid
+),
+agg AS (
+    SELECT symbol, max(n) AS n,
+        avg(CASE WHEN rn_desc <= least(5, n) THEN price END) AS sma_raw,
+        sum(CASE WHEN rn_desc <= least(5, n - 1) AND change > 0
+                 THEN change ELSE 0 END) AS gain_sum,
+        sum(CASE WHEN rn_desc <= least(5, n - 1) AND change < 0
+                 THEN -change ELSE 0 END) AS loss_sum,
+        sum(price * volume) AS pv,
+        sum(CAST(volume AS DOUBLE)) AS v
+    FROM ann GROUP BY symbol
+)
+SELECT symbol,
+    round(sma_raw, 6) AS sma,
+    round(CASE WHEN n < 2 OR least(5, n) <= 1 THEN 50.0
+               WHEN loss_sum = 0.0 THEN 100.0
+               ELSE 100.0 - 100.0 / (1.0 +
+                    (gain_sum / CAST(least(5, n - 1) AS DOUBLE))
+                  / (loss_sum / CAST(least(5, n - 1) AS DOUBLE)))
+          END, 6) AS rsi,
+    round(CASE WHEN v = 0 THEN 0.0 ELSE pv / v END, 6) AS vwap,
+    CAST(least(5, n) AS INTEGER) AS period
+FROM agg
+"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events→trades→validate→per-symbol SMA/RSI/VWAP on sf0.001."""
+    return analytics.q_indicators(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- trade domain (reference parity, SURVEY §2.2-2.5) ---
+        "trades_view": analytics.q_trades_view,
+        "validate_split": analytics.q_validate_split,
+        "validate_rejects": analytics.q_validate_rejects,
+        "validation_counts": analytics.q_validation_counts,
+        "indicators": analytics.q_indicators,
+        "trade_count": analytics.q_trade_count,
+        "symbol_leaderboard": analytics.q_symbol_leaderboard,
+        "rsi_signals": analytics.q_rsi_signals,
+        "symbol_history": analytics.q_symbol_history,
+        "vwap_by_symbol": analytics.q_vwap_by_symbol,
+        "dedup_trades": analytics.q_dedup_trades,
+        # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
+        "tpch_q1": tpch.q1_pricing_summary,
+        "tpch_q3": tpch.q3_shipping_priority,
+        "tpch_q5": tpch.q5_local_supplier_volume,
+        "tpch_q6": tpch.q6_revenue_forecast,
+        "tpch_q4_semijoin": tpch.q_order_priority_count,
+        "top_parts_by_revenue": tpch.q_top_parts_by_revenue,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "trades_view": f"WITH trades AS ({TRADES_CTE}) SELECT * FROM trades",
+        "validate_split": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT trade_id, symbol, price, volume,
+                   (reason IS NULL) AS is_valid, reason AS reject_reason
+            FROM (SELECT *, {_REASON_CASE} AS reason FROM trades)
+        """,
+        "validate_rejects": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT trade_id, symbol, price, volume, reason AS reject_reason
+            FROM (SELECT *, {_REASON_CASE} AS reason FROM trades)
+            WHERE reason IS NOT NULL
+        """,
+        "validation_counts": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT count(*) AS total,
+                   CAST(sum(CASE WHEN reason IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS valid,
+                   CAST(sum(CASE WHEN reason IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS rejected
+            FROM (SELECT *, {_REASON_CASE} AS reason FROM trades)
+        """,
+        "indicators": _INDICATORS_SQL + " ORDER BY symbol",
+        "trade_count": f"""
+            WITH trades AS ({TRADES_CTE}) SELECT count(*) AS n_trades FROM trades
+        """,
+        "symbol_leaderboard": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT symbol, count(*) AS trades,
+                   CAST(sum(volume) AS BIGINT) AS total_volume
+            FROM trades GROUP BY symbol ORDER BY trades DESC, symbol
+        """,
+        "rsi_signals": f"""
+            WITH ind AS ({_INDICATORS_SQL})
+            SELECT symbol, rsi,
+                   CASE WHEN rsi >= 70 THEN 'OVERBOUGHT'
+                        WHEN rsi <= 30 THEN 'OVERSOLD'
+                        ELSE 'NEUTRAL' END AS signal,
+                   make_timestamp(1698208500000000) AS computed_ts
+            FROM ind ORDER BY computed_ts DESC, symbol LIMIT 20
+        """,
+        "symbol_history": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT trade_id, symbol, round(price, 6) AS price, "timestamp"
+            FROM trades WHERE symbol = 'PURCHASE' AND "timestamp" > 0
+            ORDER BY "timestamp", trade_id
+        """,
+        "vwap_by_symbol": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT symbol,
+                   round(sum(price * volume) / sum(CAST(volume AS DOUBLE)), 6)
+                       AS vwap
+            FROM trades WHERE {_VALID_WHERE}
+            GROUP BY symbol ORDER BY symbol
+        """,
+        "dedup_trades": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT count(DISTINCT trade_id) AS n_unique_trades FROM trades
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 4) AS sum_qty,
+                round(sum(l_extendedprice), 4) AS sum_base_price,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+                    AS sum_charge,
+                round(avg(l_quantity), 6) AS avg_qty,
+                round(avg(l_extendedprice), 6) AS avg_price,
+                round(avg(l_discount), 6) AS avg_disc,
+                count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15'
+              AND l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1994-01-01'
+              AND o_orderdate < TIMESTAMP '1995-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+              AND l_shipdate < TIMESTAMP '1995-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q4_semijoin": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1993-07-01'
+              AND o_orderdate < TIMESTAMP '1993-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "top_parts_by_revenue": """
+            WITH rev AS (
+                SELECT p_brand, p_partkey,
+                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY p_brand, p_partkey
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY p_brand
+                    ORDER BY revenue DESC, p_partkey) AS rank
+                FROM rev
+            )
+            SELECT p_brand, p_partkey, revenue, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3 ORDER BY p_brand, rank
+        """,
+    }

@@ -1,0 +1,152 @@
+"""Technical indicators — SMA / RSI / VWAP (A1-A4) with exact reference
+semantics, plus rolling per-row variants.
+
+Reference: ``/root/reference/src/indicators/TechnicalIndicators.hpp``.
+`compute_all` (:79-138) groups by symbol and emits ONE row per symbol:
+
+- effective_period = min(period, n_rows_of_symbol)            (:125)
+- SMA  = mean of the LAST effective_period prices             (:204-224)
+- RSI  over the last min(effective_period, n-1) price changes (:249-290):
+    avg_gain = Σ max(change,0)/count ; avg_loss = Σ max(-change,0)/count
+    n < 2 or effective_period <= 1 → 50.0 ; avg_loss == 0 → 100.0
+    else 100 − 100/(1 + avg_gain/avg_loss)
+- VWAP = Σ(price·volume)/Σ(volume) over ALL the symbol's rows (:310-330);
+  zero total volume → 0.0
+
+"Last" is by (timestamp, trade_id) — the intended canonical ordering
+(Trade.hpp:36-37; generator timestamps are monotone).
+
+Spark-first plan: one shuffle on `symbol`.  The window functions
+(row_number desc, lag) and the final groupBy all share the same hash
+partitioning on symbol, so Catalyst reuses a single exchange; partial
+aggregation happens map-side.  No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_PERIOD = 5
+
+
+def _annotated(trades: DataFrame) -> DataFrame:
+    """Per-row helpers shared by the indicator aggregates: descending row
+    number, group size, and lag-diff (price change)."""
+    w_desc = Window.partitionBy("symbol").orderBy(
+        F.col("timestamp").desc(), F.col("trade_id").desc()
+    )
+    w_asc = Window.partitionBy("symbol").orderBy("timestamp", "trade_id")
+    w_all = Window.partitionBy("symbol")
+    return trades.select(
+        "symbol",
+        "price",
+        "volume",
+        F.row_number().over(w_desc).alias("_rn_desc"),
+        F.count("*").over(w_all).alias("_n"),
+        (F.col("price") - F.lag("price").over(w_asc)).alias("_change"),
+    )
+
+
+def compute_indicators(
+    trades: DataFrame,
+    period: int = DEFAULT_PERIOD,
+    computed_at_ns: int | None = None,
+) -> DataFrame:
+    """One indicator row per symbol — exact `compute_all` parity.
+
+    Returns columns: symbol, sma, rsi, vwap, period
+    (+ computed_at when `computed_at_ns` is given, mirroring the save-time
+    stamp at DatabaseLoader.cpp:314-316 — injected for deterministic tests).
+    """
+    ann = _annotated(trades)
+    eff = F.least(F.lit(period), F.col("_n"))  # effective_period (:125)
+    # number of RSI changes actually averaged = min(effective_period, n-1)
+    n_changes = F.least(eff, F.col("_n") - 1)
+
+    in_sma = F.col("_rn_desc") <= eff
+    in_rsi = F.col("_rn_desc") <= n_changes  # last row has no defined change
+    # at the first row (_rn_desc == _n) _change is NULL; in_rsi excludes it
+    gain = F.when(in_rsi & (F.col("_change") > 0), F.col("_change")).otherwise(F.lit(0.0))
+    loss = F.when(in_rsi & (F.col("_change") < 0), -F.col("_change")).otherwise(F.lit(0.0))
+
+    agg = ann.groupBy("symbol").agg(
+        F.max("_n").alias("_n"),
+        F.avg(F.when(in_sma, F.col("price"))).alias("_sma"),
+        F.sum(gain).alias("_gain_sum"),
+        F.sum(loss).alias("_loss_sum"),
+        F.sum(F.col("price") * F.col("volume")).alias("_pv"),
+        F.sum(F.col("volume").cast("double")).alias("_v"),
+    )
+
+    n = F.col("_n")
+    eff_out = F.least(F.lit(period), n)
+    n_ch = F.least(eff_out, n - 1).cast("double")
+    avg_gain = F.col("_gain_sum") / n_ch
+    avg_loss = F.col("_loss_sum") / n_ch
+    rsi = (
+        F.when((n < 2) | (eff_out <= 1), F.lit(50.0))
+        .when(avg_loss == 0.0, F.lit(100.0))
+        .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss))
+    )
+    vwap = F.when(F.col("_v") == 0.0, F.lit(0.0)).otherwise(F.col("_pv") / F.col("_v"))
+
+    out = agg.select(
+        "symbol",
+        F.col("_sma").alias("sma"),
+        rsi.alias("rsi"),
+        vwap.alias("vwap"),
+        eff_out.cast("int").alias("period"),
+    )
+    if computed_at_ns is not None:
+        out = out.withColumn("computed_at", F.lit(int(computed_at_ns)).cast("long"))
+    return out
+
+
+def rsi_signal(rsi: Column) -> Column:
+    """F4: RSI → OVERBOUGHT / OVERSOLD / NEUTRAL label
+    (TechnicalIndicators.hpp:157-163, README.md:239-241)."""
+    return (
+        F.when(rsi >= 70, F.lit("OVERBOUGHT"))
+        .when(rsi <= 30, F.lit("OVERSOLD"))
+        .otherwise(F.lit("NEUTRAL"))
+    )
+
+
+def rolling_indicators(trades: DataFrame, period: int = DEFAULT_PERIOD) -> DataFrame:
+    """Per-ROW rolling variants (the natural engine generalization of the
+    reference's end-of-batch snapshot): trailing `period`-row SMA, trailing
+    RSI, and running VWAP, per symbol ordered by (timestamp, trade_id).
+
+    All three share one window partitioning → a single shuffle on symbol.
+    """
+    w = Window.partitionBy("symbol").orderBy("timestamp", "trade_id")
+    w_sma = w.rowsBetween(-(period - 1), 0)
+    w_rsi = w.rowsBetween(-(period - 1), 0)  # trailing `period` changes
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    change = F.col("price") - F.lag("price").over(w)
+    df = trades.withColumn("_change", change)
+    n_ch = F.count("_change").over(w_rsi)  # NULL first-change excluded
+    avg_gain = F.sum(F.when(df["_change"] > 0, df["_change"]).otherwise(F.lit(0.0))).over(
+        w_rsi
+    ) / n_ch
+    avg_loss = F.sum(
+        F.when(df["_change"] < 0, -df["_change"]).otherwise(F.lit(0.0))
+    ).over(w_rsi) / n_ch
+    rsi = (
+        F.when(n_ch < 1, F.lit(50.0))
+        .when(avg_loss == 0.0, F.lit(100.0))
+        .otherwise(F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss))
+    )
+
+    return (
+        df.withColumn("sma", F.avg("price").over(w_sma))
+        .withColumn("rsi", rsi)
+        .withColumn(
+            "vwap",
+            F.sum(F.col("price") * F.col("volume")).over(w_run)
+            / F.sum(F.col("volume").cast("double")).over(w_run),
+        )
+        .drop("_change")
+    )

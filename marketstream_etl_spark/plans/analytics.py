@@ -1,0 +1,137 @@
+"""Analytics query layer — the reference README's verification queries
+(``/root/reference/README.md:226-252``) plus the trade ETL spine, expressed
+as DataFrame plans over the canonical trades view.
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose column
+names match the DuckDB oracle in ``__spark_entry__.oracle_sql`` exactly.
+Double outputs are rounded to 6 decimals on BOTH sides so the driver's
+order-insensitive value hash is stable across accumulation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from marketstream_etl_spark.operators.indicators import (
+    compute_indicators,
+    rsi_signal,
+)
+from marketstream_etl_spark.operators.validation import split_valid, with_validation
+from marketstream_etl_spark.plans.trades_view import load_trades
+
+# computed_at stamp injected as a constant for deterministic oracle parity
+# (the reference stamps wall-clock ns at save time, DatabaseLoader.cpp:314-316).
+FIXED_COMPUTED_AT_NS = 1_698_208_500_000_000_000
+
+
+def q_trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical trades mapping itself (scan + projection + JSON access)."""
+    return load_trades(spark, sf_dir)
+
+
+def q_validate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 annotate: every trade with is_valid + first-failing reject_reason."""
+    return with_validation(load_trades(spark, sf_dir)).select(
+        "trade_id", "symbol", "price", "volume", "is_valid", "reject_reason"
+    )
+
+
+def q_validate_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 reject side: dead-letter rows with reasons."""
+    _, rejects = split_valid(load_trades(spark, sf_dir))
+    return rejects.select("trade_id", "symbol", "price", "volume", "reject_reason")
+
+
+def q_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: total/valid/rejected counters."""
+    from marketstream_etl_spark.operators.validation import validation_counts
+
+    return validation_counts(load_trades(spark, sf_dir))
+
+
+def q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: validate → per-symbol SMA/RSI/VWAP snapshot (A1-A4)."""
+    valid, _ = split_valid(load_trades(spark, sf_dir))
+    ind = compute_indicators(valid, period=5)
+    return ind.select(
+        "symbol",
+        F.round("sma", 6).alias("sma"),
+        F.round("rsi", 6).alias("rsi"),
+        F.round("vwap", 6).alias("vwap"),
+        "period",
+    ).orderBy("symbol")
+
+
+def q_trade_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: SELECT COUNT(*) FROM trades (README.md:229)."""
+    return load_trades(spark, sf_dir).agg(F.count("*").alias("n_trades"))
+
+
+def q_symbol_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/O3: per-symbol trade count + total volume, busiest first
+    (README.md:232-235)."""
+    return (
+        load_trades(spark, sf_dir)
+        .groupBy("symbol")
+        .agg(F.count("*").alias("trades"), F.sum("volume").alias("total_volume"))
+        .orderBy(F.desc("trades"), "symbol")
+    )
+
+
+def q_rsi_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/O2/X5: latest RSI signals with OVERBOUGHT/OVERSOLD/NEUTRAL label
+    (README.md:238-245). computed_at is a fixed injected stamp."""
+    valid, _ = split_valid(load_trades(spark, sf_dir))
+    ind = compute_indicators(valid, period=5, computed_at_ns=FIXED_COMPUTED_AT_NS)
+    return (
+        ind.select(
+            "symbol",
+            F.round("rsi", 6).alias("rsi"),
+            rsi_signal(F.col("rsi")).alias("signal"),
+            # integer µs from the constant: ns/1000 in double would lose
+            # precision above 2^53, so divide driver-side
+            F.timestamp_micros(F.lit(FIXED_COMPUTED_AT_NS // 1000)).alias(
+                "computed_ts"
+            ),
+        )
+        .orderBy(F.desc("computed_ts"), "symbol")
+        .limit(20)
+    )
+
+
+def q_symbol_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/F5: single-symbol time-range scan — WHERE symbol='PURCHASE' AND
+    timestamp range, ordered (README.md:248-251). Partition-prunable shape."""
+    trades = load_trades(spark, sf_dir)
+    return (
+        trades.filter(F.col("symbol") == "PURCHASE")
+        .filter(F.col("timestamp") > 0)
+        .select("trade_id", "symbol", F.round("price", 6).alias("price"), "timestamp")
+        .orderBy("timestamp", "trade_id")
+    )
+
+
+def q_vwap_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 standalone: per-symbol VWAP over all valid trades."""
+    valid, _ = split_valid(load_trades(spark, sf_dir))
+    return (
+        valid.groupBy("symbol")
+        .agg(
+            F.round(
+                F.sum(F.col("price") * F.col("volume"))
+                / F.sum(F.col("volume").cast("double")),
+                6,
+            ).alias("vwap")
+        )
+        .orderBy("symbol")
+    )
+
+
+def q_dedup_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK semantics (S8's ON CONFLICT DO NOTHING analog): keep one row per
+    trade_id — dropDuplicates on the key, then count as evidence."""
+    trades = load_trades(spark, sf_dir)
+    return trades.dropDuplicates(["trade_id"]).agg(
+        F.count("*").alias("n_unique_trades")
+    )

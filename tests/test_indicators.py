@@ -1,0 +1,119 @@
+"""Indicator goldens hand-computed from the reference algorithms
+(TechnicalIndicators.hpp:204-330), including the worked RSI example in its
+own docstring (:244-249) and the edge cases at :252-253, :283-284."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from marketstream_etl_spark.operators.indicators import (
+    compute_indicators,
+    rolling_indicators,
+)
+
+
+def trades_df(spark, series):
+    """series: {symbol: [(price, volume), ...]} in time order."""
+    rows = []
+    i = 0
+    for sym, pvs in series.items():
+        for price, volume in pvs:
+            rows.append(
+                Row(
+                    trade_id=i,
+                    symbol=sym,
+                    timestamp=1_000_000 + i,
+                    price=float(price),
+                    volume=int(volume),
+                )
+            )
+            i += 1
+    return spark.createDataFrame(rows)
+
+
+def by_symbol(df):
+    return {r["symbol"]: r.asDict() for r in df.collect()}
+
+
+def test_reference_docstring_rsi_example(spark):
+    # prices 100,102,101,103,105 → changes +2,-1,+2,+2 → avg_gain 1.5,
+    # avg_loss 0.25 → RS 6 → RSI 100-100/7 = 85.714285...
+    df = trades_df(spark, {"A": [(p, 10) for p in [100, 102, 101, 103, 105]]})
+    got = by_symbol(compute_indicators(df, period=4))["A"]
+    assert got["rsi"] == pytest.approx(100 - 100 / 7.0)
+    # SMA(4) = mean of last 4 = (102+101+103+105)/4
+    assert got["sma"] == pytest.approx((102 + 101 + 103 + 105) / 4)
+    assert got["period"] == 4
+
+
+def test_sma_docstring_example(spark):
+    # compute_sma([2456.75, 2457.00, 2458.00], 2) = 2457.50
+    df = trades_df(spark, {"A": [(2456.75, 1), (2457.00, 1), (2458.00, 1)]})
+    got = by_symbol(compute_indicators(df, period=2))["A"]
+    assert got["sma"] == pytest.approx(2457.50)
+
+
+def test_vwap(spark):
+    # VWAP = (100*10 + 200*30) / 40 = 175
+    df = trades_df(spark, {"A": [(100, 10), (200, 30)]})
+    got = by_symbol(compute_indicators(df, period=5))["A"]
+    assert got["vwap"] == pytest.approx(175.0)
+
+
+def test_rsi_edge_single_price_is_50(spark):
+    df = trades_df(spark, {"A": [(100, 1)]})
+    got = by_symbol(compute_indicators(df, period=5))["A"]
+    assert got["rsi"] == 50.0
+    assert got["period"] == 1  # effective_period = min(5, 1)
+    assert got["sma"] == pytest.approx(100.0)
+
+
+def test_rsi_edge_all_gains_is_100(spark):
+    df = trades_df(spark, {"A": [(100, 1), (101, 1), (102, 1)]})
+    got = by_symbol(compute_indicators(df, period=5))["A"]
+    assert got["rsi"] == 100.0
+
+
+def test_period_clamped_to_group_size(spark):
+    # 3 rows, period 5 → effective_period 3; SMA over all 3;
+    # RSI over min(3, 2) = 2 changes.
+    df = trades_df(spark, {"A": [(100, 1), (90, 1), (95, 1)]})
+    got = by_symbol(compute_indicators(df, period=5))["A"]
+    assert got["period"] == 3
+    assert got["sma"] == pytest.approx(95.0)
+    # changes: -10, +5 → avg_gain 2.5, avg_loss 5 → RS .5 → RSI 33.333
+    assert got["rsi"] == pytest.approx(100 - 100 / 1.5)
+
+
+def test_rsi_window_uses_last_period_plus_one_prices(spark):
+    # 6 prices, period 3 → changes over last 4 prices only (start_idx = 2)
+    prices = [100, 50, 60, 55, 65, 70]
+    df = trades_df(spark, {"A": [(p, 1) for p in prices]})
+    got = by_symbol(compute_indicators(df, period=3))["A"]
+    # last 3 changes: -5, +10, +5 → avg_gain 5, avg_loss 5/3 → RS 3 → 75
+    assert got["rsi"] == pytest.approx(75.0)
+
+
+def test_multi_symbol_independence(spark):
+    df = trades_df(
+        spark,
+        {"A": [(100, 1), (110, 1)], "B": [(100, 1), (90, 1)]},
+    )
+    got = by_symbol(compute_indicators(df, period=5))
+    assert got["A"]["rsi"] == 100.0  # all gains
+    # all losses → avg_gain 0 → RS 0 → RSI 0
+    assert got["B"]["rsi"] == pytest.approx(0.0)
+
+
+def test_rolling_indicators_shape(spark):
+    df = trades_df(spark, {"A": [(p, 1) for p in [100, 102, 101, 103, 105]]})
+    out = rolling_indicators(df, period=3).orderBy("timestamp").collect()
+    assert len(out) == 5
+    # row 0: no change yet → neutral RSI, SMA = price, VWAP = price
+    assert out[0]["rsi"] == 50.0
+    assert out[0]["sma"] == pytest.approx(100.0)
+    # row 2: trailing-3 SMA = (100+102+101)/3
+    assert out[2]["sma"] == pytest.approx(101.0)
+    # running VWAP at last row = mean (all volumes equal)
+    assert out[4]["vwap"] == pytest.approx(sum([100, 102, 101, 103, 105]) / 5)
