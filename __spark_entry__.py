@@ -17,7 +17,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from marketstream_etl_spark.plans import analytics, tpch
+from marketstream_etl_spark.operators import dedup as _dedup
+from marketstream_etl_spark.operators import similarity as _sim
+from marketstream_etl_spark.operators import text as _text
+from marketstream_etl_spark.plans import analytics, tpch, training_data
 from marketstream_etl_spark.plans.trades_view import TRADES_CTE
 
 # ---------------------------------------------------------------------------
@@ -109,6 +112,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": tpch.q6_revenue_forecast,
         "tpch_q4_semijoin": tpch.q_order_priority_count,
         "top_parts_by_revenue": tpch.q_top_parts_by_revenue,
+        # --- training-data pipeline ops (north star) ---
+        "text_analysis": training_data.q_text_analysis,
+        "dedup_exact_docs": training_data.q_dedup_exact_docs,
+        "dedup_ngram_jaccard": training_data.q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": training_data.q_dedup_minhash_lsh,
+        "simhash": training_data.q_simhash,
+        "simhash_pairs": training_data.q_simhash_pairs,
+        "ann_bruteforce": training_data.q_ann_bruteforce,
+        "ann_ivf": training_data.q_ann_ivf,
+        "embedding_neardup": training_data.q_embedding_neardup,
+        "multimodal_metadata": training_data.q_multimodal_metadata,
+        "multimodal_features": training_data.q_multimodal_features,
     }
 
 
@@ -247,4 +262,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_brand, p_partkey, revenue, CAST(rank AS INTEGER) AS rank
             FROM ranked WHERE rank <= 3 ORDER BY p_brand, rank
         """,
+        "text_analysis": _text.analyze_documents_sql() + " ORDER BY doc_id",
+        "dedup_exact_docs": _dedup.EXACT_DEDUP_SQL + " ORDER BY fingerprint",
+        "dedup_ngram_jaccard": _dedup.NGRAM_JACCARD_SQL,
+        "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
+        "simhash": _dedup.simhash_sql() + " ORDER BY doc_id",
+        "simhash_pairs": _dedup.simhash_near_pairs_sql(),
+        "ann_bruteforce": _sim.ann_bruteforce_sql(),
+        "ann_ivf": _sim.ann_ivf_sql(),
+        "embedding_neardup": _sim.embedding_neardup_pairs_sql(),
+        # multimodal_metadata: payload bytes are the utf-8 text, so DuckDB
+        # computes the same metadata from the string directly (strlen = byte
+        # length; md5 hashes the utf-8 bytes in both engines).
+        "multimodal_metadata": """
+            SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'png'
+                     WHEN doc_id % 3 = 1 THEN 'jpeg'
+                     ELSE 'wav' END AS media_type,
+                CAST(strlen(text) AS INTEGER) AS n_bytes,
+                md5(text) AS checksum,
+                CASE WHEN hex(encode(substr(text, 1, 4))) = '52494646' THEN 'wav'
+                     WHEN hex(encode(substr(text, 1, 4))) = '47494638' THEN 'gif'
+                     WHEN hex(encode(substr(text, 1, 3))) = 'FFD8FF' THEN 'jpeg'
+                     WHEN hex(encode(substr(text, 1, 4))) = '89504E47' THEN 'png'
+                     ELSE 'unknown' END AS sniffed_type
+            FROM documents ORDER BY media_id
+        """,
+        # multimodal_features intentionally has no oracle (Pandas-UDF decode
+        # path; driver records the rows-only check).
     }

@@ -1,0 +1,426 @@
+"""Deduplication operators for training-data pipelines (north-star surface):
+exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB posture):
+- Exact dedup: hash-groupBy on a 128-bit content fingerprint — one shuffle,
+  no full-text comparison.
+- Jaccard: inverted-index self-join on shingles with a document-frequency
+  cap on hot shingles (stop-shingles otherwise blow up the join quadratically
+  in the number of docs sharing them).
+- MinHash+LSH: signatures are computed map-side from md5-derived hashes
+  (deterministic, oracle-reproducible); candidate generation is an
+  equi-join on (band_id, band_key) buckets — the only shuffle — and
+  candidates are verified with exact Jaccard.
+- SimHash: 32-bit weighted-token signature; near-pairs found by the
+  4-byte pigeonhole trick (hamming ≤ 3 ⟹ at least one equal byte), so the
+  join is an equi-join on bytes, never a cross join.
+
+Every operator has a DuckDB oracle twin computing the identical
+deterministic result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marketstream_etl_spark.functions.hashing import (
+    MERSENNE_P,
+    h32,
+    h32_sql,
+    minhash_params,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+from marketstream_etl_spark.operators.text import (
+    fingerprint,
+    fingerprint_sql,
+)
+
+SHINGLE_K = 3
+NUM_PERM = 16
+NUM_BANDS = 8  # r = NUM_PERM / NUM_BANDS = 2 rows per band
+DF_CAP = 100  # stop-shingle document-frequency cap
+JACCARD_THRESHOLD = 0.5
+HAMMING_MAX = 3
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Duplicate groups by normalized-content fingerprint: one row per
+    distinct content, with group size and the surviving (minimum) doc_id."""
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = f"""
+    SELECT {fingerprint_sql("text")} AS fingerprint,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+"""
+
+
+# --- shingle inverted index (shared by jaccard + minhash verify) -----------
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs, hot shingles dropped (df > DF_CAP)."""
+    pairs = (
+        docs.select(
+            "doc_id",
+            F.explode(shingles(tokens(F.col("text")), SHINGLE_K)).alias("shingle"),
+        )
+        .distinct()
+    )
+    hot = (
+        pairs.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    return pairs.join(F.broadcast(hot), "shingle", "left_anti")
+
+
+_DOC_SHINGLES_SQL = f"""
+    pairs AS (
+        SELECT DISTINCT doc_id, unnest({shingles_sql(tokens_sql("text"), SHINGLE_K)}) AS shingle
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, shingle FROM pairs
+        WHERE shingle IN (
+            SELECT shingle FROM pairs GROUP BY shingle
+            HAVING count(*) <= {DF_CAP}
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id)
+"""
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard >= threshold (doc_a < doc_b)."""
+    kept = _doc_shingles(docs)
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+    WITH {_DOC_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6)
+          >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}) minhash signature columns.
+
+    Signature j = min over shingles of (a_j * h32(shingle) + b_j) mod P.
+    Docs with no shingles (< k tokens) get NULL signatures and drop out of
+    candidate generation, mirroring the oracle.
+    """
+    sh = shingles(tokens(F.col("text")), SHINGLE_K)
+    hashed = F.transform(sh, lambda s: h32(s))
+    cols = [docs["doc_id"]]
+    for j, (a, b) in enumerate(minhash_params(num_perm)):
+        mh = F.array_min(
+            F.transform(
+                hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
+            )
+        )
+        cols.append(mh.alias(f"mh_{j}"))
+    return docs.select(*cols)
+
+
+def _minhash_sig_sql(num_perm: int = NUM_PERM) -> str:
+    sh = shingles_sql(tokens_sql("text"), SHINGLE_K)
+    hashed = f"list_transform({sh}, s -> {h32_sql('s')})"
+    sig_cols = []
+    for j, (a, b) in enumerate(minhash_params(num_perm)):
+        sig_cols.append(
+            f"list_min(list_transform({hashed}, "
+            f"h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh_{j}"
+        )
+    return "SELECT doc_id, " + ", ".join(sig_cols) + " FROM documents"
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_perm: int = NUM_PERM,
+    num_bands: int = NUM_BANDS,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Near-duplicate pairs via banded LSH candidates + exact-Jaccard verify.
+
+    Bands hash r=num_perm/num_bands consecutive signature values; two docs
+    sharing any band key become a candidate pair (one shuffle on the band
+    key); candidates are verified against the exact shingle Jaccard.
+    """
+    r = num_perm // num_bands
+    sig = minhash_signatures(docs, num_perm)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.concat_ws(
+                            "_", *[F.col(f"mh_{i * r + j}") for j in range(r)]
+                        ).alias("band_key"),
+                    )
+                    for i in range(num_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key").filter(
+        F.col("band_key") != ""
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = ngram_jaccard_pairs(docs, threshold)
+    return (
+        candidates.join(verified, ["doc_a", "doc_b"])
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_lsh_pairs_sql(
+    num_perm: int = NUM_PERM,
+    num_bands: int = NUM_BANDS,
+) -> str:
+    r = num_perm // num_bands
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS band_id, concat_ws('_', {keys}) AS band_key "
+        "FROM sig".format(
+            i=i,
+            keys=", ".join(f"mh_{i * r + j}" for j in range(r)),
+        )
+        for i in range(num_bands)
+    )
+    return f"""
+        WITH sig AS ({_minhash_sig_sql(num_perm)}),
+        bands AS ({band_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+            WHERE a.band_key <> ''
+        ),
+        {_DOC_SHINGLES_SQL},
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        verified AS (
+            SELECT doc_a, doc_b,
+                   round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6)
+                  >= {JACCARD_THRESHOLD}
+        )
+        SELECT c.doc_a, c.doc_b, v.jaccard
+        FROM cand c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+        ORDER BY c.doc_a, c.doc_b
+    """
+
+
+# --- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — weighted-token signature.
+
+    For each bit b: sum over (distinct token, count) of ±count depending on
+    bit b of h32(token); bit set iff the sum is positive.  Computed via an
+    explode + single groupBy (one shuffle), bit arithmetic with integer
+    div/mod so the DuckDB oracle reproduces it exactly.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    tok = tok.withColumn("h", h32(F.col("token")))
+    bit_sums = [
+        F.sum(
+            F.when(
+                (F.col("h") / F.lit(1 << b)).cast("long") % 2 == 1, F.col("cnt")
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_sql(bits: int = SIMHASH_BITS) -> str:
+    bit_sums = ", ".join(
+        f"CAST(sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN cnt ELSE -cnt END) "
+        f"AS BIGINT) AS s_{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, t AS token, count(*) AS cnt
+            FROM (SELECT doc_id, unnest({tokens_sql("text")}) AS t
+                  FROM documents)
+            GROUP BY doc_id, t
+        ),
+        hashed AS (SELECT doc_id, {h32_sql("token")} AS h, cnt FROM tok),
+        sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums
+    """
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = HAMMING_MAX,
+) -> DataFrame:
+    """Pairs with simhash hamming distance <= max_hamming via the pigeonhole
+    equi-join: split the signature into 4 bytes; hamming <= 3 guarantees at
+    least one byte matches, so candidates come from a per-byte equi-join."""
+    sig = simhash(docs, bits)
+    n_chunks = 4
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        (
+                            (F.col("simhash") / F.lit(1 << (c * chunk_bits))).cast(
+                                "long"
+                            )
+                            % F.lit(mask + 1)
+                        ).alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_near_pairs_sql(
+    bits: int = SIMHASH_BITS, max_hamming: int = HAMMING_MAX
+) -> str:
+    n_chunks = 4
+    chunk_bits = bits // n_chunks
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_id, "
+        f"(simhash // {1 << (c * chunk_bits)}) % {1 << chunk_bits} AS chunk_val "
+        f"FROM sig"
+        for c in range(n_chunks)
+    )
+    return f"""
+        WITH sig AS ({simhash_sql(bits)}),
+        chunks AS ({chunk_selects}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sim_a, b.simhash AS sim_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+        ORDER BY doc_a, doc_b
+    """

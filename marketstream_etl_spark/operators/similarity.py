@@ -1,0 +1,267 @@
+"""Similarity search over embedding columns (north-star surface):
+brute-force cosine top-k (the correctness baseline) and an IVF-bucketed
+variant (the scale path), plus embedding-cosine near-duplicate pairs.
+
+Scale design (100 TB posture):
+- The query set is small → `F.broadcast` it; the big side streams through a
+  map-side cosine + per-query top-k (TakeOrderedAndProject after a window),
+  never a shuffle of the full embedding table.
+- IVF: centroids are a deterministic sample (first C vec_ids — a stand-in
+  for a k-means codebook the pipeline would train offline).  Every vector is
+  assigned to its nearest centroid once (map-side vs broadcast centroids);
+  queries probe the nearest `nprobe` centroid buckets only, turning a full
+  scan into a partition-pruned scan of ~nprobe/C of the data.
+- All dot products run in double via zip_with + aggregate — built-in higher-
+  order functions, JVM-side, no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_QUERIES = 8  # vec_id < 8 are the benchmark query vectors
+TOP_K = 5
+N_CENTROIDS = 16
+N_PROBE = 4
+NEARDUP_COSINE = 0.30  # testdata embeddings are near-orthogonal; 0.95 in prod
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double, left-to-right (deterministic accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# DuckDB twin: parallel unnest zips value+index; double casts mirror _dvec.
+# `{q}`/`{e}` are relation aliases exposing (vec_id, embedding).
+_COSINE_PAIR_SQL = """
+    SELECT qq.vec_id AS query_id, ee.vec_id AS neighbor_id,
+           sum(qq.v * ee.v)
+             / (sqrt(sum(qq.v * qq.v)) * sqrt(sum(ee.v * ee.v))) AS cos
+    FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 unnest(range(len(embedding))) AS i FROM {q}) qq
+    JOIN (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 unnest(range(len(embedding))) AS i FROM {e}) ee
+      ON qq.i = ee.i
+    GROUP BY 1, 2
+"""
+
+
+def ann_bruteforce(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (self excluded).
+
+    Output: (query_id, neighbor_id, cos, rank) — rank by cosine desc,
+    neighbor_id asc tie-break.
+    """
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qvec"), F.col("vec")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_bruteforce_sql(n_queries: int = N_QUERIES, k: int = TOP_K) -> str:
+    pair = _COSINE_PAIR_SQL.format(
+        q=f"(SELECT * FROM embeddings WHERE vec_id < {n_queries})",
+        e="embeddings",
+    )
+    return f"""
+        WITH scored AS ({pair}),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def ann_ivf(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-style approximate top-k: assign vectors to their nearest centroid
+    (coarse quantizer), probe only the `nprobe` centroid buckets nearest to
+    each query.  Same output shape as ann_bruteforce; recall < 1 by design.
+    """
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    centroids = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+
+    def nearest(df: DataFrame, id_col: str, vec_col: str, n: int, out: str) -> DataFrame:
+        scored = df.join(F.broadcast(centroids)).select(
+            id_col,
+            vec_col,
+            "centroid_id",
+            cosine(F.col(vec_col), F.col("cvec")).alias("ccos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("centroid_id"))
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .select(id_col, vec_col, F.col("centroid_id").alias(out))
+        )
+
+    assigned = nearest(base, "vec_id", "vec", 1, "bucket")
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    probes = nearest(queries, "query_id", "qvec", nprobe, "bucket")
+
+    scored = (
+        assigned.join(F.broadcast(probes), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qvec"), F.col("vec")).alias("cos_raw"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_raw"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_ivf_sql(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = N_PROBE,
+) -> str:
+    cent = f"(SELECT * FROM embeddings WHERE vec_id < {n_centroids})"
+    all_to_cent = _COSINE_PAIR_SQL.format(q="embeddings", e=cent)
+    return f"""
+        WITH a2c AS ({all_to_cent}),
+        assigned AS (
+            SELECT query_id AS vec_id, neighbor_id AS bucket FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS r FROM a2c
+            ) WHERE r = 1
+        ),
+        probes AS (
+            SELECT query_id, neighbor_id AS bucket FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS r FROM a2c
+                WHERE query_id < {n_queries}
+            ) WHERE r <= {nprobe}
+        ),
+        pairs AS (
+            SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assigned a ON p.bucket = a.bucket
+            WHERE a.vec_id <> p.query_id
+        ),
+        cos_all AS ({_COSINE_PAIR_SQL.format(
+            q=f"(SELECT * FROM embeddings WHERE vec_id < {n_queries})",
+            e="embeddings")}),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id, c.cos
+            FROM cos_all c JOIN pairs p
+              ON c.query_id = p.query_id AND c.neighbor_id = p.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = NEARDUP_COSINE, n_queries: int = 64
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs among the first `n_queries`
+    vectors (bounded block so the demo stays quadratic-in-small-n; the scale
+    path is ann_ivf with a threshold filter)."""
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec")).filter(
+        F.col("vec_id") < n_queries
+    )
+    a = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_pairs_sql(
+    threshold: float = NEARDUP_COSINE, n_queries: int = 64
+) -> str:
+    sub = f"(SELECT * FROM embeddings WHERE vec_id < {n_queries})"
+    pair = _COSINE_PAIR_SQL.format(q=sub, e=sub)
+    return f"""
+        WITH scored AS ({pair})
+        SELECT query_id AS id_a, neighbor_id AS id_b, round(cos, 6) AS cos
+        FROM scored
+        WHERE query_id < neighbor_id AND round(cos, 6) >= {threshold}
+        ORDER BY id_a, id_b
+    """

@@ -1,0 +1,134 @@
+"""Structured Streaming tick pipeline — the Spark re-expression of the
+reference's WebSocket demo (SURVEY §2.8, §3.2):
+
+  TickServer (JSON over WS, ~5K ticks/s)  → rate source + column generation
+  TickClient (parse JSON → Trade, SPSC)   → from_json + dead-letter channel
+  consumer (filter + per-symbol counts)   → stateful streaming aggregation
+
+Reference: src/feed/TickServer.hpp:144-265, src/feed/TickClient.hpp:126-246,
+src/tools/websocket_demo.cpp:73-220.
+
+Backpressure (SPSC ring, ST2) is engine-owned in Spark (`maxOffsetsPerTrigger`
+etc.); the preserved semantic is lossless delivery.  Watermarks/windows (ST4)
+are absent in the reference — `windowed_symbol_stats` adds them as the
+engine-native generalization for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from marketstream_etl_spark.schemas import TICK_SCHEMA
+
+STREAM_EPOCH_NS = 1_698_208_500_000_000_000  # TickServer.hpp:186
+STREAM_SYMBOLS = ["RELIANCE", "TCS", "INFY", "HDFC", "WIPRO"]  # :196
+
+
+def tick_stream(spark: SparkSession, rows_per_second: int = 5000) -> DataFrame:
+    """S4: rate-source tick generator with the server's column semantics —
+    5K ticks/s, event time advancing 10µs/tick from a fixed epoch
+    (TickServer.hpp:200-241), prices random-walk-ish per symbol."""
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    sym = F.element_at(
+        F.array(*[F.lit(s) for s in STREAM_SYMBOLS]),
+        (F.col("value") % len(STREAM_SYMBOLS) + 1).cast("int"),
+    )
+    return rate.select(
+        (F.lit(3_000_000) + F.col("value")).alias("trade_id"),
+        (F.lit(4_000_000) + F.col("value")).alias("order_id"),
+        (F.lit(STREAM_EPOCH_NS) + F.col("value") * 10_000).alias("timestamp"),
+        sym.alias("symbol"),
+        F.round(
+            F.lit(1000.0) + F.pmod(F.col("value") * F.lit(7.77), F.lit(500.0)), 2
+        ).alias("price"),
+        (F.pmod(F.col("value") * 37, 4991) + 10).cast("int").alias("volume"),
+        F.when(F.col("value") % 2 == 0, F.lit("B")).otherwise(F.lit("S")).alias("side"),
+        F.lit("M").alias("type"),
+        F.lit(False).alias("is_pro"),
+        F.lit("WSS").alias("exchange"),  # TickMessage.hpp:164
+    )
+
+
+def to_json_frames(ticks: DataFrame) -> DataFrame:
+    """S6 serialize: one JSON text frame per tick (wire format)."""
+    return ticks.select(
+        F.to_json(F.struct(*[F.col(f.name) for f in TICK_SCHEMA.fields])).alias(
+            "value"
+        )
+    )
+
+
+def parse_json_frames(frames: DataFrame) -> DataFrame:
+    """S5/S6/ST6 ingest: JSON frame → typed tick + dead-letter flag.
+
+    Corrupt frames keep the raw frame and set `parse_error` — the
+    `parse_errors` counter channel of TickClient.hpp:224-231.  from_json in
+    permissive mode yields an all-null struct (not a NULL struct) for
+    malformed input, so corruption is detected via the always-present
+    trade_id field.
+    """
+    parsed = frames.withColumn(
+        "tick", F.from_json("value", T.StructType(TICK_SCHEMA.fields))
+    )
+    return parsed.select(
+        "tick.*",
+        F.col("value").alias("raw_frame"),
+        (F.col("tick").isNull() | F.col("tick.trade_id").isNull()).alias(
+            "parse_error"
+        ),
+    )
+
+
+def hot_path_filter(ticks: DataFrame) -> DataFrame:
+    """F2: the consumer's sanity filter (websocket_demo.cpp:110-120)."""
+    return ticks.filter((F.col("price") > 0) & (F.col("volume") > 0))
+
+
+def symbol_counts(ticks: DataFrame) -> DataFrame:
+    """ST3/A6: running per-symbol counts — unbounded keyed state, exactly
+    ConsumerStats' unordered_map (websocket_demo.cpp:73-125)."""
+    return ticks.groupBy("symbol").agg(
+        F.count("*").alias("n_ticks"),
+        F.sum("volume").alias("total_volume"),
+    )
+
+
+def windowed_symbol_stats(
+    ticks: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """ST4 (engine extension): tumbling-window per-symbol stats with a
+    watermark for late data. The reference's last-N-rows indicators are not
+    expressible on an unbounded stream (SURVEY §7 trap 1); time-windowed
+    VWAP/avg is the streaming-native equivalent."""
+    with_ts = ticks.withColumn(
+        "event_time", F.timestamp_micros(F.expr("timestamp div 1000"))
+    )
+    return (
+        with_ts.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "symbol")
+        .agg(
+            F.count("*").alias("n_ticks"),
+            (
+                F.sum(F.col("price") * F.col("volume"))
+                / F.sum(F.col("volume").cast("double"))
+            ).alias("vwap"),
+            F.avg("price").alias("avg_price"),
+        )
+    )
+
+
+def run_demo_batch(spark: SparkSession, frames: DataFrame) -> dict[str, DataFrame]:
+    """The websocket_demo consumer as one availableNow pass over a bounded
+    frame source: parse → dead-letter split → filter → counts.  Used by
+    tests; production would writeStream each branch (foreachBatch for the
+    dual sink)."""
+    parsed = parse_json_frames(frames)
+    good = hot_path_filter(parsed.filter(~F.col("parse_error")))
+    dead = parsed.filter(F.col("parse_error")).select("raw_frame")
+    return {"counts": symbol_counts(good), "dead_letter": dead}

@@ -1,0 +1,72 @@
+"""Dedup operator semantics on small hand-built corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from marketstream_etl_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_B = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+DOC_C = "completely different content about spark query engines and shuffles"
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_exact_dedup_normalizes_punctuation_and_case(spark):
+    df = docs_df(
+        spark,
+        ["Hello, World!", "hello world", "HELLO   world.", "other doc entirely"],
+    )
+    groups = {r["keep_doc_id"]: r["n_docs"] for r in exact_dedup_groups(df).collect()}
+    assert groups == {0: 3, 3: 1}
+
+
+def test_jaccard_identical_docs_pair_at_1(spark):
+    df = docs_df(spark, [DOC_A, DOC_A, DOC_C])
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert pairs == {(0, 1): 1.0}
+
+
+def test_jaccard_near_dup_above_threshold(spark):
+    df = docs_df(spark, [DOC_A, DOC_B, DOC_C])
+    pairs = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(0, 1)]
+    assert 0.5 <= pairs[0]["jaccard"] < 1.0
+
+
+def test_minhash_identical_signatures_for_identical_docs(spark):
+    df = docs_df(spark, [DOC_A, DOC_A, DOC_C])
+    sigs = {r["doc_id"]: tuple(v for k, v in r.asDict().items() if k != "doc_id")
+            for r in minhash_signatures(df).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[2]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df = docs_df(spark, [DOC_A, DOC_B, DOC_C])
+    pairs = [(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(df).collect()]
+    assert pairs == [(0, 1)]
+
+
+def test_simhash_identical_docs_equal_and_near_pairs(spark):
+    df = docs_df(spark, [DOC_A, DOC_A, DOC_C])
+    sims = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert sims[0] == sims[1]
+    near = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+            simhash_near_pairs(df).collect()]
+    assert (0, 1, 0) in near
+    assert all(h <= 3 for _, _, h in near)
+    assert 0 <= sims[0] < (1 << 32)

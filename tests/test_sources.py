@@ -1,0 +1,93 @@
+"""Source semantics: CSV defaults-then-reject (S1/S2), generator invariants
+(S3), parquet sink round-trip (S11), dual-sink (PipelineExecutor analog)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from marketstream_etl_spark.operators.validation import split_valid
+from marketstream_etl_spark.sources.csv_trades import read_trades_csv
+from marketstream_etl_spark.sources.generator import EPOCH_NS, generate_trades
+from marketstream_etl_spark.sources.sinks import write_dual_sinks, write_parquet
+
+CSV = """trade_id,order_id,timestamp,symbol,price,volume,side,type,is_pro
+1,11,1698208500000000000,RELIANCE,2456.75,100,B,M,0
+2,12,1698208500000010000,TCS,3890.50,50,S,L,1
+3,13,,INFY,1567.25,10,B,M,0
+4,14,1698208500000030000,HDFC,,25,Sell,Market,0
+5,15,1698208500000040000,WIPRO,456.80,abc,B,M,0
+6,16,1698208500000050000,reliance,100.0,10,B,M,0
+"""
+
+
+def test_csv_defaults_then_reject(spark):
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "trades.csv")
+        with open(p, "w") as f:
+            f.write(CSV)
+        df = read_trades_csv(spark, p)
+        rows = {r["trade_id"]: r for r in df.collect()}
+        # no nulls anywhere (parser never yields nulls, SURVEY §1.3)
+        for r in rows.values():
+            assert None not in r.asDict().values()
+        # missing timestamp → 0; missing price → 0.0; bad volume → 0
+        assert rows[3]["timestamp"] == 0
+        assert rows[4]["price"] == 0.0
+        assert rows[5]["volume"] == 0
+        # multi-char side/type take first byte (CsvParser.cpp:231,237)
+        assert rows[4]["side"] == "S" and rows[4]["type"] == "M"
+        # validation then rejects exactly the defaulted rows + bad symbol
+        valid, rejects = split_valid(df)
+        got = {r["trade_id"]: r["reject_reason"] for r in rejects.collect()}
+        assert got == {
+            3: "invalid timestamp",
+            4: "invalid price",
+            5: "invalid volume",
+            6: "invalid symbol",
+        }
+        assert valid.count() == 2
+
+
+def test_generator_invariants(spark):
+    n = 2000
+    df = generate_trades(spark, n).cache()
+    rows = df.orderBy("trade_id").collect()
+    assert len(rows) == n
+    # distribution/invariant checks (SURVEY §7 trap 7 — not byte parity)
+    symbols = {r["symbol"] for r in rows}
+    assert symbols <= {
+        "RELIANCE", "TCS", "INFY", "HDFC", "WIPRO", "ICICIBANK",
+        "BAJFINANCE", "HCLTECH", "AXISBANK", "SBIN",
+    }
+    assert len(symbols) >= 8
+    ts = [r["timestamp"] for r in rows]
+    assert all(b > a for a, b in zip(ts, ts[1:]))  # strictly increasing
+    assert all(5_000 <= b - a <= 50_000 for a, b in zip(ts, ts[1:]))
+    assert ts[0] >= EPOCH_NS
+    for r in rows:
+        assert 50.0 <= r["price"] <= 99999.0
+        assert 10 <= r["volume"] <= 5000
+        assert r["side"] in ("B", "S") and r["type"] in ("M", "L", "I")
+    # validator accepts everything the generator emits
+    valid, rejects = split_valid(df)
+    assert rejects.count() == 0
+    df.unpersist()
+
+
+def test_parquet_sink_roundtrip_and_dual_sink(spark):
+    df = generate_trades(spark, 500)
+    from marketstream_etl_spark.operators.indicators import compute_indicators
+
+    ind = compute_indicators(df)
+    with tempfile.TemporaryDirectory() as d:
+        write_parquet(df, f"{d}/trades")
+        back = spark.read.parquet(f"{d}/trades")
+        assert back.count() == 500
+        # nullability flags legitimately relax through parquet; compare shape
+        assert [(f.name, f.dataType) for f in back.schema.fields] == [
+            (f.name, f.dataType) for f in df.schema.fields
+        ]
+        write_dual_sinks(df, ind, f"{d}/dual_trades", f"{d}/dual_ind")
+        assert spark.read.parquet(f"{d}/dual_trades").count() == 500
+        assert spark.read.parquet(f"{d}/dual_ind").count() == ind.count()

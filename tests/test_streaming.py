@@ -1,0 +1,143 @@
+"""Streaming semantics (SURVEY §2.8): JSON ingest + dead-letter, stateful
+per-symbol counts equal batch counts on the same data, windowed stats,
+rate-source tick stream runs.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from marketstream_etl_spark.streaming.ticks import (
+    hot_path_filter,
+    parse_json_frames,
+    run_demo_batch,
+    symbol_counts,
+    tick_stream,
+    to_json_frames,
+    windowed_symbol_stats,
+)
+
+
+def make_frames(spark, n=50, corrupt=3):
+    rows = []
+    for i in range(n):
+        rows.append(
+            Row(
+                value=json.dumps(
+                    {
+                        "trade_id": i,
+                        "order_id": 10_000 + i,
+                        "timestamp": 1_698_208_500_000_000_000 + i * 10_000,
+                        "symbol": ["RELIANCE", "TCS", "INFY"][i % 3],
+                        "price": 100.0 + i,
+                        "volume": 10 + i,
+                        "side": "B" if i % 2 == 0 else "S",
+                        "type": "M",
+                        "is_pro": False,
+                        "exchange": "WSS",
+                    }
+                )
+            )
+        )
+    for i in range(corrupt):
+        rows.append(Row(value=f"{{not valid json {i}"))
+    return spark.createDataFrame(rows)
+
+
+def test_parse_and_dead_letter_split(spark):
+    frames = make_frames(spark, n=30, corrupt=4)
+    out = run_demo_batch(spark, frames)
+    assert out["dead_letter"].count() == 4
+    counts = {r["symbol"]: r["n_ticks"] for r in out["counts"].collect()}
+    assert sum(counts.values()) == 30
+    assert counts == {"RELIANCE": 10, "TCS": 10, "INFY": 10}
+
+
+def test_json_roundtrip(spark):
+    frames = make_frames(spark, n=12, corrupt=0)
+    parsed = parse_json_frames(frames)
+    back = to_json_frames(parsed.drop("raw_frame", "parse_error"))
+    reparsed = parse_json_frames(back)
+    assert reparsed.filter(F.col("parse_error")).count() == 0
+    assert reparsed.count() == 12
+
+
+def test_streaming_counts_equal_batch_counts(spark):
+    """ST3: run the same frames through a real streaming query (availableNow
+    over a memory-backed source) and as a batch; counts must agree."""
+    import tempfile
+
+    frames = make_frames(spark, n=60, corrupt=0)
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        frames.write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("value string").parquet(src)
+        )
+        ticks = hot_path_filter(
+            parse_json_frames(stream).filter(~F.col("parse_error"))
+        )
+        q = (
+            symbol_counts(ticks)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("sym_counts")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["symbol"]: r["n_ticks"]
+            for r in spark.sql("SELECT * FROM sym_counts").collect()
+        }
+    batch = {
+        r["symbol"]: r["n_ticks"]
+        for r in symbol_counts(
+            hot_path_filter(
+                parse_json_frames(frames).filter(~F.col("parse_error"))
+            )
+        ).collect()
+    }
+    assert got == batch and sum(got.values()) == 60
+
+
+def test_windowed_stats_watermark_plan(spark):
+    """ST4: windowed agg with watermark compiles and computes on a batch."""
+    frames = make_frames(spark, n=40, corrupt=0)
+    ticks = parse_json_frames(frames).filter(~F.col("parse_error"))
+    out = windowed_symbol_stats(ticks, window="1 minute").collect()
+    assert len(out) >= 1
+    for r in out:
+        assert r["vwap"] > 0 and r["n_ticks"] > 0
+
+
+def test_rate_source_tick_stream_runs(spark):
+    """S4: the rate-source stream produces schema-correct ticks."""
+    ticks = tick_stream(spark, rows_per_second=1000)
+    assert ticks.isStreaming
+    q = (
+        ticks.writeStream.format("memory")
+        .queryName("ticks_smoke")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM ticks_smoke").collect()[0]["c"]
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0
+        row = spark.sql("SELECT * FROM ticks_smoke LIMIT 1").collect()[0]
+        assert row["exchange"] == "WSS"
+        assert row["symbol"] in {"RELIANCE", "TCS", "INFY", "HDFC", "WIPRO"}
+        assert row["price"] > 0 and row["volume"] >= 10
+    finally:
+        q.stop()
