@@ -30,6 +30,10 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "top_parts_by_revenue",
+    "text_analysis",
+    "dedup_minhash_lsh",
+    "ann_bruteforce",
+    "simhash_pairs",
 ]
 
 
@@ -37,11 +41,14 @@ def main() -> None:
     spark = get_spark("marketstream-bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
-    # warm the JVM + parquet footers once with the cheapest plan
-    qs["trade_count"](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}
     for name in names:
+        # warm whole-stage-codegen for this plan shape at the smallest SF so
+        # the timed run measures the query, not one-time JVM compilation
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
         t0 = time.perf_counter()
         df = qs[name](spark, SF_DIR)
         # force full materialization of every row cheaply (noop sink)

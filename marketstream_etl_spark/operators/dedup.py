@@ -81,6 +81,7 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
             F.explode(shingles(tokens(F.col("text")), SHINGLE_K)).alias("shingle"),
         )
         .distinct()
+        .persist()  # feeds both the hot-shingle scan and the anti-join
     )
     hot = (
         pairs.groupBy("shingle")
@@ -158,20 +159,24 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}) minhash signature columns.
 
     Signature j = min over shingles of (a_j * h32(shingle) + b_j) mod P.
-    Docs with no shingles (< k tokens) get NULL signatures and drop out of
-    candidate generation, mirroring the oracle.
+    Shape: explode shingles → hash each ONCE → groupBy(doc_id) with
+    `num_perm` cheap arithmetic mins.  One shuffle; md5 is computed once per
+    (doc, shingle) instead of once per permutation (an array-HOF formulation
+    re-evaluates the hash inside every array_min after projection collapse).
+    Docs with no shingles (< k tokens) drop out, mirroring the oracle where
+    empty band keys are filtered.
     """
-    sh = shingles(tokens(F.col("text")), SHINGLE_K)
-    hashed = F.transform(sh, lambda s: h32(s))
-    cols = [docs["doc_id"]]
-    for j, (a, b) in enumerate(minhash_params(num_perm)):
-        mh = F.array_min(
-            F.transform(
-                hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P)
-            )
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingles(tokens(F.col("text")), SHINGLE_K)).alias("shingle"),
+    ).select("doc_id", h32(F.col("shingle")).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(
+            f"mh_{j}"
         )
-        cols.append(mh.alias(f"mh_{j}"))
-    return docs.select(*cols)
+        for j, (a, b) in enumerate(minhash_params(num_perm))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_sig_sql(num_perm: int = NUM_PERM) -> str:
@@ -232,9 +237,31 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    verified = ngram_jaccard_pairs(docs, threshold)
+    # Exact-Jaccard verification restricted to the candidate pairs — the
+    # whole point of LSH is to never touch non-candidate pairs, so the
+    # intersection join runs over candidate docs only (vs the all-pairs
+    # inverted-index join of ngram_jaccard_pairs).
+    kept = _doc_shingles(docs).persist()
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        candidates.join(
+            kept.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            kept.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        candidates.join(verified, ["doc_a", "doc_b"])
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
