@@ -20,7 +20,7 @@ sys.path.insert(0, "/root/repo")
 from marketstream_etl_spark.operators import dedup as _dedup
 from marketstream_etl_spark.operators import similarity as _sim
 from marketstream_etl_spark.operators import text as _text
-from marketstream_etl_spark.plans import analytics, tpch, training_data
+from marketstream_etl_spark.plans import advanced, analytics, tpch, training_data
 from marketstream_etl_spark.plans.trades_view import TRADES_CTE
 
 # ---------------------------------------------------------------------------
@@ -45,6 +45,38 @@ _VALID_WHERE = """
     regexp_full_match(symbol, '[A-Z]{1,10}') AND price > 0
     AND price < 1000000.0 AND volume > 0 AND side IN ('B','S','N')
     AND "type" IN ('M','L','I') AND "timestamp" > 0
+"""
+
+# Rolling per-row indicators over valid trades (window SQL); shared by the
+# rolling_indicators and asof_enrich oracles.
+_ROLLING_SQL_BODY = """
+chg AS (
+    SELECT trade_id, symbol, "timestamp", price, volume,
+           price - lag(price) OVER (PARTITION BY symbol
+               ORDER BY "timestamp", trade_id) AS change
+    FROM valid
+),
+roll AS (
+    SELECT trade_id, symbol, "timestamp",
+        avg(price) OVER w5 AS sma,
+        CASE WHEN count(change) OVER w5 < 1 THEN 50.0
+             WHEN sum(CASE WHEN change < 0 THEN -change ELSE 0 END) OVER w5 = 0.0
+                 THEN 100.0
+             ELSE 100.0 - 100.0 / (1.0 +
+                 (sum(CASE WHEN change > 0 THEN change ELSE 0 END) OVER w5
+                     / count(change) OVER w5)
+               / (sum(CASE WHEN change < 0 THEN -change ELSE 0 END) OVER w5
+                     / count(change) OVER w5))
+        END AS rsi,
+        sum(price * volume) OVER wrun
+            / sum(CAST(volume AS DOUBLE)) OVER wrun AS vwap
+    FROM chg
+    WINDOW
+        w5 AS (PARTITION BY symbol ORDER BY "timestamp", trade_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        wrun AS (PARTITION BY symbol ORDER BY "timestamp", trade_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
 """
 
 # Per-symbol indicator snapshot with exact reference semantics
@@ -124,6 +156,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": training_data.q_embedding_neardup,
         "multimodal_metadata": training_data.q_multimodal_metadata,
         "multimodal_features": training_data.q_multimodal_features,
+        # --- advanced OLAP surface ---
+        "rolling_indicators": advanced.q_rolling_indicators,
+        "asof_enrich": advanced.q_asof_enrich,
+        "events_tumbling": advanced.q_events_tumbling,
+        "sessionization": advanced.q_sessionization,
+        "rollup_lineitem": advanced.q_rollup_lineitem,
+        "pivot_status": advanced.q_pivot_status,
+        "set_ops": advanced.q_set_ops,
+        "percentiles": advanced.q_percentiles,
+        "json_props": advanced.q_json_props,
+        "approx_aggs": advanced.q_approx_aggs,
     }
 
 
@@ -290,4 +333,122 @@ def oracle_sql() -> dict[str, str]:
         """,
         # multimodal_features intentionally has no oracle (Pandas-UDF decode
         # path; driver records the rows-only check).
+        "rolling_indicators": f"""
+            WITH trades AS ({TRADES_CTE}),
+            valid AS (SELECT * FROM trades WHERE {_VALID_WHERE}),
+            {_ROLLING_SQL_BODY}
+            SELECT trade_id, symbol, "timestamp",
+                   round(sma, 6) AS sma, round(rsi, 6) AS rsi,
+                   round(vwap, 6) AS vwap
+            FROM roll ORDER BY trade_id
+        """,
+        "asof_enrich": f"""
+            WITH trades AS ({TRADES_CTE}),
+            valid AS (SELECT * FROM trades WHERE {_VALID_WHERE}),
+            {_ROLLING_SQL_BODY},
+            log AS (
+                SELECT symbol, "timestamp" AS computed_at, sma, rsi, vwap
+                FROM roll WHERE trade_id % 20 = 0
+            )
+            SELECT t.trade_id, t.symbol, t."timestamp",
+                   round(l.sma, 6) AS asof_sma,
+                   round(l.rsi, 6) AS asof_rsi,
+                   round(l.vwap, 6) AS asof_vwap
+            FROM valid t
+            ASOF LEFT JOIN log l
+              ON t.symbol = l.symbol AND t."timestamp" >= l.computed_at
+            ORDER BY t.trade_id
+        """,
+        "events_tumbling": """
+            SELECT epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day_start_ns,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2 ORDER BY day_start_ns, event_type
+        """,
+        "sessionization": """
+            WITH chg AS (
+                SELECT user_id, event_id, epoch_ns(ts) AS tns,
+                       epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events
+            ),
+            sess AS (
+                SELECT user_id, tns,
+                    sum(CASE WHEN gap IS NULL OR gap > 1800000000000
+                             THEN 1 ELSE 0 END) OVER
+                        (PARTITION BY user_id ORDER BY tns, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS session_id
+                FROM chg
+            ),
+            per_session AS (
+                SELECT user_id, session_id, count(*) AS n_events,
+                       (max(tns) - min(tns)) / 1000000000 AS dur_s
+                FROM sess GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   round(avg(dur_s), 6) AS avg_session_s,
+                   round(max(dur_s), 6) AS max_session_s
+            FROM per_session GROUP BY user_id ORDER BY user_id
+        """,
+        "rollup_lineitem": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   round(sum(l_quantity), 4) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """,
+        "pivot_status": """
+            SELECT l_returnflag,
+                   round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4)
+                       AS qty_open,
+                   round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4)
+                       AS qty_filled
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "set_ops": """
+            WITH c94 AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+                  AND o_orderdate < TIMESTAMP '1995-01-01'
+            ),
+            c95 AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-01-01'
+            )
+            SELECT o_custkey, 'both' AS cohort
+            FROM (SELECT o_custkey FROM c94 INTERSECT SELECT o_custkey FROM c95)
+            UNION ALL
+            SELECT o_custkey, 'only_1994'
+            FROM (SELECT o_custkey FROM c94 EXCEPT SELECT o_custkey FROM c95)
+            UNION ALL
+            SELECT o_custkey, 'only_1995'
+            FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c94)
+            ORDER BY cohort, o_custkey
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price,
+                   round(stddev_samp(l_extendedprice), 4) AS sd_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "json_props": """
+            SELECT event_type, count(*) AS n,
+                   min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                       AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                       AS max_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)),
+                         6) AS avg_k,
+                   count(DISTINCT CAST(json_extract_string(props, '$.k')
+                       AS INTEGER)) AS distinct_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # approx_aggs: no oracle — HLL/KLL sketches are implementation-
+        # defined; tests assert the error bound instead.
     }

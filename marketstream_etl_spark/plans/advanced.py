@@ -1,0 +1,219 @@
+"""Advanced OLAP query surface — operators the engine adds beyond the
+reference's fixed pipeline: as-of enrichment, rolling window indicators,
+time-bucketed and sessionized event analytics, rollup, pivot, set ops,
+percentiles, JSON scalar work, approximate aggregates.
+
+Every query returns deterministic, oracle-comparable output (doubles
+rounded; orders fixed). Scale notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from marketstream_etl_spark.operators.indicators import rolling_indicators
+from marketstream_etl_spark.operators.validation import split_valid
+from marketstream_etl_spark.plans.trades_view import load_trades
+from marketstream_etl_spark.sources.tables import load_table
+
+DAY_NS = 86_400_000_000_000
+SESSION_GAP_NS = 1_800_000_000_000  # 30 minutes
+
+
+def _ts_us_ns(col: str = "ts") -> F.Column:
+    """events.ts truncated from ns to µs resolution (still ns units) so
+    duration arithmetic matches the µs-precision oracle exactly."""
+    return F.col(col) - F.col(col) % 1000
+
+
+def q_rolling_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row trailing SMA/RSI + running VWAP (window functions, one
+    shuffle on symbol)."""
+    valid, _ = split_valid(load_trades(spark, sf_dir))
+    out = rolling_indicators(valid, period=5)
+    return out.select(
+        "trade_id",
+        "symbol",
+        "timestamp",
+        F.round("sma", 6).alias("sma"),
+        F.round("rsi", 6).alias("rsi"),
+        F.round("vwap", 6).alias("vwap"),
+    ).orderBy("trade_id")
+
+
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each trade picks up the latest SAMPLED indicator
+    (every-20th trade forms the indicator log) at or before its timestamp.
+
+    Spark composition: union + window last(ignorenulls) — one shuffle on
+    symbol, no range explosion (operators/asof.py).  Oracle: DuckDB's native
+    ASOF JOIN over the identical log.
+    """
+    from marketstream_etl_spark.operators.asof import asof_join_indicators
+
+    valid, _ = split_valid(load_trades(spark, sf_dir))
+    log = (
+        rolling_indicators(valid, period=5)
+        .filter(F.col("trade_id") % 20 == 0)
+        .select(
+            "symbol",
+            F.col("timestamp").alias("computed_at"),
+            "sma",
+            "rsi",
+            "vwap",
+        )
+    )
+    out = asof_join_indicators(valid, log)
+    return out.select(
+        "trade_id",
+        "symbol",
+        "timestamp",
+        F.round("asof_sma", 6).alias("asof_sma"),
+        F.round("asof_rsi", 6).alias("asof_rsi"),
+        F.round("asof_vwap", 6).alias("asof_vwap"),
+    ).orderBy("trade_id")
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event_type: count / sum / avg.
+    Bucketing via integer ns arithmetic so the oracle is exact."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", _ts_us_ns())
+    bucket = (F.col("ts") - F.col("ts") % DAY_NS).alias("day_start_ns")
+    return (
+        ev.groupBy(bucket, "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("day_start_ns", "event_type")
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize events per user with a 30-min inactivity gap: classic
+    lag + gap-flag + cumulative-sum session ids, then per-user stats.
+    One shuffle on user_id; both windows share it."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", _ts_us_ns())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > SESSION_GAP_NS), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("ts") - F.min("ts")) / F.lit(1_000_000_000)).alias("dur_s"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg("dur_s"), 6).alias("avg_session_s"),
+            F.round(F.max("dur_s"), 6).alias("max_session_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): subtotal + grand-total rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns per returnflag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 4))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+        .orderBy("l_returnflag")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over yearly customer cohorts: customers
+    active in 1994 vs 1995."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cohort(year: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey").distinct()
+
+    c94, c95 = cohort(1994), cohort(1995)
+    return (
+        c94.intersect(c95).withColumn("cohort", F.lit("both"))
+        .unionByName(c94.exceptAll(c95).withColumn("cohort", F.lit("only_1994")))
+        .unionByName(c95.exceptAll(c94).withColumn("cohort", F.lit("only_1995")))
+        .orderBy("cohort", "o_custkey")
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles + dispersion per returnflag (linear interpolation —
+    same definition as quantile_cont)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+            F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar access (X12) over events.props: per-type stats of $.k."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct + approx quantiles) next to the
+    exact values. No SQL oracle — HLL sketches are implementation-defined;
+    the driver records the rows-only check, and the test suite asserts the
+    approximation error bound instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("exact_p50"),
+    )
