@@ -37,6 +37,40 @@ HEADLINE = [
 ]
 
 
+ETL_ROWS = 1_000_000  # the reference's published workload (BASELINE.md)
+ETL_CSV_DIR = "/tmp/marketstream_bench_csv_1m"
+
+
+def bench_etl_1m(spark) -> dict[str, float]:
+    """The BASELINE-comparable run: 1M generated trades through
+    parse → validate → indicators → dual parquet sink (reference: parse
+    904ms, validate 308ms, indicators 150ms on the same workload)."""
+    import tempfile
+
+    from marketstream_etl_spark.plans.pipeline import run_pipeline
+    from marketstream_etl_spark.sources.generator import generate_trades
+
+    if not os.path.isdir(ETL_CSV_DIR):
+        generate_trades(spark, ETL_ROWS).selectExpr(
+            "trade_id", "order_id", "timestamp", "symbol", "price",
+            "volume", "side", "type", "cast(is_pro as int) as is_pro",
+        ).repartition(8).write.mode("overwrite").option("header", True).csv(
+            ETL_CSV_DIR
+        )
+    with tempfile.TemporaryDirectory() as out:
+        report = run_pipeline(spark, ETL_CSV_DIR, out, period=5)
+    total = sum(report.stage_seconds.values())
+    return {
+        "etl_1m_total": round(total, 4),
+        "etl_1m_parse_validate": round(
+            report.stage_seconds["parse_validate"], 4
+        ),
+        "etl_1m_indicators": round(report.stage_seconds["indicators"], 4),
+        "etl_1m_sink": round(report.stage_seconds["dual_sink_parquet"], 4),
+        "etl_1m_rows_per_sec": round(ETL_ROWS / total, 1),
+    }
+
+
 def main() -> None:
     spark = get_spark("marketstream-bench")
     qs = entrymod.queries()
@@ -55,12 +89,16 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    etl = bench_etl_1m(spark)
+    total = sum(timings.values()) + etl["etl_1m_total"]
+    timings.update(etl)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": round(sum(timings.values()), 4),
+                "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -1,0 +1,124 @@
+"""Custom stateful streaming operator: exact last-N per-symbol indicators on
+an unbounded stream via applyInPandasWithState.
+
+The reference computes SMA/RSI over the last N *rows* per symbol — row
+frames are inexpressible with built-in streaming windows (SURVEY §7 trap 1),
+so this is the designed escape hatch: keyed state holding the trailing
+`period+1` prices plus running VWAP accumulators, updated per micro-batch in
+Arrow-batched pandas.  State is O(period) per symbol — bounded, so a
+1000-executor run with millions of keys stays in the state store's budget.
+
+Semantics match operators/indicators.compute_indicators evaluated over the
+full stream prefix (verified in tests against the batch implementation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEFAULT_PERIOD = 5
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType(), False),
+        T.StructField("n_trades", T.LongType(), False),
+        T.StructField("sma", T.DoubleType(), False),
+        T.StructField("rsi", T.DoubleType(), False),
+        T.StructField("vwap", T.DoubleType(), False),
+        T.StructField("period", T.IntegerType(), False),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("prices", T.ArrayType(T.DoubleType()), True),
+        T.StructField("pv", T.DoubleType(), True),
+        T.StructField("v", T.DoubleType(), True),
+        T.StructField("n", T.LongType(), True),
+    ]
+)
+
+
+def _indicators_from_state(
+    prices: list[float], pv: float, v: float, n: int, period: int
+) -> tuple[float, float, float, int]:
+    """Reference math over the retained tail (TechnicalIndicators.hpp:204-330).
+
+    `prices` holds the last period+1 prices — enough for both the SMA window
+    (last eff rows) and the RSI change window (last min(eff, n-1) changes).
+    """
+    eff = min(period, n)
+    sma = sum(prices[-eff:]) / eff if eff > 0 else 0.0
+    if n < 2 or eff <= 1:
+        rsi = 50.0
+    else:
+        n_changes = min(eff, n - 1)
+        tail = prices[-(n_changes + 1):]
+        changes = [b - a for a, b in zip(tail, tail[1:])]
+        gain = sum(c for c in changes if c > 0) / len(changes)
+        loss = sum(-c for c in changes if c < 0) / len(changes)
+        if loss == 0.0:
+            rsi = 100.0
+        else:
+            rsi = 100.0 - 100.0 / (1.0 + gain / loss)
+    vwap = pv / v if v > 0 else 0.0
+    return sma, rsi, vwap, eff
+
+
+def make_update_fn(period: int = DEFAULT_PERIOD):
+    keep = period + 1
+
+    def update(
+        key: tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prices, pv, v, n = state.get
+            prices = list(prices)
+        else:
+            prices, pv, v, n = [], 0.0, 0.0, 0
+        for pdf in pdfs:
+            # arrival order within the batch = source order (tests feed
+            # time-ordered input, matching the reference's file order)
+            for price, volume in zip(pdf["price"], pdf["volume"]):
+                prices.append(float(price))
+                pv += float(price) * float(volume)
+                v += float(volume)
+                n += 1
+            if len(prices) > keep:
+                prices = prices[-keep:]
+        state.update((prices, pv, v, n))
+        sma, rsi, vwap, eff = _indicators_from_state(prices, pv, v, n, period)
+        yield pd.DataFrame(
+            {
+                "symbol": [key[0]],
+                "n_trades": [n],
+                "sma": [sma],
+                "rsi": [rsi],
+                "vwap": [vwap],
+                "period": [eff],
+            }
+        )
+
+    return update
+
+
+def streaming_indicators(
+    ticks: DataFrame, period: int = DEFAULT_PERIOD
+) -> DataFrame:
+    """Per-symbol last-N indicator stream: one output row per symbol per
+    micro-batch reflecting the whole stream prefix."""
+    return ticks.select("symbol", "price", "volume").groupBy("symbol").applyInPandasWithState(
+        make_update_fn(period),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
