@@ -1,0 +1,76 @@
+"""Physical-plan property tests — the 100 TB posture, asserted.
+
+These parse `.explain("formatted")` output and fail if a regression
+reintroduces a scale hazard: a filter that stops pushing down to parquet, a
+dimension join that stops broadcasting, an extra shuffle in the indicator
+plan, or a Python UDF sneaking into a hot path.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from marketstream_etl_spark.plans import advanced, analytics, tpch
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_push_down_to_parquet(spark, sf_dir):
+    plan = plan_of(tpch.q6_revenue_forecast(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # at least the range predicates reach the scan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    # and the scan does not read unused columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q3_broadcasts_dimension_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(tpch.q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # top-k compiles to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    plan = plan_of(tpch.q5_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4  # cust/supp/nation/region
+
+
+def test_indicators_single_exchange_on_symbol(spark, sf_dir):
+    plan = plan_of(analytics.q_indicators(spark, sf_dir))
+    # one hash exchange for windows+agg on symbol; one range exchange for
+    # the final tiny orderBy — nothing else
+    hash_exchanges = plan.count("hashpartitioning(symbol")
+    assert hash_exchanges == 1, f"expected 1 symbol shuffle, plan:\n{plan}"
+
+
+def test_validation_is_shuffle_free(spark, sf_dir):
+    plan = plan_of(analytics.q_validate_split(spark, sf_dir))
+    assert "Exchange" not in plan  # pure map-side when-ladder
+    assert "BatchEvalPython" not in plan  # no Python UDFs
+
+
+def test_no_python_udf_in_reference_surface(spark, sf_dir):
+    """Every reference-parity operator stays JVM-side (SURVEY §2.9)."""
+    for q in (
+        analytics.q_indicators,
+        analytics.q_symbol_leaderboard,
+        analytics.q_rsi_signals,
+        advanced.q_rolling_indicators,
+        advanced.q_sessionization,
+        tpch.q1_pricing_summary,
+    ):
+        plan = plan_of(q(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+
+
+def test_sessionization_shares_one_user_shuffle(spark, sf_dir):
+    plan = plan_of(advanced.q_sessionization(spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") <= 2  # window + reagg
