@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": tpch.q5_local_supplier_volume,
         "tpch_q6": tpch.q6_revenue_forecast,
         "tpch_q4_semijoin": tpch.q_order_priority_count,
+        "tpch_q9": tpch.q9_product_profit,
+        "tpch_q10": tpch.q10_returned_items,
+        "tpch_q14": tpch.q14_promo_revenue,
+        "tpch_q18": tpch.q18_large_orders,
         "top_parts_by_revenue": tpch.q_top_parts_by_revenue,
         # --- training-data pipeline ops (north star) ---
         "text_analysis": training_data.q_text_analysis,
@@ -167,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": advanced.q_percentiles,
         "json_props": advanced.q_json_props,
         "approx_aggs": advanced.q_approx_aggs,
+        "merge_upsert": advanced.q_merge_upsert,
+        "scd2_customers": advanced.q_scd2_customers,
     }
 
 
@@ -270,23 +276,70 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON s_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             WHERE r_name = 'ASIA'
-              AND o_orderdate >= TIMESTAMP '1994-01-01'
-              AND o_orderdate < TIMESTAMP '1995-01-01'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name ORDER BY revenue DESC, n_name
         """,
         "tpch_q6": """
             SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
             FROM lineitem
-            WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-              AND l_shipdate < TIMESTAMP '1995-01-01'
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "tpch_q9": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * l_quantity * 0.5), 4)
+                       AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1995-10-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q14": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                   / sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate < TIMESTAMP '1995-10-01'
+        """,
+        "tpch_q18": """
+            WITH big AS (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 100
+            )
+            SELECT c_name, c_custkey, l_orderkey, o_orderdate, o_totalprice,
+                   round(total_qty, 4) AS total_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, l_orderkey LIMIT 20
         """,
         "tpch_q4_semijoin": """
             SELECT o_orderpriority, count(*) AS order_count
             FROM orders
-            WHERE o_orderdate >= TIMESTAMP '1993-07-01'
-              AND o_orderdate < TIMESTAMP '1993-10-01'
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
               AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
             GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
@@ -411,21 +464,21 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": """
             WITH c94 AS (
                 SELECT DISTINCT o_custkey FROM orders
-                WHERE o_orderdate >= TIMESTAMP '1994-01-01'
-                  AND o_orderdate < TIMESTAMP '1995-01-01'
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
             ),
             c95 AS (
                 SELECT DISTINCT o_custkey FROM orders
-                WHERE o_orderdate >= TIMESTAMP '1995-01-01'
-                  AND o_orderdate < TIMESTAMP '1996-01-01'
+                WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
             )
             SELECT o_custkey, 'both' AS cohort
             FROM (SELECT o_custkey FROM c94 INTERSECT SELECT o_custkey FROM c95)
             UNION ALL
-            SELECT o_custkey, 'only_1994'
+            SELECT o_custkey, 'only_1996'
             FROM (SELECT o_custkey FROM c94 EXCEPT SELECT o_custkey FROM c95)
             UNION ALL
-            SELECT o_custkey, 'only_1995'
+            SELECT o_custkey, 'only_1997'
             FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c94)
             ORDER BY cohort, o_custkey
         """,
@@ -451,4 +504,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         # approx_aggs: no oracle — HLL/KLL sketches are implementation-
         # defined; tests assert the error bound instead.
+        "merge_upsert": f"""
+            WITH trades AS ({TRADES_CTE}),
+            source AS (
+                SELECT trade_id, symbol, round(price * 1.1, 6) AS price, volume
+                FROM trades WHERE trade_id % 7 = 0
+            )
+            SELECT trade_id, symbol, round(price, 6) AS price, volume
+            FROM trades WHERE trade_id NOT IN (SELECT trade_id FROM source)
+            UNION ALL
+            SELECT trade_id, symbol, price, volume FROM source
+            ORDER BY trade_id
+        """,
+        "scd2_customers": """
+            WITH dim AS (
+                SELECT c_custkey AS k, round(c_acctbal, 6) AS acctbal,
+                       CAST(0 AS BIGINT) AS valid_from,
+                       CAST(NULL AS BIGINT) AS valid_to
+                FROM customer
+            ),
+            changes AS (
+                SELECT c_custkey AS k, round(c_acctbal + 100, 6) AS acctbal
+                FROM customer WHERE c_custkey % 10 = 0
+            ),
+            changed_keys AS (
+                SELECT d.k FROM dim d JOIN changes c ON d.k = c.k
+                WHERE d.valid_to IS NULL
+                  AND d.acctbal IS DISTINCT FROM c.acctbal
+            )
+            SELECT d.k, d.acctbal, d.valid_from,
+                   CAST(1700000000000000000 AS BIGINT) AS valid_to
+            FROM dim d JOIN changed_keys ck ON d.k = ck.k
+            WHERE d.valid_to IS NULL
+            UNION ALL
+            SELECT d.k, d.acctbal, d.valid_from, d.valid_to
+            FROM dim d WHERE d.valid_to IS NULL
+              AND d.k NOT IN (SELECT k FROM changed_keys)
+            UNION ALL
+            SELECT c.k, c.acctbal,
+                   CAST(1700000000000000000 AS BIGINT) AS valid_from,
+                   CAST(NULL AS BIGINT) AS valid_to
+            FROM changes c JOIN changed_keys ck ON c.k = ck.k
+            ORDER BY k, valid_from
+        """,
     }

@@ -153,7 +153,7 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT / UNION over yearly customer cohorts: customers
-    active in 1994 vs 1995."""
+    active in 1996 vs 1997."""
     orders = load_table(spark, sf_dir, "orders")
 
     def cohort(year: int) -> DataFrame:
@@ -162,11 +162,11 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
         ).select("o_custkey").distinct()
 
-    c94, c95 = cohort(1994), cohort(1995)
+    ca, cb = cohort(1996), cohort(1997)
     return (
-        c94.intersect(c95).withColumn("cohort", F.lit("both"))
-        .unionByName(c94.exceptAll(c95).withColumn("cohort", F.lit("only_1994")))
-        .unionByName(c95.exceptAll(c94).withColumn("cohort", F.lit("only_1995")))
+        ca.intersect(cb).withColumn("cohort", F.lit("both"))
+        .unionByName(ca.exceptAll(cb).withColumn("cohort", F.lit("only_1996")))
+        .unionByName(cb.exceptAll(ca).withColumn("cohort", F.lit("only_1997")))
         .orderBy("cohort", "o_custkey")
     )
 
@@ -203,6 +203,44 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+SCD2_VERSION_TS = 1_700_000_000_000_000_000
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert: a changed batch (every 7th trade, price ×1.1) replaces
+    matching rows by trade_id."""
+    from marketstream_etl_spark.operators.merge import merge_upsert
+
+    trades = load_trades(spark, sf_dir)
+    source = trades.filter(F.col("trade_id") % 7 == 0).withColumn(
+        "price", F.round(F.col("price") * 1.1, 6)
+    )
+    merged = merge_upsert(trades, source, ["trade_id"])
+    return merged.select(
+        "trade_id", "symbol", F.round("price", 6).alias("price"), "volume"
+    ).orderBy("trade_id")
+
+
+def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2: apply an acctbal change batch (every 10th customer, +100) to a
+    versioned customer dimension; changed rows close and re-version."""
+    from marketstream_etl_spark.operators.merge import scd2_apply
+
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.round("c_acctbal", 6).alias("acctbal"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    changes = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") + 100, 6).alias("acctbal"),
+    )
+    out = scd2_apply(dim, changes, "k", ["acctbal"], SCD2_VERSION_TS)
+    return out.orderBy("k", "valid_from")
 
 
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
