@@ -73,10 +73,19 @@ EXACT_DEDUP_SQL = f"""
 
 # --- shingle inverted index (shared by jaccard + minhash verify) -----------
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Small-file inputs arrive as one scan partition; the hash/shingle work
+    is CPU-bound, so spread it across the cluster before the heavy map.
+    (At 100 TB the scan is already parallel and this coalesces to a no-op
+    shuffle of cheap (id, text) rows.)"""
+    sc = docs.sparkSession.sparkContext
+    return docs.repartition(sc.defaultParallelism)
+
+
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct pairs, hot shingles dropped (df > DF_CAP)."""
     pairs = (
-        docs.select(
+        _spread(docs).select(
             "doc_id",
             F.explode(shingles(tokens(F.col("text")), SHINGLE_K)).alias("shingle"),
         )
@@ -166,7 +175,7 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     Docs with no shingles (< k tokens) drop out, mirroring the oracle where
     empty band keys are filtered.
     """
-    sh = docs.select(
+    sh = _spread(docs).select(
         "doc_id",
         F.explode(shingles(tokens(F.col("text")), SHINGLE_K)).alias("shingle"),
     ).select("doc_id", h32(F.col("shingle")).alias("h"))
@@ -324,7 +333,7 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     explode + single groupBy (one shuffle), bit arithmetic with integer
     div/mod so the DuckDB oracle reproduces it exactly.
     """
-    tok = docs.select(
+    tok = _spread(docs).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     ).groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
     tok = tok.withColumn("h", h32(F.col("token")))

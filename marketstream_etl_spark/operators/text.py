@@ -176,7 +176,11 @@ def fingerprint_sql(text_expr: str) -> str:
 # --- assembled operator -----------------------------------------------------
 
 def analyze_documents(docs: DataFrame) -> DataFrame:
-    """Full text-analysis pass over a documents table: one map-only stage."""
+    """Full text-analysis pass over a documents table: one map-only stage.
+
+    Small-file inputs are spread across the cluster first — the regex work
+    is CPU-bound and a single parquet file otherwise pins it to one task."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     q = quality_features(F.col("text"))
     tc = token_counts(F.col("text"))
     return docs.select(
