@@ -1,0 +1,63 @@
+"""foreachBatch dual-sink streaming (the streaming-side PipelineExecutor
+parity): each micro-batch lands in both the trades sink and the per-symbol
+counts sink, exactly once per epoch."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from marketstream_etl_spark.sources.generator import generate_trades
+
+
+def test_foreachbatch_dual_sink(spark):
+    trades = generate_trades(spark, 400).cache()
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/src"
+        trades.coalesce(2).write.mode("overwrite").parquet(src)
+
+        sink_trades = f"{d}/sink_trades"
+        sink_counts = f"{d}/sink_counts"
+
+        def dual_sink(batch_df, epoch_id: int) -> None:
+            batch_df.persist()
+            batch_df.write.mode("append").parquet(sink_trades)
+            (
+                batch_df.groupBy("symbol")
+                .agg(F.count("*").alias("n"), F.sum("volume").alias("vol"))
+                .withColumn("epoch", F.lit(epoch_id))
+                .write.mode("append")
+                .parquet(sink_counts)
+            )
+            batch_df.unpersist()
+
+        stream = spark.readStream.schema(trades.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(dual_sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .start()
+        )
+        q.awaitTermination(120)
+
+        landed = spark.read.parquet(sink_trades)
+        counts = spark.read.parquet(sink_counts)
+        assert landed.count() == 400
+        total = counts.agg(F.sum("n")).collect()[0][0]
+        assert total == 400
+        # per-symbol totals agree with the batch aggregation
+        batch = {
+            r["symbol"]: r["vol"]
+            for r in trades.groupBy("symbol")
+            .agg(F.sum("volume").alias("vol"))
+            .collect()
+        }
+        streamed = {
+            r["symbol"]: r["vol"]
+            for r in counts.groupBy("symbol")
+            .agg(F.sum("vol").alias("vol"))
+            .collect()
+        }
+        assert batch == streamed
+    trades.unpersist()
