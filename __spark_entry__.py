@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_aggs": advanced.q_approx_aggs,
         "merge_upsert": advanced.q_merge_upsert,
         "scd2_customers": advanced.q_scd2_customers,
+        "scalar_functions": advanced.q_scalar_functions,
+        "generator_invariants": advanced.q_generator_invariants,
     }
 
 
@@ -546,5 +548,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS valid_to
             FROM changes c JOIN changed_keys ck ON c.k = ck.k
             ORDER BY k, valid_from
+        """,
+        "scalar_functions": """
+            SELECT l_orderkey, l_linenumber,
+                   concat_ws('-', l_returnflag, l_linestatus) AS flag_status,
+                   upper(l_returnflag) AS flag_upper,
+                   substr(CAST(l_shipdate AS VARCHAR), 1, 10) AS ship_day,
+                   strftime(l_shipdate, '%Y%m%d') AS ship_compact,
+                   CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+                   round(abs(l_discount - 0.05), 6) AS disc_dev,
+                   greatest(l_quantity, 25.0) AS qty_floor25,
+                   CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+                   lpad(CAST(l_orderkey AS VARCHAR), 10, '0') AS okey_padded,
+                   translate(l_returnflag, 'RNA', 'XYZ') AS flag_translated,
+                   CASE WHEN l_tax > 0.04 THEN 'high' ELSE 'low' END AS tax_band
+            FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        # generator invariants: the random draws differ engine-to-engine by
+        # design; the invariant booleans are the deterministic contract.
+        "generator_invariants": """
+            SELECT CAST(10000 AS BIGINT) AS n,
+                   true AS price_bounded, true AS volume_bounded,
+                   true AS ts_gaps_in_range, true AS side_valid,
+                   true AS type_valid, true AS all_pass_validation
         """,
     }

@@ -205,6 +205,70 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_generator_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 generator exposed through the driver gate: the random draws are
+    seed/partitioning-dependent, so the CONTRACT is the invariants —
+    asserted here as one boolean row the constant oracle must equal
+    (SURVEY §7 trap 7: distributions and invariants, not byte parity)."""
+    from marketstream_etl_spark.operators.validation import with_validation
+    from marketstream_etl_spark.sources.generator import generate_trades
+
+    n = 10_000
+    t = generate_trades(spark, n)
+    w = Window.orderBy("trade_id")
+    gap = F.col("timestamp") - F.lag("timestamp").over(w)
+    ann = t.withColumn("_gap", gap)
+    checks = ann.agg(
+        F.count("*").alias("n"),
+        F.min(
+            (F.col("price") >= 50.0) & (F.col("price") <= 99999.0)
+        ).alias("price_bounded"),
+        F.min((F.col("volume") >= 10) & (F.col("volume") <= 5000)).alias(
+            "volume_bounded"
+        ),
+        F.min(F.col("_gap").isNull() | ((F.col("_gap") >= 5_000) & (F.col("_gap") <= 50_000))).alias(
+            "ts_gaps_in_range"
+        ),
+        F.min(F.col("side").isin("B", "S")).alias("side_valid"),
+        F.min(F.col("type").isin("M", "L", "I")).alias("type_valid"),
+    )
+    validated = with_validation(generate_trades(spark, n)).agg(
+        F.min("is_valid").alias("all_pass_validation")
+    )
+    return checks.crossJoin(validated)
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface (SURVEY §2.7 X1-X12 generalized): string,
+    math, date, and conditional functions in one projection — all JVM-side
+    codegen, zero shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.concat_ws("-", "l_returnflag", "l_linestatus").alias("flag_status"),
+            F.upper("l_returnflag").alias("flag_upper"),
+            F.substring(F.col("l_shipdate").cast("string"), 1, 10).alias(
+                "ship_day"
+            ),
+            F.date_format("l_shipdate", "yyyyMMdd").alias("ship_compact"),
+            F.year("l_shipdate").alias("ship_year"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+            F.greatest("l_quantity", F.lit(25.0)).alias("qty_floor25"),
+            F.floor("l_extendedprice").cast("long").alias("price_floor"),
+            F.lpad(F.col("l_orderkey").cast("string"), 10, "0").alias(
+                "okey_padded"
+            ),
+            F.translate("l_returnflag", "RNA", "XYZ").alias("flag_translated"),
+            F.when(F.col("l_tax") > 0.04, F.lit("high"))
+            .otherwise(F.lit("low"))
+            .alias("tax_band"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 SCD2_VERSION_TS = 1_700_000_000_000_000_000
 
 

@@ -18,3 +18,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for hypothesis tests (function-scoped @given works with
+    a session-scoped session)."""
+    return spark
