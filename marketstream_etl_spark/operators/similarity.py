@@ -4,8 +4,9 @@ variant (the scale path), plus embedding-cosine near-duplicate pairs.
 
 Scale design (100 TB posture):
 - The query set is small → `F.broadcast` it; the big side streams through a
-  map-side cosine + per-query top-k (TakeOrderedAndProject after a window),
-  never a shuffle of the full embedding table.
+  map-side cosine, then a TWO-PHASE top-k (functions/topk.py): per-(query,
+  salt) pre-top-k bounds every reducer, so 8 query keys never serialize a
+  100M-vector scored set through 8 tasks.
 - IVF: centroids are a deterministic sample (first C vec_ids — a stand-in
   for a k-means codebook the pipeline would train offline).  Every vector is
   assigned to its nearest centroid once (map-side vs broadcast centroids);
@@ -19,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from marketstream_etl_spark.functions.topk import top_k_per_key
 
 N_QUERIES = 8  # vec_id < 8 are the benchmark query vectors
 TOP_K = 5
@@ -83,20 +86,19 @@ def ann_bruteforce(
             cosine(F.col("qvec"), F.col("vec")).alias("cos_raw"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_raw"), F.col("neighbor_id")
+    topk = top_k_per_key(
+        scored,
+        key="query_id",
+        order_by=[F.desc("cos_raw"), F.col("neighbor_id")],
+        k=k,
+        salt_src="neighbor_id",
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos_raw", 6).alias("cos"),
-            "rank",
-        )
-        .orderBy("query_id", "rank")
-    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_raw", 6).alias("cos"),
+        "rank",
+    ).orderBy("query_id", "rank")
 
 
 def ann_bruteforce_sql(n_queries: int = N_QUERIES, k: int = TOP_K) -> str:
@@ -165,20 +167,19 @@ def ann_ivf(
         )
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_raw"), F.col("neighbor_id")
+    topk = top_k_per_key(
+        scored,
+        key="query_id",
+        order_by=[F.desc("cos_raw"), F.col("neighbor_id")],
+        k=k,
+        salt_src="neighbor_id",
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cos_raw", 6).alias("cos"),
-            "rank",
-        )
-        .orderBy("query_id", "rank")
-    )
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_raw", 6).alias("cos"),
+        "rank",
+    ).orderBy("query_id", "rank")
 
 
 def ann_ivf_sql(
