@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": training_data.q_embedding_neardup,
         "multimodal_metadata": training_data.q_multimodal_metadata,
         "multimodal_features": training_data.q_multimodal_features,
+        "train_test_split": training_data.q_train_test_split,
+        "stratified_sample": training_data.q_stratified_sample,
         # --- advanced OLAP surface ---
         "rolling_indicators": advanced.q_rolling_indicators,
         "asof_enrich": advanced.q_asof_enrich,
@@ -388,6 +390,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # multimodal_features intentionally has no oracle (Pandas-UDF decode
         # path; driver records the rows-only check).
+        "train_test_split": """
+            WITH b AS (
+                SELECT doc_id,
+                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs, min(doc_id) AS first_doc
+            FROM b GROUP BY 1 ORDER BY split
+        """,
+        "stratified_sample": """
+            WITH ranked AS (
+                SELECT doc_id, lang,
+                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS _h,
+                    row_number() OVER (PARTITION BY lang
+                        ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS
+                        VARCHAR)), 1, 8)) AS BIGINT), doc_id) AS rk
+                FROM documents
+            )
+            SELECT lang, doc_id, CAST(rk AS INTEGER) AS sample_rank
+            FROM ranked WHERE rk <= 50 ORDER BY lang, sample_rank
+        """,
         "rolling_indicators": f"""
             WITH trades AS ({TRADES_CTE}),
             valid AS (SELECT * FROM trades WHERE {_VALID_WHERE}),

@@ -382,7 +382,12 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Pairs with simhash hamming distance <= max_hamming via the pigeonhole
     equi-join: split the signature into 4 bytes; hamming <= 3 guarantees at
-    least one byte matches, so candidates come from a per-byte equi-join."""
+    least one byte matches, so candidates come from a per-byte equi-join.
+
+    Scale note: 8-bit chunks give 256 buckets per chunk — ample at test
+    scale, but a billion-doc corpus needs wider signatures and chunks
+    (64-bit simhash, 16-bit chunks -> 65k buckets) to keep bucket joins
+    bounded; both are the `bits` / chunk-width parameters here."""
     sig = simhash(docs, bits)
     n_chunks = 4
     chunk_bits = bits // n_chunks

@@ -60,6 +60,51 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/test split (the reproducible
+    alternative to randomSplit for training corpora): bucket = md5(doc_id)
+    mod 100; < 80 → train, < 90 → val, else test.  Stable under reruns,
+    repartitioning, and engine choice — asserted by the oracle."""
+    from marketstream_etl_spark.functions.hashing import h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(h32(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("split")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: up to 50 docs per lang, chosen by
+    hash rank (not rand()) so the sample is reproducible and shardable.
+    One shuffle on lang."""
+    from marketstream_etl_spark.functions.hashing import h32
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id", "lang", h32(F.col("doc_id").cast("string")).alias("_h")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy("_h", "doc_id")
+        ),
+    )
+    return (
+        ranked.filter(F.col("rk") <= 50)
+        .select("lang", "doc_id", F.col("rk").alias("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pandas-UDF decode plumbing over binary payloads (no SQL oracle —
     driver records the rows-only check; feature math is the deterministic
