@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": training_data.q_multimodal_features,
         "train_test_split": training_data.q_train_test_split,
         "stratified_sample": training_data.q_stratified_sample,
+        "corpus_curation": training_data.q_corpus_curation,
+        "ann_ivf_recall": training_data.q_ann_ivf_recall,
         # --- advanced OLAP surface ---
         "rolling_indicators": advanced.q_rolling_indicators,
         "asof_enrich": advanced.q_asof_enrich,
@@ -390,6 +392,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         # multimodal_features intentionally has no oracle (Pandas-UDF decode
         # path; driver records the rows-only check).
+        "corpus_curation": f"""
+            WITH analyzed AS ({_text.analyze_documents_sql()}),
+            quality AS (
+                SELECT * FROM analyzed WHERE quality_score >= 0.30
+            ),
+            keep_exact AS (
+                SELECT fingerprint, min(doc_id) AS doc_id
+                FROM quality GROUP BY 1
+            ),
+            survivors AS (
+                SELECT q.* FROM quality q
+                JOIN keep_exact k
+                  ON q.fingerprint = k.fingerprint AND q.doc_id = k.doc_id
+            ),
+            lsh AS (SELECT * FROM ({_dedup.minhash_lsh_pairs_sql()})),
+            drop_b AS (SELECT DISTINCT doc_b AS doc_id FROM lsh),
+            final AS (
+                SELECT * FROM survivors
+                WHERE doc_id NOT IN (SELECT doc_id FROM drop_b)
+            )
+            SELECT lang_pred, count(*) AS n_docs,
+                   CAST(sum(bpe_ish_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(quality_score), 6) AS avg_quality
+            FROM final GROUP BY 1 ORDER BY lang_pred
+        """,
+        "ann_ivf_recall": f"""
+            WITH exact AS (
+                SELECT query_id, neighbor_id FROM ({_sim.ann_bruteforce_sql()})
+            ),
+            approx AS (
+                SELECT query_id, neighbor_id FROM ({_sim.ann_ivf_sql()})
+            ),
+            hits AS (
+                SELECT e.query_id, count(*) AS hits
+                FROM exact e JOIN approx a
+                  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+                GROUP BY 1
+            ),
+            totals AS (SELECT query_id, count(*) AS k FROM exact GROUP BY 1)
+            SELECT t.query_id,
+                   round(coalesce(h.hits, 0) / t.k, 6) AS recall_at_5
+            FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
+            ORDER BY t.query_id
+        """,
         "train_test_split": """
             WITH b AS (
                 SELECT doc_id,

@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_bruteforce",
     "simhash_pairs",
+    "corpus_curation",
 ]
 
 

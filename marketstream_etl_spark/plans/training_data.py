@@ -105,6 +105,74 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_MIN = 0.30
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus curation pipeline, composed from the
+    north-star operators:
+
+      1. quality gate  : keep docs with quality_score >= 0.30
+      2. exact dedup   : keep the min doc_id per content fingerprint
+      3. near-dup prune: drop the higher doc_id of every MinHash-LSH pair
+      4. report        : per predicted lang, surviving docs + token volume
+
+    Everything stays declarative: the lineage is quality-filter →
+    groupBy-dedup → anti-join (LSH pairs) → groupBy report; three shuffles
+    total at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    analyzed = text.analyze_documents(docs)
+    quality = analyzed.filter(F.col("quality_score") >= QUALITY_MIN)
+
+    keep_exact = quality.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = quality.join(keep_exact, ["fingerprint", "doc_id"], "left_semi")
+
+    near_pairs = dedup.minhash_lsh_pairs(docs)
+    drop_b = near_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = survivors.join(drop_b, "doc_id", "left_anti")
+
+    return (
+        final.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bpe_ish_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: recall@5 of the IVF index against the exact
+    brute-force ranking, per query — the quality metric a 100 TB similarity
+    deployment watches."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.ann_bruteforce(emb).select(
+        "query_id", F.col("neighbor_id").alias("exact_n")
+    )
+    approx = similarity.ann_ivf(emb).select(
+        "query_id", F.col("neighbor_id").alias("approx_n")
+    )
+    hits = exact.join(
+        approx,
+        (exact.query_id == approx.query_id)
+        & (exact.exact_n == approx.approx_n),
+    ).groupBy(exact.query_id).agg(F.count("*").alias("hits"))
+    totals = exact.groupBy("query_id").agg(F.count("*").alias("k"))
+    return (
+        totals.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.col("k"), 6
+            ).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pandas-UDF decode plumbing over binary payloads (no SQL oracle —
     driver records the rows-only check; feature math is the deterministic
