@@ -147,6 +147,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": tpch.q10_returned_items,
         "tpch_q14": tpch.q14_promo_revenue,
         "tpch_q18": tpch.q18_large_orders,
+        "tpch_q7": tpch.q7_volume_shipping,
+        "tpch_q8": tpch.q8_market_share,
+        "tpch_q12_shiplag": tpch.q12_ship_lag,
+        "tpch_q13": tpch.q13_order_count_distribution,
+        "tpch_q15": tpch.q15_top_supplier,
+        "tpch_q17": tpch.q17_small_quantity_revenue,
+        "tpch_q19": tpch.q19_disjunctive_predicates,
+        "tpch_q22": tpch.q22_idle_customers,
         "top_parts_by_revenue": tpch.q_top_parts_by_revenue,
         # --- training-data pipeline ops (north star) ---
         "text_analysis": training_data.q_text_analysis,
@@ -179,6 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customers": advanced.q_scd2_customers,
         "scalar_functions": advanced.q_scalar_functions,
         "generator_invariants": advanced.q_generator_invariants,
+        "window_analytics": advanced.q_window_analytics,
+        "cube_events": advanced.q_cube_events,
     }
 
 
@@ -340,6 +350,124 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, l_orderkey LIMIT 20
+        """,
+        "tpch_q7": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 4) AS revenue
+            FROM (
+                SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                       l_extendedprice * (1 - l_discount) AS volume
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            )
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "tpch_q8": """
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume ELSE 0.0 END) / sum(volume), 6)
+                       AS mkt_share
+            FROM (
+                SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       n2.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            GROUP BY o_year ORDER BY o_year
+        """,
+        "tpch_q12_shiplag": """
+            SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 30
+                            THEN 'fast'
+                        WHEN datediff('day', o_orderdate, l_shipdate) < 90
+                            THEN 'medium'
+                        ELSE 'slow' END AS ship_bucket,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_priority_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_priority_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q13": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q15": """
+            WITH revenue AS (
+                SELECT l_suppkey AS supplier_no,
+                       round(sum(l_extendedprice * (1 - l_discount)), 4)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM revenue JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q17": """
+            WITH branded AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#1'
+            ),
+            avg_qty AS (
+                SELECT l_partkey AS a_partkey,
+                       avg(l_quantity) * 0.5 AS half_avg_qty
+                FROM branded GROUP BY 1
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+            FROM branded JOIN avg_qty ON l_partkey = a_partkey
+            WHERE l_quantity < half_avg_qty
+        """,
+        "tpch_q19": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 4) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (
+                    SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (
+                    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "tpch_q4_semijoin": """
             SELECT o_orderpriority, count(*) AS order_count
@@ -637,6 +765,43 @@ def oracle_sql() -> dict[str, str]:
                    translate(l_returnflag, 'RNA', 'XYZ') AS flag_translated,
                    CASE WHEN l_tax > 0.04 THEN 'high' ELSE 'low' END AS tax_band
             FROM lineitem ORDER BY l_orderkey, l_linenumber
+        """,
+        "window_analytics": """
+            WITH w AS (
+                SELECT user_id, event_id, round(value, 4) AS value,
+                       rank() OVER win AS rnk,
+                       dense_rank() OVER win AS dense_rnk,
+                       ntile(4) OVER win AS quartile,
+                       round(lead(value, 1) OVER win, 4) AS next_value,
+                       round(lag(value, 1) OVER win, 4) AS prev_value,
+                       round(value / sum(value) OVER
+                           (PARTITION BY user_id), 6) AS share_of_user
+                FROM events WHERE event_type = 'purchase'
+                WINDOW win AS (PARTITION BY user_id
+                               ORDER BY value DESC, event_id)
+            )
+            SELECT user_id, event_id, value,
+                   CAST(rnk AS INTEGER) AS rnk,
+                   CAST(dense_rnk AS INTEGER) AS dense_rnk,
+                   CAST(quartile AS INTEGER) AS quartile,
+                   next_value, prev_value, share_of_user
+            FROM w WHERE rnk <= 3 ORDER BY user_id, rnk, event_id
+        """,
+        # dow from timezone-free epoch arithmetic (1970-01-01 = Thursday,
+        # Sunday = 0) because Spark sees ts as raw ns while DuckDB sees µs.
+        "cube_events": """
+            WITH ev AS (
+                SELECT event_type,
+                       CAST((epoch_ns(ts) // 86400000000000 + 4) % 7
+                            AS INTEGER) AS dow,
+                       value
+                FROM events
+            )
+            SELECT event_type, dow, count(*) AS n,
+                   round(sum(value), 4) AS sum_value
+            FROM ev
+            GROUP BY CUBE (event_type, dow)
+            ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST
         """,
         # generator invariants: the random draws differ engine-to-engine by
         # design; the invariant booleans are the deterministic contract.

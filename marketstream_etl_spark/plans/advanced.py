@@ -319,3 +319,58 @@ def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
         F.round(F.percentile("l_extendedprice", 0.5), 4).alias("exact_p50"),
     )
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic window-function surface the reference lacks
+    entirely (SURVEY §2.4: only lag-equivalent diffs exist): rank,
+    dense_rank, ntile, lead, lag, and cumulative share per event user.
+
+    Scale: one shuffle on user_id; every function shares the same window
+    spec so Spark evaluates them in a single Window exec pass."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    wsum = Window.partitionBy("user_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("dense_rnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.lead("value", 1).over(w), 4).alias("next_value"),
+            F.round(F.lag("value", 1).over(w), 4).alias("prev_value"),
+            F.round(F.col("value") / F.sum("value").over(wsum), 6).alias(
+                "share_of_user"
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("user_id", "rnk", "event_id")
+    )
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (event_type, day-of-week): all 4 grouping-set
+    combinations in one pass — partial aggregation happens map-side per
+    grouping set, so the shuffle carries pre-reduced rows.
+
+    events.ts is LongType nanoseconds (SURVEY §1.1 ns-precision trap), so
+    day-of-week comes from timezone-free epoch arithmetic: 1970-01-01 was a
+    Thursday → (epoch_days + 4) % 7 with Sunday = 0."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dow",
+        ((F.expr(f"ts div {DAY_NS}") + F.lit(4)) % 7).cast("int"),
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("dow").asc_nulls_first()
+        )
+    )

@@ -74,3 +74,49 @@ def test_no_python_udf_in_reference_surface(spark, sf_dir):
 def test_sessionization_shares_one_user_shuffle(spark, sf_dir):
     plan = plan_of(advanced.q_sessionization(spark, sf_dir))
     assert plan.count("hashpartitioning(user_id") <= 2  # window + reagg
+
+
+def test_q19_or_predicate_stays_equijoin(spark, sf_dir):
+    """Catalyst extracts the common l_partkey = p_partkey conjunct from the
+    OR-of-ANDs, so Q19 compiles to a broadcast hash join — a nested-loop
+    join here would be fatal at 100 TB."""
+    plan = plan_of(tpch.q19_disjunctive_predicates(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_q8_dims_all_broadcast(spark, sf_dir):
+    assert plan_of(tpch.q7_volume_shipping(spark, sf_dir)).count(
+        "BroadcastHashJoin"
+    ) >= 4
+    assert plan_of(tpch.q8_market_share(spark, sf_dir)).count(
+        "BroadcastHashJoin"
+    ) >= 6
+
+
+def test_q13_keeps_zero_order_customers(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    dist = tpch.q13_order_count_distribution(spark, sf_dir)
+    total = dist.agg(F.sum("custdist")).collect()[0][0]
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert total == n_cust  # LEFT OUTER: every customer appears exactly once
+
+
+def test_q15_max_revenue_join_broadcasts(spark, sf_dir):
+    plan = plan_of(tpch.q15_top_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_window_analytics_single_user_shuffle(spark, sf_dir):
+    plan = plan_of(advanced.q_window_analytics(spark, sf_dir))
+    # rank/dense_rank/ntile/lead/lag share one window spec → one exchange
+    # on user_id (plus the final presentation sort)
+    assert plan.count("hashpartitioning(user_id") <= 2
+
+
+def test_cube_expands_grouping_sets(spark, sf_dir):
+    plan = plan_of(advanced.q_cube_events(spark, sf_dir))
+    assert "Expand" in plan  # 4 grouping sets in one pass, no re-scan
+    assert "BatchEvalPython" not in plan
