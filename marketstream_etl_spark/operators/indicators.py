@@ -150,3 +150,121 @@ def rolling_indicators(trades: DataFrame, period: int = DEFAULT_PERIOD) -> DataF
         )
         .drop("_change")
     )
+
+
+def compute_indicators_topk(
+    trades: DataFrame,
+    period: int = DEFAULT_PERIOD,
+    computed_at_ns: int | None = None,
+    n_salt: int = 32,
+) -> DataFrame:
+    """`compute_indicators` with the low-cardinality-key hazard removed.
+
+    The window form partitions by symbol; with ~10 symbols (the reference's
+    universe, DataGenerator.hpp:86-97) every row of a symbol lands on ONE
+    reducer and the per-symbol sort serializes — fatal at 100 TB.  This
+    variant never sorts the full history:
+
+      1. VWAP + row count: plain groupBy(symbol) — map-side partial agg,
+         parallelism independent of symbol count.
+      2. last (period+1) rows per symbol: salted two-phase top-k
+         (functions/topk.py) — every task's work is bounded by k·n_salt.
+      3. SMA/RSI from the ≤(period+1)-row tail: array HOFs on a per-symbol
+         array — O(period) per symbol.
+
+    Output and semantics identical to `compute_indicators` (same clamps and
+    edge cases, TechnicalIndicators.hpp:125,252-290).
+    """
+    from marketstream_etl_spark.functions.topk import top_k_per_key
+
+    totals = trades.groupBy("symbol").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("price") * F.col("volume")).alias("_pv"),
+        F.sum(F.col("volume").cast("double")).alias("_v"),
+    )
+
+    tail_rows = top_k_per_key(
+        trades.select("symbol", "timestamp", "trade_id", "price"),
+        key="symbol",
+        order_by=[F.col("timestamp").desc(), F.col("trade_id").desc()],
+        k=period + 1,
+        salt_src="trade_id",
+        n_salt=n_salt,
+    )
+    # rank 1 = most recent; array_sort on (rank, price) structs keeps the
+    # most-recent-first order inside the collected array.
+    tails = tail_rows.groupBy("symbol").agg(
+        F.array_sort(F.collect_list(F.struct("rank", "price"))).alias("_t")
+    )
+
+    prices = F.col("_t").getField("price")  # most-recent-first
+    # change between consecutive prices, most-recent change first:
+    # changes[i] = prices[i] - prices[i+1]  (1-based element_at below)
+    changes = F.expr(
+        "transform(slice(_t.price, 1, size(_t.price) - 1),"
+        " (p, i) -> p - element_at(_t.price, i + 2))"
+    )
+
+    joined = totals.join(tails, "symbol")
+    n = F.col("_n")
+    eff = F.least(F.lit(period), n)
+    n_ch = F.least(eff, n - 1)
+
+    sma_window = F.slice(prices, 1, eff)
+    sma = F.aggregate(
+        sma_window, F.lit(0.0), lambda acc, x: acc + x
+    ) / eff.cast("double")
+
+    used = F.slice(changes, 1, n_ch)
+    gain_sum = F.aggregate(
+        used, F.lit(0.0), lambda acc, x: acc + F.greatest(x, F.lit(0.0))
+    )
+    loss_sum = F.aggregate(
+        used, F.lit(0.0), lambda acc, x: acc + F.greatest(-x, F.lit(0.0))
+    )
+    avg_gain = gain_sum / n_ch.cast("double")
+    avg_loss = loss_sum / n_ch.cast("double")
+    rsi = (
+        F.when((n < 2) | (eff <= 1), F.lit(50.0))
+        .when(avg_loss == 0.0, F.lit(100.0))
+        .otherwise(
+            F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss)
+        )
+    )
+    vwap = F.when(F.col("_v") == 0.0, F.lit(0.0)).otherwise(
+        F.col("_pv") / F.col("_v")
+    )
+
+    out = joined.select(
+        "symbol",
+        sma.alias("sma"),
+        rsi.alias("rsi"),
+        vwap.alias("vwap"),
+        eff.cast("int").alias("period"),
+    )
+    if computed_at_ns is not None:
+        out = out.withColumn(
+            "computed_at", F.lit(int(computed_at_ns)).cast("long")
+        )
+    return out
+
+
+def compute_indicators_auto(
+    trades: DataFrame,
+    period: int = DEFAULT_PERIOD,
+    computed_at_ns: int | None = None,
+    partition_threshold: int = 8,
+) -> DataFrame:
+    """Strategy dispatch: the window form wins on small inputs (one
+    exchange, no join); the salted top-k form wins once per-symbol history
+    outgrows a single reducer (measured crossover ≈ low-millions of rows on
+    local[32]; at cluster scale it is the only viable plan).  Input
+    partition count is the cheap, statistics-free size proxy."""
+    n_parts = trades.rdd.getNumPartitions()
+    if n_parts >= partition_threshold:
+        return compute_indicators_topk(
+            trades, period=period, computed_at_ns=computed_at_ns
+        )
+    return compute_indicators(
+        trades, period=period, computed_at_ns=computed_at_ns
+    )

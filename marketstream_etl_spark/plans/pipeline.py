@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from marketstream_etl_spark.operators.indicators import compute_indicators
+from marketstream_etl_spark.operators.indicators import compute_indicators_auto
 from marketstream_etl_spark.operators.validation import split_valid
 from marketstream_etl_spark.sources.csv_trades import read_trades_csv
 from marketstream_etl_spark.sources.sinks import write_dual_sinks
@@ -85,7 +85,7 @@ def run_pipeline(
     report.stage_seconds["reject_channel"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    indicators = compute_indicators(
+    indicators = compute_indicators_auto(
         valid,
         period=period,
         computed_at_ns=computed_at_ns or time.time_ns(),
