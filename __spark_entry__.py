@@ -118,6 +118,14 @@ FROM agg
 """
 
 
+def _stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity probe: an actual availableNow streaming query
+    whose final state must hash-match the batch oracle (ST3/ST5)."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_counts
+
+    return file_stream_counts(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events→trades→validate→per-symbol SMA/RSI/VWAP on sf0.001."""
     return analytics.q_indicators(spark, "/root/testdata/sf0.001")
@@ -189,6 +197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generator_invariants": advanced.q_generator_invariants,
         "window_analytics": advanced.q_window_analytics,
         "cube_events": advanced.q_cube_events,
+        # --- streaming (real Structured Streaming run; ST3/ST5) ---
+        "streaming_counts": _stream_counts,
     }
 
 
@@ -802,6 +812,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ev
             GROUP BY CUBE (event_type, dow)
             ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST
+        """,
+        # real streaming execution, batch-equivalent answer by construction
+        "streaming_counts": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT symbol, count(*) AS n_ticks,
+                   CAST(sum(volume) AS BIGINT) AS total_volume
+            FROM trades WHERE price > 0 AND volume > 0
+            GROUP BY symbol ORDER BY symbol
         """,
         # generator invariants: the random draws differ engine-to-engine by
         # design; the invariant booleans are the deterministic contract.

@@ -132,3 +132,35 @@ def run_demo_batch(spark: SparkSession, frames: DataFrame) -> dict[str, DataFram
     good = hot_path_filter(parsed.filter(~F.col("parse_error")))
     dead = parsed.filter(F.col("parse_error")).select("raw_frame")
     return {"counts": symbol_counts(good), "dead_letter": dead}
+
+
+def file_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 with the driver's gate: run the consumer aggregation as a REAL
+    Structured Streaming query (parquet file source → availableNow →
+    memory sink) and return the final table.  Streaming/batch parity is
+    the invariant: the result must equal the batch groupBy on the same
+    data, so this entry is oracle-checkable like any batch query.
+
+    availableNow processes the bounded input in micro-batches then stops —
+    the graceful-drain shutdown of the reference demo (ST5,
+    websocket_demo.cpp:174-214)."""
+    from marketstream_etl_spark.plans.trades_view import trades_from_events
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory; glob-filter down to the one table
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counts = symbol_counts(hot_path_filter(trades_from_events(events)))
+    name = f"stream_counts_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("symbol")

@@ -141,3 +141,26 @@ def test_rate_source_tick_stream_runs(spark):
         assert row["price"] > 0 and row["volume"] >= 10
     finally:
         q.stop()
+
+
+def test_file_stream_counts_equals_batch(spark, sf_dir):
+    """ST3/ST5 via the file source: the availableNow streaming aggregation
+    must equal the plain batch groupBy on the same parquet data."""
+    from marketstream_etl_spark.plans.trades_view import load_trades
+    from marketstream_etl_spark.streaming.ticks import (
+        file_stream_counts,
+        hot_path_filter,
+        symbol_counts,
+    )
+
+    streamed = {
+        r["symbol"]: (r["n_ticks"], r["total_volume"])
+        for r in file_stream_counts(spark, sf_dir).collect()
+    }
+    batch = {
+        r["symbol"]: (r["n_ticks"], r["total_volume"])
+        for r in symbol_counts(
+            hot_path_filter(load_trades(spark, sf_dir))
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
