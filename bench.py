@@ -72,6 +72,66 @@ def bench_etl_1m(spark) -> dict[str, float]:
     }
 
 
+STREAM_ROWS = 1_000_000
+STREAM_FRAMES_DIR = "/tmp/marketstream_bench_frames_1m"
+
+
+def bench_stream_1m(spark) -> dict[str, float]:
+    """Streaming-ingest throughput, BASELINE-comparable: 1M JSON tick
+    frames through a REAL Structured Streaming query (file source,
+    availableNow) doing parse → dead-letter split → hot filter →
+    per-symbol counts. The reference demo feeds ~5,000 ticks/s over a
+    WebSocket (TickServer.hpp:183,239-241); this measures the same
+    logical pipeline at engine speed."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.sources.generator import generate_trades
+    from marketstream_etl_spark.streaming.ticks import (
+        hot_path_filter,
+        parse_json_frames,
+        symbol_counts,
+        to_json_frames,
+    )
+
+    if not os.path.isdir(STREAM_FRAMES_DIR):
+        ticks = generate_trades(spark, STREAM_ROWS).withColumn(
+            "exchange", F.lit("WSS")
+        )
+        to_json_frames(ticks).repartition(32).write.mode("overwrite").parquet(
+            STREAM_FRAMES_DIR
+        )
+    warm_dir = STREAM_FRAMES_DIR + "_warm"
+    if not os.path.isdir(warm_dir):
+        to_json_frames(
+            generate_trades(spark, 10_000).withColumn("exchange", F.lit("WSS"))
+        ).coalesce(1).write.mode("overwrite").parquet(warm_dir)
+
+    def run(src_dir: str, qname: str) -> None:
+        frames = spark.readStream.schema("value string").parquet(src_dir)
+        parsed = parse_json_frames(frames)
+        counts = symbol_counts(
+            hot_path_filter(parsed.filter(~F.col("parse_error")))
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(warm_dir, "bench_stream_warm")  # one-time engine/codegen warmup
+    t0 = time.perf_counter()
+    run(STREAM_FRAMES_DIR, "bench_stream_counts")
+    dt = time.perf_counter() - t0
+    n = spark.table("bench_stream_counts").agg(F.sum("n_ticks")).collect()[0][0]
+    return {
+        "stream_1m_total": round(dt, 4),
+        "stream_1m_rows_per_sec": round(n / dt, 1),
+    }
+
+
 def main() -> None:
     spark = get_spark("marketstream-bench")
     qs = entrymod.queries()
@@ -93,6 +153,9 @@ def main() -> None:
     etl = bench_etl_1m(spark)
     total = sum(timings.values()) + etl["etl_1m_total"]
     timings.update(etl)
+    stream = bench_stream_1m(spark)
+    total += stream["stream_1m_total"]
+    timings.update(stream)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(

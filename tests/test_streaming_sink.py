@@ -61,3 +61,37 @@ def test_foreachbatch_dual_sink(spark):
         }
         assert batch == streamed
     trades.unpersist()
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """ST7, beyond the reference (its in-proc queue loses everything on
+    restart): a checkpointed streaming aggregation restarted over a grown
+    source directory counts every row exactly once — the second run reads
+    only the files the checkpoint has not seen."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_total() -> int:
+        counts = (
+            spark.readStream.schema("id long")
+            .parquet(src)
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("ckpt_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table("ckpt_counts").collect()[0]["n"]
+
+    spark.range(100).select(F.col("id")).write.mode("append").parquet(src)
+    assert run_total() == 100
+    spark.range(100, 250).select(F.col("id")).write.mode("append").parquet(src)
+    # restart from the checkpoint: 150 new rows, zero reprocessing
+    assert run_total() == 250
