@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generator_invariants": advanced.q_generator_invariants,
         "window_analytics": advanced.q_window_analytics,
         "cube_events": advanced.q_cube_events,
+        "skew_salted_join": advanced.q_skew_salted_join,
         # --- streaming (real Structured Streaming run; ST3/ST5) ---
         "streaming_counts": _stream_counts,
     }
@@ -812,6 +813,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ev
             GROUP BY CUBE (event_type, dow)
             ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST
+        """,
+        # salting must not change the answer: oracle is the PLAIN join
+        "skew_salted_join": """
+            WITH dim AS (
+                SELECT event_type, avg(value) AS type_avg
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_type, count(*) AS n,
+                   CAST(sum(CASE WHEN e.value > d.type_avg THEN 1 ELSE 0 END)
+                        AS BIGINT) AS above_avg,
+                   round(max(d.type_avg), 6) AS type_avg
+            FROM events e JOIN dim d ON e.event_type = d.event_type
+            GROUP BY e.event_type ORDER BY e.event_type
         """,
         # real streaming execution, batch-equivalent answer by construction
         "streaming_counts": f"""

@@ -374,3 +374,26 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").asc_nulls_first(), F.col("dow").asc_nulls_first()
         )
     )
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join via explicit salting (functions/skew.py): events join a
+    tiny per-type dimension on event_type (5 distinct values — maximal
+    skew), salt spreads each hot key over 8 reducers. Result is identical
+    to the plain join, which is exactly what the oracle asserts."""
+    from marketstream_etl_spark.functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    j = salted_join(ev, dim, key="event_type", salt_src="event_id", n_salt=8)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("value") > F.col("type_avg"), 1).otherwise(0)
+            ).alias("above_avg"),
+            F.round(F.max("type_avg"), 6).alias("type_avg"),
+        )
+        .orderBy("event_type")
+    )
