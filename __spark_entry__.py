@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": training_data.q_embedding_neardup,
         "multimodal_metadata": training_data.q_multimodal_metadata,
         "multimodal_features": training_data.q_multimodal_features,
+        "multimodal_frames": training_data.q_multimodal_frames,
         "train_test_split": training_data.q_train_test_split,
         "stratified_sample": training_data.q_stratified_sample,
         "corpus_curation": training_data.q_corpus_curation,
@@ -531,6 +532,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # multimodal_features intentionally has no oracle (Pandas-UDF decode
         # path; driver records the rows-only check).
+        # frame sampling: ASCII payloads (checked: strlen == length over the
+        # corpus) make byte slices == substr slices, so the mapInPandas
+        # fan-out is hash-checked end to end. min doc length 48 → k is
+        # always 4 frames of n//4 bytes.
+        "multimodal_frames": """
+            WITH media AS (
+                SELECT doc_id AS media_id, text,
+                       strlen(text) // 4 AS step
+                FROM documents
+            )
+            SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+                   CAST(step AS INTEGER) AS frame_bytes,
+                   md5(substr(text, i * step + 1, step)) AS checksum
+            FROM media, generate_series(0, 3) s(i)
+            ORDER BY media_id, frame_idx
+        """,
         "corpus_curation": f"""
             WITH analyzed AS ({_text.analyze_documents_sql()}),
             quality AS (

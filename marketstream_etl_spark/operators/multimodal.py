@@ -122,3 +122,85 @@ def extract_features(media: DataFrame, n_dims: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes_in", T.IntegerType(), True),
+        T.StructField("n_bytes_out", T.IntegerType(), True),
+        T.StructField("resized", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """1-to-N frame sampling via mapInPandas: each payload yields
+    `n_frames` evenly-spaced byte slices (the deterministic stand-in for
+    ffmpeg keyframe extraction — a real codec replaces the slicing only;
+    the batch iteration, fan-out row multiplicity, and schema stay).
+
+    Scale: per-batch fan-out happens executor-side; no shuffle is
+    introduced — output partitioning follows the input."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                k = min(n_frames, len(b))
+                if k == 0:
+                    continue
+                step = len(b) // k
+                for i in range(k):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * step : i * step + step])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize stub via mapInPandas: truncate-or-cycle each payload to
+    exactly `target_bytes` (stands in for PIL Image.resize; swap the body
+    for a real codec, the plumbing is final)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                if not b:
+                    outs.append(b)
+                    continue
+                reps = (target_bytes + len(b) - 1) // len(b)
+                outs.append((b * reps)[:target_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes_in": pdf["payload"].map(len).astype("int32"),
+                    "n_bytes_out": pd.Series(
+                        [len(o) for o in outs], dtype="int32"
+                    ),
+                    "resized": pd.Series(outs, dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(op, schema=RESIZE_SCHEMA)

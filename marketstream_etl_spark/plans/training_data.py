@@ -185,3 +185,19 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side binary metadata (length/checksum/magic sniff) — oracle-able."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     return media_metadata(media).orderBy("media_id")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-to-N frame sampling (mapInPandas fan-out). The stub slicer is
+    deterministic byte arithmetic, so the oracle hash-checks the plumbing
+    itself: row multiplicity, slice boundaries, and payload content."""
+    from marketstream_etl_spark.operators.multimodal import sample_frames
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, n_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").alias("frame_bytes"),
+        F.md5("frame").alias("checksum"),
+    ).orderBy("media_id", "frame_idx")

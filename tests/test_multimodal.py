@@ -55,3 +55,42 @@ def test_extract_features_deterministic(spark):
 def test_decode_real_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_real(b"...", "png")
+
+
+def test_sample_frames_multiplicity_and_content(spark, sf_dir):
+    """Every payload yields exactly 4 frames of n//4 bytes whose
+    concatenation is a prefix of the payload."""
+    from marketstream_etl_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    media = media_from_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).limit(20)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    frames = sample_frames(media, n_frames=4).collect()
+    by_id: dict = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    assert set(by_id) == set(payloads)
+    for mid, fs in by_id.items():
+        assert sorted(fs) == [0, 1, 2, 3]
+        step = len(payloads[mid]) // 4
+        joined = b"".join(fs[i] for i in range(4))
+        assert joined == payloads[mid][: 4 * step]
+
+
+def test_resize_media_exact_target(spark, sf_dir):
+    from marketstream_etl_spark.operators.multimodal import (
+        media_from_documents,
+        resize_media,
+    )
+
+    media = media_from_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).limit(10)
+    out = resize_media(media, target_bytes=64).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["n_bytes_out"] == 64 and len(bytes(r["resized"])) == 64
