@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": training_data.q_multimodal_metadata,
         "multimodal_features": training_data.q_multimodal_features,
         "multimodal_frames": training_data.q_multimodal_frames,
+        "dedup_clusters": training_data.q_dedup_clusters,
         "train_test_split": training_data.q_train_test_split,
         "stratified_sample": training_data.q_stratified_sample,
         "corpus_curation": training_data.q_corpus_curation,
@@ -572,6 +573,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(bpe_ish_tokens) AS BIGINT) AS total_tokens,
                    round(avg(quality_score), 6) AS avg_quality
             FROM final GROUP BY 1 ORDER BY lang_pred
+        """,
+        # connected components via recursive transitive closure — the
+        # LSH near-dup graph is tiny, so full closure is fine oracle-side;
+        # Spark side converges by iterative min-label propagation.
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_dedup.minhash_lsh_pairs_sql()}),
+            edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(id, lab) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id
+            ),
+            comp AS (SELECT id, min(lab) AS cluster_rep FROM reach GROUP BY id)
+            SELECT cluster_rep, count(*) AS n_docs, max(id) AS max_doc
+            FROM comp GROUP BY cluster_rep ORDER BY cluster_rep
         """,
         "ann_ivf_recall": f"""
             WITH exact AS (

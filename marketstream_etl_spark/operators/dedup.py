@@ -465,3 +465,83 @@ def simhash_near_pairs_sql(
         WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
         ORDER BY doc_a, doc_b
     """
+
+
+# --- duplicate clusters (connected components) ------------------------------
+
+def duplicate_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_rep).
+
+    Min-label propagation: every node starts labeled with its own id; each
+    iteration takes the min of its label and its neighbors' labels; at
+    fixpoint the label is the component's min doc_id (the canonical "keep
+    one representative per duplicate group" step after LSH).
+
+    Scale: near-dup graphs are sparse with tiny diameters, so the loop
+    converges in a handful of iterations; each iteration is one equi-join
+    + groupBy on doc_id. localCheckpoint truncates the lineage so the plan
+    does not grow exponentially with iterations. The driver-side loop only
+    reads a scalar convergence count per round.
+    """
+    # the pair source is typically an expensive DAG (LSH); cache it so the
+    # symmetric union below does not evaluate it twice
+    pairs = pairs.persist()
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("nlabel")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("nlabel").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
+                .cast("int")
+                .alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.agg(F.sum("_changed")).collect()[0][0] or 0
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    pairs.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_rep"))
+
+
+def cluster_report(pairs: DataFrame) -> DataFrame:
+    """Per duplicate cluster: representative (min doc_id) and member count."""
+    comp = duplicate_clusters(pairs)
+    return (
+        comp.groupBy("cluster_rep")
+        .agg(F.count("*").alias("n_docs"), F.max("id").alias("max_doc"))
+        .orderBy("cluster_rep")
+    )

@@ -173,6 +173,14 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash-LSH near-dup pairs: one row per
+    duplicate cluster (representative = min doc_id, member count) — the
+    iterative-algorithm surface (driver-bounded label propagation)."""
+    pairs = dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup.cluster_report(pairs)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pandas-UDF decode plumbing over binary payloads (no SQL oracle —
     driver records the rows-only check; feature math is the deterministic

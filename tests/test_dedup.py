@@ -70,3 +70,27 @@ def test_simhash_identical_docs_equal_and_near_pairs(spark):
     assert (0, 1, 0) in near
     assert all(h <= 3 for _, _, h in near)
     assert 0 <= sims[0] < (1 << 32)
+
+
+def test_duplicate_clusters_transitive(spark):
+    """a-b, b-c chain merges into one cluster labeled min(id); disjoint
+    pair stays its own cluster; convergence needs >1 propagation round."""
+    from marketstream_etl_spark.operators.dedup import (
+        cluster_report,
+        duplicate_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r["id"]: r["cluster_rep"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert comp == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20}
+    rep = {
+        r["cluster_rep"]: (r["n_docs"], r["max_doc"])
+        for r in cluster_report(pairs).collect()
+    }
+    assert rep == {1: (4, 12), 20: (2, 21)}
