@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": training_data.q_multimodal_features,
         "multimodal_frames": training_data.q_multimodal_frames,
         "dedup_clusters": training_data.q_dedup_clusters,
+        "embedding_stats": training_data.q_embedding_stats,
         "train_test_split": training_data.q_train_test_split,
         "stratified_sample": training_data.q_stratified_sample,
         "corpus_curation": training_data.q_corpus_curation,
@@ -514,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": _sim.ann_bruteforce_sql(),
         "ann_ivf": _sim.ann_ivf_sql(),
         "embedding_neardup": _sim.embedding_neardup_pairs_sql(),
+        "embedding_stats": _sim.embedding_stats_sql(),
         # multimodal_metadata: payload bytes are the utf-8 text, so DuckDB
         # computes the same metadata from the string directly (strlen = byte
         # length; md5 hashes the utf-8 bytes in both engines).

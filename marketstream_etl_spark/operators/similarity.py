@@ -266,3 +266,66 @@ def embedding_neardup_pairs_sql(
         WHERE query_id < neighbor_id AND round(cos, 6) >= {threshold}
         ORDER BY id_a, id_b
     """
+
+
+def embedding_stats(emb: DataFrame) -> DataFrame:
+    """Per-label corpus statistics: vector count, mean L2 norm, and the L2
+    norm of the label centroid (elementwise mean) — the health metrics an
+    IVF/clustering deployment watches (collapsed centroids, norm drift).
+
+    Scale: per-vector norms are map-side array HOFs; the centroid is a
+    (label, dim) exploded aggregation — shuffle rows = labels × dims, not
+    vectors × dims, thanks to map-side partial sums."""
+    base = emb.select(
+        "label", norm(_dvec(F.col("embedding"))).alias("vnorm")
+    )
+    stats = base.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("vnorm"), 6).alias("avg_norm"),
+    )
+    cent = (
+        emb.select(
+            "label", F.posexplode(_dvec(F.col("embedding"))).alias("pos", "val")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("cmean"))
+        .groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.col("cmean") * F.col("cmean"))), 6).alias(
+                "centroid_norm"
+            )
+        )
+    )
+    return stats.join(cent, "label").orderBy("label")
+
+
+def embedding_stats_sql() -> str:
+    return """
+        WITH norms AS (
+            SELECT label,
+                   sqrt(list_aggregate(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                       AS vnorm
+            FROM embeddings
+        ),
+        stats AS (
+            SELECT label, count(*) AS n_vectors,
+                   round(avg(vnorm), 6) AS avg_norm
+            FROM norms GROUP BY label
+        ),
+        dims AS (
+            SELECT label,
+                   CAST(unnest(embedding) AS DOUBLE) AS val,
+                   unnest(range(len(embedding))) AS pos
+            FROM embeddings
+        ),
+        cmeans AS (
+            SELECT label, pos, avg(val) AS cmean FROM dims GROUP BY 1, 2
+        ),
+        cents AS (
+            SELECT label, round(sqrt(sum(cmean * cmean)), 6) AS centroid_norm
+            FROM cmeans GROUP BY label
+        )
+        SELECT s.label, s.n_vectors, s.avg_norm, c.centroid_norm
+        FROM stats s JOIN cents c USING (label) ORDER BY s.label
+    """

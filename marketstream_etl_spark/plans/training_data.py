@@ -209,3 +209,8 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("frame").alias("frame_bytes"),
         F.md5("frame").alias("checksum"),
     ).orderBy("media_id", "frame_idx")
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-corpus health stats (counts, norms, centroid norm)."""
+    return similarity.embedding_stats(load_table(spark, sf_dir, "embeddings"))

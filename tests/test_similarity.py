@@ -60,3 +60,25 @@ def test_neardup_symmetric_pairs_half_matrix(spark):
     pairs = embedding_neardup_pairs(emb_df(spark, vecs), threshold=0.9, n_queries=3)
     got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
     assert got == [(0, 1)]
+
+
+def test_embedding_stats_known_values(spark):
+    """Hand-checkable vectors: unit x/y vectors per label → avg_norm 1,
+    centroid norm reflects cancellation."""
+    from marketstream_etl_spark.operators.similarity import embedding_stats
+
+    rows = [
+        (1, [1.0, 0.0], "a"),  # opposite unit vectors: centroid = 0
+        (2, [-1.0, 0.0], "a"),
+        (3, [0.0, 2.0], "b"),  # same direction: centroid norm = 2
+        (4, [0.0, 2.0], "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    out = {r["label"]: r for r in embedding_stats(df).collect()}
+    assert out["a"]["n_vectors"] == 2
+    assert abs(out["a"]["avg_norm"] - 1.0) < 1e-9
+    assert abs(out["a"]["centroid_norm"]) < 1e-9
+    assert abs(out["b"]["avg_norm"] - 2.0) < 1e-9
+    assert abs(out["b"]["centroid_norm"] - 2.0) < 1e-9
