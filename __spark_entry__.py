@@ -126,6 +126,14 @@ def _stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_counts(spark, sf_dir)
 
 
+def _stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 parity probe: watermark + tumbling window on a real streaming
+    run; bounded replay makes the final state equal the batch bucketing."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_windowed
+
+    return file_stream_windowed(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events→trades→validate→per-symbol SMA/RSI/VWAP on sf0.001."""
     return analytics.q_indicators(spark, "/root/testdata/sf0.001")
@@ -201,8 +209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_analytics": advanced.q_window_analytics,
         "cube_events": advanced.q_cube_events,
         "skew_salted_join": advanced.q_skew_salted_join,
-        # --- streaming (real Structured Streaming run; ST3/ST5) ---
+        # --- streaming (real Structured Streaming runs; ST3/ST4/ST5) ---
         "streaming_counts": _stream_counts,
+        "streaming_windowed": _stream_windowed,
     }
 
 
@@ -872,6 +881,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(volume) AS BIGINT) AS total_volume
             FROM trades WHERE price > 0 AND volume > 0
             GROUP BY symbol ORDER BY symbol
+        """,
+        # windowed streaming on bounded replay == batch 1-minute bucketing
+        "streaming_windowed": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT "timestamp" - "timestamp" % 60000000000 AS window_start_ns,
+                   symbol, count(*) AS n_ticks,
+                   round(sum(price * volume) / sum(CAST(volume AS DOUBLE)), 6)
+                       AS vwap,
+                   round(avg(price), 6) AS avg_price
+            FROM trades WHERE price > 0 AND volume > 0
+            GROUP BY 1, 2 ORDER BY window_start_ns, symbol
         """,
         # generator invariants: the random draws differ engine-to-engine by
         # design; the invariant booleans are the deterministic contract.

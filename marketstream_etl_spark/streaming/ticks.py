@@ -164,3 +164,40 @@ def file_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("symbol")
+
+
+def file_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 with the driver's gate: tumbling 1-minute windowed per-symbol
+    stats as a real streaming query (watermark + window + availableNow).
+    On bounded replay the final state equals the batch bucketing, so the
+    window/watermark machinery itself is oracle-checkable."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.plans.trades_view import trades_from_events
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stats = windowed_symbol_stats(
+        hot_path_filter(trades_from_events(events)), window="1 minute"
+    )
+    out = stats.select(
+        (F.unix_micros(F.col("window.start")) * 1000).alias("window_start_ns"),
+        "symbol",
+        "n_ticks",
+        F.round("vwap", 6).alias("vwap"),
+        F.round("avg_price", 6).alias("avg_price"),
+    )
+    name = f"stream_windowed_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("window_start_ns", "symbol")
