@@ -231,7 +231,7 @@ def minhash_lsh_pairs(
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key").filter(
         F.col("band_key") != ""
-    )
+    ).persist()  # both sides of the self-join reuse one signature pass
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
