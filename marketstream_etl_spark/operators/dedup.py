@@ -411,7 +411,8 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val").persist()
+    # ^ both sides of the self-join reuse one simhash pass
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (
