@@ -91,3 +91,54 @@ def test_parquet_sink_roundtrip_and_dual_sink(spark):
         write_dual_sinks(df, ind, f"{d}/dual_trades", f"{d}/dual_ind")
         assert spark.read.parquet(f"{d}/dual_trades").count() == 500
         assert spark.read.parquet(f"{d}/dual_ind").count() == ind.count()
+
+
+DERBY_URL = "jdbc:derby:memory:marketstream_test;create=true"
+DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+
+def _read_jdbc(spark, table):
+    return (
+        spark.read.format("jdbc")
+        .option("url", DERBY_URL)
+        .option("dbtable", table)
+        .option("driver", DERBY_PROPS["driver"])
+        .load()
+    )
+
+
+def test_jdbc_parallel_bulk_load_roundtrip(spark, sf_dir):
+    """S8/S9 against an embedded Derby database (in-JVM, so the 4 parallel
+    partition writers exercise the real JDBC sink path with no external
+    service): every valid trade lands exactly once."""
+    from marketstream_etl_spark.operators.validation import split_valid
+    from marketstream_etl_spark.plans.trades_view import load_trades
+    from marketstream_etl_spark.sources.sinks import write_jdbc_bulk
+
+    valid, _ = split_valid(load_trades(spark, sf_dir))
+    valid = valid.limit(2000).cache()
+    n = valid.count()
+    write_jdbc_bulk(valid, DERBY_URL, "trades_bulk", DERBY_PROPS, num_streams=4)
+    back = _read_jdbc(spark, "trades_bulk")
+    assert back.count() == n
+    assert back.select("trade_id").distinct().count() == n
+    valid.unpersist()
+
+
+def test_jdbc_indicator_append_sink(spark, sf_dir):
+    """S10: append-only indicator log — two saves stack rows, never update."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.indicators import compute_indicators
+    from marketstream_etl_spark.operators.validation import split_valid
+    from marketstream_etl_spark.plans.trades_view import load_trades
+
+    valid, _ = split_valid(load_trades(spark, sf_dir))
+    ind = compute_indicators(valid, period=5, computed_at_ns=1_700_000_000_000_000_000)
+    n = ind.count()
+    for _ in range(2):
+        ind.write.mode("append").option(
+            "driver", DERBY_PROPS["driver"]
+        ).jdbc(DERBY_URL, "indicator_log", properties=DERBY_PROPS)
+    back = _read_jdbc(spark, "indicator_log")
+    assert back.count() == 2 * n
