@@ -75,3 +75,55 @@ def write_dual_sinks(
             f2.result()
     finally:
         trades.unpersist()
+
+
+def _jdbc_exec(spark, url: str, statements: list[str]) -> None:
+    """Run DDL statements over a driver-side JDBC connection (py4j into the
+    JVM's DriverManager — the same classpath the executors' writers use)."""
+    jvm = spark._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        for sql in statements:
+            st.execute(sql)
+        st.close()
+    finally:
+        conn.close()
+
+
+def bulk_load_with_index_ddl(
+    spark,
+    df: DataFrame,
+    url: str,
+    table: str,
+    index_name: str,
+    index_cols: list[str],
+    properties: dict[str, str],
+    num_streams: int = 4,
+) -> None:
+    """S8's adopted design (README.md:73-93, 10.6× on the reference): drop
+    the index, stream the rows over `num_streams` parallel connections,
+    rebuild the index once at the end — per-row B-tree maintenance becomes
+    one bulk sort.  The DDL runs driver-side around the distributed write,
+    exactly like DatabaseLoader.cpp:176-185/500-537 wraps its COPY."""
+    _jdbc_exec(
+        spark,
+        url,
+        [f"DROP INDEX {index_name}"],
+    )
+    try:
+        (
+            df.repartition(num_streams)
+            .write.mode("append")
+            .option("batchsize", 10_000)
+            .jdbc(url, table, properties=properties)
+        )
+    finally:
+        # Spark's JDBC writer quotes column identifiers (case-sensitive in
+        # Derby/Postgres), so the DDL must quote them too
+        cols = ", ".join(f'"{c}"' for c in index_cols)
+        _jdbc_exec(
+            spark,
+            url,
+            [f"CREATE INDEX {index_name} ON {table} ({cols})"],
+        )

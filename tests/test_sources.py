@@ -142,3 +142,47 @@ def test_jdbc_indicator_append_sink(spark, sf_dir):
         ).jdbc(DERBY_URL, "indicator_log", properties=DERBY_PROPS)
     back = _read_jdbc(spark, "indicator_log")
     assert back.count() == 2 * n
+
+
+def test_bulk_load_drop_rebuild_index(spark, sf_dir):
+    """S8 orchestration vs embedded Derby: index is dropped for the load,
+    rebuilt after, and the data survives intact."""
+    from marketstream_etl_spark.operators.validation import split_valid
+    from marketstream_etl_spark.plans.trades_view import load_trades
+    from marketstream_etl_spark.sources.sinks import (
+        _jdbc_exec,
+        bulk_load_with_index_ddl,
+    )
+
+    valid, _ = split_valid(load_trades(spark, sf_dir))
+    batch = valid.select("trade_id", "symbol", "price").limit(500).cache()
+    n = batch.count()
+    # seed the table + index (init_schema role)
+    batch.limit(0).write.mode("overwrite").option(
+        "driver", DERBY_PROPS["driver"]
+    ).option(
+        "createTableColumnTypes", "symbol VARCHAR(10)"  # CLOB is unindexable
+    ).jdbc(DERBY_URL, "trades_ddl", properties=DERBY_PROPS)
+    _jdbc_exec(
+        spark, DERBY_URL, ['CREATE INDEX idx_sym ON trades_ddl ("symbol")']
+    )
+
+    bulk_load_with_index_ddl(
+        spark, batch, DERBY_URL, "trades_ddl", "idx_sym",
+        ["symbol"], DERBY_PROPS, num_streams=4,
+    )
+    assert _read_jdbc(spark, "trades_ddl").count() == n
+    # the index exists again (Derby catalogs it in SYSCONGLOMERATES)
+    idx = (
+        spark.read.format("jdbc")
+        .option("url", DERBY_URL)
+        .option(
+            "query",
+            "SELECT CONGLOMERATENAME FROM SYS.SYSCONGLOMERATES "
+            "WHERE CONGLOMERATENAME = 'IDX_SYM'",
+        )
+        .option("driver", DERBY_PROPS["driver"])
+        .load()
+    )
+    assert idx.count() == 1
+    batch.unpersist()
