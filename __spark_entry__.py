@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": tpch.q15_top_supplier,
         "tpch_q17": tpch.q17_small_quantity_revenue,
         "tpch_q19": tpch.q19_disjunctive_predicates,
+        "tpch_q21": tpch.q21_waiting_suppliers,
         "tpch_q22": tpch.q22_idle_customers,
         "top_parts_by_revenue": tpch.q_top_parts_by_revenue,
         # --- training-data pipeline ops (north star) ---
@@ -480,6 +481,26 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q21": """
+            WITH j AS (
+                SELECT l_orderkey, l_suppkey,
+                       datediff('day', o_orderdate, l_shipdate) > 90 AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ),
+            per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN late THEN l_suppkey END)
+                           AS n_late_supp,
+                       max(CASE WHEN late THEN l_suppkey END) AS late_supp
+                FROM j GROUP BY l_orderkey
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM per_order JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp > 1 AND n_late_supp = 1
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
         """,
         "tpch_q22": """
             SELECT c_nationkey, count(*) AS numcust,
