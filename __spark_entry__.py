@@ -134,6 +134,14 @@ def _stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_windowed(spark, sf_dir)
 
 
+def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dropDuplicates over deliberately doubled input:
+    every trade must come out exactly once."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_dedup_counts
+
+    return file_stream_dedup_counts(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events→trades→validate→per-symbol SMA/RSI/VWAP on sf0.001."""
     return analytics.q_indicators(spark, "/root/testdata/sf0.001")
@@ -213,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- streaming (real Structured Streaming runs; ST3/ST4/ST5) ---
         "streaming_counts": _stream_counts,
         "streaming_windowed": _stream_windowed,
+        "streaming_dedup": _stream_dedup,
     }
 
 
@@ -913,6 +922,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(price), 6) AS avg_price
             FROM trades WHERE price > 0 AND volume > 0
             GROUP BY 1, 2 ORDER BY window_start_ns, symbol
+        """,
+        # doubled input through streaming dropDuplicates == plain counts
+        "streaming_dedup": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT symbol, count(DISTINCT trade_id) AS n_trades
+            FROM trades GROUP BY symbol ORDER BY symbol
         """,
         # generator invariants: the random draws differ engine-to-engine by
         # design; the invariant booleans are the deterministic contract.

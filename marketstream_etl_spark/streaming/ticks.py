@@ -201,3 +201,39 @@ def file_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("window_start_ns", "symbol")
+
+
+def file_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (the staging-table `ON CONFLICT DO NOTHING`
+    pattern of README.md:78-82, as a stream): input rows are deliberately
+    doubled, a stateful dropDuplicates on trade_id must emit each exactly
+    once. Per-symbol counts of the deduped output therefore equal the
+    plain batch counts — oracle-checkable."""
+    from marketstream_etl_spark.plans.trades_view import trades_from_events
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    trades = trades_from_events(events)
+    doubled = trades.withColumn(
+        "_copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("_copy")
+    deduped = doubled.dropDuplicates(["trade_id"])
+    name = f"stream_dedup_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("symbol")
+        .agg(F.count("*").alias("n_trades"))
+        .orderBy("symbol")
+    )
