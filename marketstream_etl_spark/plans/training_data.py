@@ -149,9 +149,10 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force ranking, per query — the quality metric a 100 TB similarity
     deployment watches."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # referenced by both `hits` and `totals` — one brute-force pass, not two
     exact = similarity.ann_bruteforce(emb).select(
         "query_id", F.col("neighbor_id").alias("exact_n")
-    )
+    ).persist()
     approx = similarity.ann_ivf(emb).select(
         "query_id", F.col("neighbor_id").alias("approx_n")
     )

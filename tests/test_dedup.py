@@ -94,3 +94,43 @@ def test_duplicate_clusters_transitive(spark):
         for r in cluster_report(pairs).collect()
     }
     assert rep == {1: (4, 12), 20: (2, 21)}
+
+
+def test_duplicate_clusters_random_graphs_match_union_find(spark):
+    """Property check: on random sparse graphs, min-label propagation must
+    produce exactly the components a reference union-find produces."""
+    import random
+
+    from marketstream_etl_spark.operators.dedup import duplicate_clusters
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n_nodes, n_edges = 40, 30
+        edges = set()
+        while len(edges) < n_edges:
+            a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expected = {v: find(v) for v in touched}
+
+        pairs = spark.createDataFrame(
+            sorted(edges), "doc_a long, doc_b long"
+        )
+        got = {
+            r["id"]: r["cluster_rep"]
+            for r in duplicate_clusters(pairs).collect()
+        }
+        assert got == expected, f"trial {trial}"
