@@ -178,6 +178,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": tpch.q15_top_supplier,
         "tpch_q17": tpch.q17_small_quantity_revenue,
         "tpch_q19": tpch.q19_disjunctive_predicates,
+        "tpch_q2": tpch.q2_min_cost_supplier,
+        "tpch_q11": tpch.q11_important_stock,
+        "tpch_q16": tpch.q16_supplier_count,
+        "tpch_q20": tpch.q20_heavy_shippers,
         "tpch_q21": tpch.q21_waiting_suppliers,
         "tpch_q22": tpch.q22_idle_customers,
         "top_parts_by_revenue": tpch.q_top_parts_by_revenue,
@@ -490,6 +494,80 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q2": """
+            WITH ps AS (
+                SELECT DISTINCT l_partkey, l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'STANDARD' AND p_size >= 25
+            ),
+            pss AS (
+                SELECT l_partkey, s_suppkey, s_name, s_acctbal
+                FROM ps JOIN supplier ON l_suppkey = s_suppkey
+            ),
+            mins AS (
+                SELECT l_partkey AS m_partkey, min(s_acctbal) AS min_bal
+                FROM pss GROUP BY 1
+            )
+            SELECT round(s_acctbal, 4) AS s_acctbal, s_name, p_partkey, p_name
+            FROM pss
+            JOIN mins ON l_partkey = m_partkey AND s_acctbal = min_bal
+            JOIN part ON l_partkey = p_partkey
+            ORDER BY s_acctbal, p_partkey, s_name LIMIT 100
+        """,
+        "tpch_q11": """
+            WITH base AS (
+                SELECT l_partkey,
+                       l_extendedprice * (1 - l_discount) AS rev
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_5'
+            ),
+            per_part AS (
+                SELECT l_partkey, sum(rev) AS part_value
+                FROM base GROUP BY l_partkey
+            )
+            SELECT l_partkey, round(part_value, 4) AS part_value
+            FROM per_part
+            WHERE part_value > (SELECT sum(part_value) * 0.001 FROM per_part)
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "tpch_q16": """
+            SELECT p_brand, p_type,
+                   p_size - p_size % 10 AS size_bucket,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5'
+              AND l_suppkey NOT IN (
+                    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, size_bucket
+        """,
+        "tpch_q20": """
+            WITH shipped AS (
+                SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE '%widget%'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1, 2
+            ),
+            avg_per_part AS (
+                SELECT l_partkey AS a_partkey, avg(qty) * 0.5 AS half_avg
+                FROM shipped GROUP BY 1
+            ),
+            heavy AS (
+                SELECT DISTINCT l_suppkey
+                FROM shipped JOIN avg_per_part ON l_partkey = a_partkey
+                WHERE qty > half_avg
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+              AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+            ORDER BY s_suppkey
         """,
         "tpch_q21": """
             WITH j AS (

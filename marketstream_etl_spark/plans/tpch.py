@@ -547,3 +547,131 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp table — the part↔supplier
+    relation is derived from lineitem): for each STANDARD part of size
+    >= 25, the supplier with the minimum account balance among suppliers
+    who shipped it. Correlated-min subquery decorrelated into a per-part
+    aggregation + equality join back; top-100 by balance then partkey."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") >= 25)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+    )
+    min_bal = ps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        ps.join(
+            F.broadcast(min_bal),
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            F.round("s_acctbal", 4).alias("s_acctbal"),
+            "s_name",
+            "p_partkey",
+            "p_name",
+        )
+        .orderBy("s_acctbal", "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: shipped revenue stands in for partsupp
+    stock value): parts whose revenue from NATION_5 suppliers exceeds
+    0.1% of that nation's total — the HAVING-against-a-scalar-subquery
+    pattern as a broadcast 1-row cross join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select("l_partkey", rev.alias("rev"))
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum("rev").alias("part_value"))
+    total = per_part.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 4).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size
+    bucket) for parts not of Brand#5, excluding suppliers with negative
+    balance (the NOT IN subquery as a broadcast left-anti join)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .groupBy(
+            "p_brand",
+            "p_type",
+            (F.col("p_size") - F.col("p_size") % 10).alias("size_bucket"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "size_bucket")
+    )
+
+
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: shipped quantity stands in for partsupp
+    availqty): NATION_7 suppliers who shipped more than half the average
+    per-supplier quantity of some widget part in 1997 — a semi-join chain
+    ending in a nation filter."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    avg_per_part = shipped.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.avg("qty") * 0.5).alias("half_avg")
+    )
+    heavy = (
+        shipped.join(
+            F.broadcast(avg_per_part), F.col("l_partkey") == F.col("a_partkey")
+        )
+        .filter(F.col("qty") > F.col("half_avg"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
