@@ -120,3 +120,19 @@ def test_cube_expands_grouping_sets(spark, sf_dir):
     plan = plan_of(advanced.q_cube_events(spark, sf_dir))
     assert "Expand" in plan  # 4 grouping sets in one pass, no re-scan
     assert "BatchEvalPython" not in plan
+
+
+def test_q2_q16_broadcast_no_cartesian(spark, sf_dir):
+    for q in (tpch.q2_min_cost_supplier, tpch.q16_supplier_count,
+              tpch.q11_important_stock, tpch.q20_heavy_shippers):
+        plan = plan_of(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastHashJoin" in plan, q.__name__
+
+
+def test_q21_two_shuffles_only(spark, sf_dir):
+    """The decorrelated Q21 must not explode into per-exists joins: one
+    fact-fact shuffle + one per-order aggregation shuffle."""
+    plan = plan_of(tpch.q21_waiting_suppliers(spark, sf_dir))
+    assert plan.count("hashpartitioning(l_orderkey") <= 2
+    assert "BroadcastNestedLoopJoin" not in plan
