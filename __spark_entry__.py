@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_analytics": advanced.q_window_analytics,
         "cube_events": advanced.q_cube_events,
         "skew_salted_join": advanced.q_skew_salted_join,
+        "funnel": advanced.q_funnel,
+        "retention_cohorts": advanced.q_retention_cohorts,
         # --- streaming (real Structured Streaming runs; ST3/ST4/ST5) ---
         "streaming_counts": _stream_counts,
         "streaming_windowed": _stream_windowed,
@@ -968,6 +970,45 @@ def oracle_sql() -> dict[str, str]:
             FROM ev
             GROUP BY CUBE (event_type, dow)
             ORDER BY event_type ASC NULLS FIRST, dow ASC NULLS FIRST
+        """,
+        "funnel": """
+            WITH per_user AS (
+                SELECT user_id,
+                    min(CASE WHEN event_type = 'view'
+                             THEN epoch_ns(ts) END) AS t_view,
+                    min(CASE WHEN event_type = 'click'
+                             THEN epoch_ns(ts) END) AS t_click,
+                    min(CASE WHEN event_type = 'purchase'
+                             THEN epoch_ns(ts) END) AS t_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT count(*) AS n_users,
+                CAST(sum(CASE WHEN t_view IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS stage_view,
+                CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                              THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+                CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                               AND t_purchase > t_click
+                              THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+            FROM per_user
+        """,
+        "retention_cohorts": """
+            WITH wk AS (
+                SELECT user_id,
+                       epoch_ns(ts) - epoch_ns(ts) % 604800000000000
+                           AS week_ns
+                FROM events
+            ),
+            cohort AS (
+                SELECT user_id, min(week_ns) AS cohort_ns FROM wk GROUP BY 1
+            ),
+            active AS (SELECT DISTINCT user_id, week_ns FROM wk)
+            SELECT cohort_ns,
+                   CAST((week_ns - cohort_ns) // 604800000000000 AS INTEGER)
+                       AS week_offset,
+                   count(DISTINCT a.user_id) AS active_users
+            FROM active a JOIN cohort c USING (user_id)
+            GROUP BY 1, 2 ORDER BY cohort_ns, week_offset
         """,
         # salting must not change the answer: oracle is the PLAIN join
         "skew_salted_join": """

@@ -397,3 +397,56 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+WEEK_NS = 7 * DAY_NS
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) per user: a stage counts
+    only if it happens strictly after the previous stage. One shuffle on
+    user_id; stages are conditional min-aggregations, then the ordering
+    constraint is plain column logic — no joins, no window."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", _ts_us_ns())
+
+    def first_ts(etype: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_purchase = reached_click & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(reached_view.cast("long")).alias("stage_view"),
+        F.sum(reached_click.cast("long")).alias("stage_click"),
+        F.sum(reached_purchase.cast("long")).alias("stage_purchase"),
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention: users grouped by first-activity week, counted as
+    active per week offset. Two aggregations sharing the user_id shuffle;
+    the cohort join broadcasts (one row per user)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", _ts_us_ns())
+    week = (F.col("ts") - F.col("ts") % WEEK_NS).alias("week_ns")
+    cohort = ev.groupBy("user_id").agg(
+        F.min(F.col("ts") - F.col("ts") % WEEK_NS).alias("cohort_ns")
+    )
+    active = ev.select("user_id", week).distinct()
+    return (
+        active.join(F.broadcast(cohort), "user_id")
+        .withColumn(
+            "week_offset",
+            ((F.col("week_ns") - F.col("cohort_ns")) / WEEK_NS).cast("int"),
+        )
+        .groupBy("cohort_ns", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_ns", "week_offset")
+    )
