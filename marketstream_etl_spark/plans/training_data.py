@@ -122,7 +122,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     total at any scale."""
     docs = load_table(spark, sf_dir, "documents")
     analyzed = text.analyze_documents(docs)
-    quality = analyzed.filter(F.col("quality_score") >= QUALITY_MIN)
+    # referenced by keep_exact AND the semi-join back — one analysis pass
+    quality = analyzed.filter(
+        F.col("quality_score") >= QUALITY_MIN
+    ).persist()
 
     keep_exact = quality.groupBy("fingerprint").agg(
         F.min("doc_id").alias("doc_id")
