@@ -142,6 +142,14 @@ def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_dedup_counts(spark, sf_dir)
 
 
+def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (buy→sell pairing within 1h);
+    bounded replay makes the appended output equal the batch interval join."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_join
+
+    return file_stream_join(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events→trades→validate→per-symbol SMA/RSI/VWAP on sf0.001."""
     return analytics.q_indicators(spark, "/root/testdata/sf0.001")
@@ -228,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counts": _stream_counts,
         "streaming_windowed": _stream_windowed,
         "streaming_dedup": _stream_dedup,
+        "streaming_join": _stream_join,
     }
 
 
@@ -1047,6 +1056,19 @@ def oracle_sql() -> dict[str, str]:
             WITH trades AS ({TRADES_CTE})
             SELECT symbol, count(DISTINCT trade_id) AS n_trades
             FROM trades GROUP BY symbol ORDER BY symbol
+        """,
+        # stream-stream interval join on bounded replay == batch range join;
+        # event times are µs-truncated ns, so the 1h bound is 3600e9 ns
+        "streaming_join": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT b.symbol AS symbol, count(*) AS n_pairs,
+                   round(avg(s.price - b.price), 6) AS avg_spread
+            FROM trades b
+            JOIN trades s
+              ON b.symbol = s.symbol AND b.side = 'B' AND s.side = 'S'
+             AND s."timestamp" >= b."timestamp"
+             AND s."timestamp" <= b."timestamp" + 3600000000000
+            GROUP BY b.symbol ORDER BY symbol
         """,
         # generator invariants: the random draws differ engine-to-engine by
         # design; the invariant booleans are the deterministic contract.

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marketstream_etl_spark.operators.indicators import compute_indicators_auto
-from marketstream_etl_spark.operators.validation import split_valid
+from marketstream_etl_spark.operators.validation import with_validation
 from marketstream_etl_spark.sources.csv_trades import read_trades_csv
 from marketstream_etl_spark.sources.sinks import write_dual_sinks
 
@@ -74,13 +74,21 @@ def run_pipeline(
 
     t0 = time.perf_counter()
     raw = read_trades_csv(spark, csv_path)
-    valid, rejects = split_valid(raw)
-    valid = valid.persist()  # consumed by indicators AND the trades sink
-    report.n_valid = valid.count()  # forces parse+validate (fused scan)
+    # ONE scan parses, validates, and caches; valid/reject counts come from
+    # a single aggregate over the cached frame (the reference re-walks the
+    # batch per stage — here the CSV is parsed exactly once).
+    annotated = with_validation(raw).persist()
+    counts = annotated.agg(
+        F.sum(F.col("is_valid").cast("long")),
+        F.sum((~F.col("is_valid")).cast("long")),
+    ).first()
+    report.n_valid = counts[0] or 0
     report.stage_seconds["parse_validate"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    report.n_rejected = rejects.count()
+    # reject channel (dead-letter view) — rows already in cache, no re-parse
+    valid = annotated.filter(F.col("is_valid")).drop("reject_reason", "is_valid")
+    report.n_rejected = counts[1] or 0
     report.n_input = report.n_valid + report.n_rejected
     report.stage_seconds["reject_channel"] = time.perf_counter() - t0
 
@@ -99,7 +107,7 @@ def run_pipeline(
     )
     report.stage_seconds["dual_sink_parquet"] = time.perf_counter() - t0
 
-    valid.unpersist()
+    annotated.unpersist()
     indicators.unpersist()
     return report
 

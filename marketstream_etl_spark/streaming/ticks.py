@@ -203,6 +203,77 @@ def file_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start_ns", "symbol")
 
 
+def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (engine extension beyond the reference's
+    streaming surface): buy ticks joined to sell ticks of the same symbol
+    arriving within the next hour — the canonical watermarked interval join
+    of Structured Streaming.
+
+    Both sides carry watermarks and the join has an event-time range bound,
+    so state is evictable and the plan runs on an unbounded stream; on
+    bounded replay (availableNow) the appended output equals the batch
+    interval join, which makes the whole stateful-join machinery
+    oracle-checkable.  The joined pairs are aggregated per symbol in a
+    follow-up batch step over the sink table (small result presentation,
+    not part of the streaming state)."""
+    from marketstream_etl_spark.plans.trades_view import trades_from_events
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    trades = trades_from_events(events).withColumn(
+        "event_time", F.timestamp_micros(F.expr("timestamp div 1000"))
+    )
+    buys = (
+        trades.filter(F.col("side") == "B")
+        .select(
+            F.col("symbol").alias("b_symbol"),
+            F.col("price").alias("buy_price"),
+            F.col("event_time").alias("buy_time"),
+        )
+        .withWatermark("buy_time", "30 days")
+    )
+    sells = (
+        trades.filter(F.col("side") == "S")
+        .select(
+            F.col("symbol").alias("s_symbol"),
+            F.col("price").alias("sell_price"),
+            F.col("event_time").alias("sell_time"),
+        )
+        .withWatermark("sell_time", "30 days")
+    )
+    pairs = buys.join(
+        sells,
+        (F.col("b_symbol") == F.col("s_symbol"))
+        & (F.col("sell_time") >= F.col("buy_time"))
+        & (F.col("sell_time") <= F.col("buy_time") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    name = f"stream_join_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("b_symbol").alias("symbol"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(F.col("sell_price") - F.col("buy_price")), 6).alias(
+                "avg_spread"
+            ),
+        )
+        .orderBy("symbol")
+    )
+
+
 def file_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication (the staging-table `ON CONFLICT DO NOTHING`
     pattern of README.md:78-82, as a stream): input rows are deliberately

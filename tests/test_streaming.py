@@ -164,3 +164,45 @@ def test_file_stream_counts_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_file_stream_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join on bounded replay must equal the batch
+    range join (same symbol, sell within 1h after buy), per symbol."""
+    from marketstream_etl_spark.plans.trades_view import load_trades
+    from marketstream_etl_spark.streaming.ticks import file_stream_join
+
+    streamed = {
+        r["symbol"]: (r["n_pairs"], r["avg_spread"])
+        for r in file_stream_join(spark, sf_dir).collect()
+    }
+
+    t = load_trades(spark, sf_dir)
+    buys = t.filter(F.col("side") == "B").select(
+        F.col("symbol").alias("b_symbol"),
+        F.col("price").alias("buy_price"),
+        F.col("timestamp").alias("buy_ts"),
+    )
+    sells = t.filter(F.col("side") == "S").select(
+        F.col("symbol").alias("s_symbol"),
+        F.col("price").alias("sell_price"),
+        F.col("timestamp").alias("sell_ts"),
+    )
+    batch = {
+        r["symbol"]: (r["n_pairs"], r["avg_spread"])
+        for r in buys.join(
+            sells,
+            (F.col("b_symbol") == F.col("s_symbol"))
+            & (F.col("sell_ts") >= F.col("buy_ts"))
+            & (F.col("sell_ts") <= F.col("buy_ts") + 3_600_000_000_000),
+        )
+        .groupBy(F.col("b_symbol").alias("symbol"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg(F.col("sell_price") - F.col("buy_price")), 6).alias(
+                "avg_spread"
+            ),
+        )
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
