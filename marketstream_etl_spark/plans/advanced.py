@@ -30,7 +30,7 @@ def _ts_us_ns(col: str = "ts") -> F.Column:
 def q_rolling_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row trailing SMA/RSI + running VWAP (window functions, one
     shuffle on symbol)."""
-    valid, _ = split_valid(load_trades(spark, sf_dir))
+    valid, _ = split_valid(load_trades(spark, sf_dir, fan_out=True))
     out = rolling_indicators(valid, period=5)
     return out.select(
         "trade_id",
@@ -52,7 +52,7 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from marketstream_etl_spark.operators.asof import asof_join_indicators
 
-    valid, _ = split_valid(load_trades(spark, sf_dir))
+    valid, _ = split_valid(load_trades(spark, sf_dir, fan_out=True))
     log = (
         rolling_indicators(valid, period=5)
         .filter(F.col("trade_id") % 20 == 0)

@@ -32,14 +32,14 @@ def q_trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_validate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 annotate: every trade with is_valid + first-failing reject_reason."""
-    return with_validation(load_trades(spark, sf_dir)).select(
+    return with_validation(load_trades(spark, sf_dir, fan_out=True)).select(
         "trade_id", "symbol", "price", "volume", "is_valid", "reject_reason"
     )
 
 
 def q_validate_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 reject side: dead-letter rows with reasons."""
-    _, rejects = split_valid(load_trades(spark, sf_dir))
+    _, rejects = split_valid(load_trades(spark, sf_dir, fan_out=True))
     return rejects.select("trade_id", "symbol", "price", "volume", "reject_reason")
 
 
@@ -52,7 +52,7 @@ def q_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: validate → per-symbol SMA/RSI/VWAP snapshot (A1-A4)."""
-    valid, _ = split_valid(load_trades(spark, sf_dir))
+    valid, _ = split_valid(load_trades(spark, sf_dir, fan_out=True))
     ind = compute_indicators(valid, period=5)
     return ind.select(
         "symbol",
@@ -82,7 +82,7 @@ def q_symbol_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rsi_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/O2/X5: latest RSI signals with OVERBOUGHT/OVERSOLD/NEUTRAL label
     (README.md:238-245). computed_at is a fixed injected stamp."""
-    valid, _ = split_valid(load_trades(spark, sf_dir))
+    valid, _ = split_valid(load_trades(spark, sf_dir, fan_out=True))
     ind = compute_indicators(valid, period=5, computed_at_ns=FIXED_COMPUTED_AT_NS)
     return (
         ind.select(
@@ -114,7 +114,7 @@ def q_symbol_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_vwap_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 standalone: per-symbol VWAP over all valid trades."""
-    valid, _ = split_valid(load_trades(spark, sf_dir))
+    valid, _ = split_valid(load_trades(spark, sf_dir, fan_out=True))
     return (
         valid.groupBy("symbol")
         .agg(

@@ -69,5 +69,16 @@ def trades_from_events(events: DataFrame) -> DataFrame:
     )
 
 
-def load_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return trades_from_events(load_table(spark, sf_dir, "events"))
+def load_trades(
+    spark: SparkSession, sf_dir: str, fan_out: bool = False
+) -> DataFrame:
+    """`fan_out=True` repartitions the raw events scan to full parallelism
+    BEFORE the JSON/regex-bearing projection — for validation/window-heavy
+    consumers when the source is a single-row-group file (test-scale
+    artifact; a no-op once the scan splits naturally)."""
+    events = load_table(spark, sf_dir, "events")
+    if fan_out:
+        from marketstream_etl_spark.sources.layout import fan_out_small_scan
+
+        events = fan_out_small_scan(events)
+    return trades_from_events(events)

@@ -38,6 +38,11 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # measured on the local[32] harness: 4g is the sweet spot for the
+        # single-JVM driver+executor heap (1g default degrades long runs
+        # under GC pressure; oversized heaps measured far worse on the
+        # streaming bench). Cluster deployments size executors separately.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

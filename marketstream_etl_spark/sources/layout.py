@@ -9,6 +9,10 @@ B-tree index `(symbol, timestamp)` (DatabaseLoader.cpp:117-125, SURVEY §4):
   join key so repeated joins on that key are co-located — no exchange at
   query time (the managed-table analog of the reference's one-off index
   rebuild amortized over many queries).
+- `fan_out_small_scan`: give expression-heavy operators full parallelism
+  when the source scan has fewer splits than cores (small single-row-group
+  files — a test-scale artifact; at production scale scans split naturally
+  and this is a no-op).
 """
 
 from __future__ import annotations
@@ -54,3 +58,19 @@ def read_pruned(
     """Partition-pruned scan: only the matching hive partition is read."""
     df = spark.read.parquet(path)
     return df.filter(df[partition_col] == value)
+
+
+def fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism when the scan has fewer
+    splits than cores.
+
+    Parquet scans split by byte range (`spark.sql.files.maxPartitionBytes`),
+    but a file with a single row group yields exactly one task no matter the
+    setting, so downstream regex/window/JSON work would serialize on one
+    core.  The shuffle moves only the scan's raw bytes (small by premise);
+    callers apply it BEFORE expensive projections so those run wide.  When
+    the scan already has enough splits this returns the input unchanged."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
