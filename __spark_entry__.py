@@ -150,6 +150,16 @@ def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_join(spark, sf_dir)
 
 
+def _stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState last-N indicators);
+    final per-symbol state on bounded replay equals the batch snapshot."""
+    from marketstream_etl_spark.streaming.stateful import (
+        file_stream_stateful_indicators,
+    )
+
+    return file_stream_stateful_indicators(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events→trades→validate→per-symbol SMA/RSI/VWAP on sf0.001."""
     return analytics.q_indicators(spark, "/root/testdata/sf0.001")
@@ -237,6 +247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed": _stream_windowed,
         "streaming_dedup": _stream_dedup,
         "streaming_join": _stream_join,
+        "streaming_stateful": _stream_stateful,
     }
 
 
@@ -1069,6 +1080,45 @@ def oracle_sql() -> dict[str, str]:
              AND s."timestamp" >= b."timestamp"
              AND s."timestamp" <= b."timestamp" + 3600000000000
             GROUP BY b.symbol ORDER BY symbol
+        """,
+        # applyInPandasWithState final state on bounded replay == the batch
+        # last-N snapshot (the same window math as the `indicators` oracle,
+        # plus the running row count)
+        "streaming_stateful": f"""
+            WITH trades AS ({TRADES_CTE}),
+            valid AS (SELECT * FROM trades WHERE {_VALID_WHERE}),
+            ann AS (
+                SELECT symbol, price, volume,
+                    row_number() OVER (PARTITION BY symbol
+                                       ORDER BY "timestamp" DESC, trade_id DESC) AS rn_desc,
+                    count(*) OVER (PARTITION BY symbol) AS n,
+                    price - lag(price) OVER (PARTITION BY symbol
+                                             ORDER BY "timestamp", trade_id) AS change
+                FROM valid
+            ),
+            agg AS (
+                SELECT symbol, max(n) AS n,
+                    avg(CASE WHEN rn_desc <= least(5, n) THEN price END) AS sma_raw,
+                    sum(CASE WHEN rn_desc <= least(5, n - 1) AND change > 0
+                             THEN change ELSE 0 END) AS gain_sum,
+                    sum(CASE WHEN rn_desc <= least(5, n - 1) AND change < 0
+                             THEN -change ELSE 0 END) AS loss_sum,
+                    sum(price * volume) AS pv,
+                    sum(CAST(volume AS DOUBLE)) AS v
+                FROM ann GROUP BY symbol
+            )
+            SELECT symbol,
+                n AS n_trades,
+                round(sma_raw, 6) AS sma,
+                round(CASE WHEN n < 2 OR least(5, n) <= 1 THEN 50.0
+                           WHEN loss_sum = 0.0 THEN 100.0
+                           ELSE 100.0 - 100.0 / (1.0 +
+                                (gain_sum / CAST(least(5, n - 1) AS DOUBLE))
+                              / (loss_sum / CAST(least(5, n - 1) AS DOUBLE)))
+                      END, 6) AS rsi,
+                round(CASE WHEN v = 0 THEN 0.0 ELSE pv / v END, 6) AS vwap,
+                CAST(least(5, n) AS INTEGER) AS period
+            FROM agg ORDER BY symbol
         """,
         # generator invariants: the random draws differ engine-to-engine by
         # design; the invariant booleans are the deterministic contract.

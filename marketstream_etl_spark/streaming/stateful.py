@@ -84,16 +84,26 @@ def make_update_fn(period: int = DEFAULT_PERIOD):
             prices = list(prices)
         else:
             prices, pv, v, n = [], 0.0, 0.0, 0
-        for pdf in pdfs:
-            # arrival order within the batch = source order (tests feed
-            # time-ordered input, matching the reference's file order)
-            for price, volume in zip(pdf["price"], pdf["volume"]):
-                prices.append(float(price))
-                pv += float(price) * float(volume)
-                v += float(volume)
-                n += 1
-            if len(prices) > keep:
-                prices = prices[-keep:]
+        # Micro-batch rows are folded in canonical (timestamp, trade_id)
+        # order — shuffle delivery order is not deterministic, and the
+        # last-N tail depends on it (Trade.hpp:36-37 ordering). Across
+        # batches the watermark-free contract is source order, as in the
+        # reference's SPSC queue.
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({"price": [], "volume": []})
+        )
+        if {"timestamp", "trade_id"} <= set(batch.columns):
+            batch = batch.sort_values(["timestamp", "trade_id"])
+        for price, volume in zip(batch["price"], batch["volume"]):
+            prices.append(float(price))
+            pv += float(price) * float(volume)
+            v += float(volume)
+            n += 1
+        if len(prices) > keep:
+            prices = prices[-keep:]
         state.update((prices, pv, v, n))
         sma, rsi, vwap, eff = _indicators_from_state(prices, pv, v, n, period)
         yield pd.DataFrame(
@@ -115,10 +125,58 @@ def streaming_indicators(
 ) -> DataFrame:
     """Per-symbol last-N indicator stream: one output row per symbol per
     micro-batch reflecting the whole stream prefix."""
-    return ticks.select("symbol", "price", "volume").groupBy("symbol").applyInPandasWithState(
+    cols = ["symbol", "price", "volume"]
+    for order_col in ("timestamp", "trade_id"):
+        if order_col in ticks.columns:
+            cols.append(order_col)
+    return ticks.select(*cols).groupBy("symbol").applyInPandasWithState(
         make_update_fn(period),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def file_stream_stateful_indicators(spark, sf_dir: str) -> DataFrame:
+    """The custom stateful operator under the driver's gate: bounded replay
+    of the events-derived VALID trades through applyInPandasWithState, then
+    the latest emission per symbol.  On replay the final state equals the
+    batch `compute_indicators` snapshot, so even the Pandas-UDF state
+    machinery is oracle-checked (the one genuinely non-SQL piece of the
+    streaming surface gets a SQL oracle anyway)."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.validation import split_valid
+    from marketstream_etl_spark.plans.trades_view import trades_from_events
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    valid, _ = split_valid(trades_from_events(events))
+    ind = streaming_indicators(valid, period=DEFAULT_PERIOD)
+    name = f"stream_stateful_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        ind.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # n_trades grows monotonically per symbol → max_by picks the final state
+    emitted = spark.table(name)
+    return (
+        emitted.groupBy("symbol")
+        .agg(
+            F.max("n_trades").alias("n_trades"),
+            F.round(F.max_by("sma", "n_trades"), 6).alias("sma"),
+            F.round(F.max_by("rsi", "n_trades"), 6).alias("rsi"),
+            F.round(F.max_by("vwap", "n_trades"), 6).alias("vwap"),
+            F.max_by("period", "n_trades").alias("period"),
+        )
+        .orderBy("symbol")
     )

@@ -64,3 +64,35 @@ def test_streaming_indicators_match_batch(spark):
         assert got[sym]["vwap"] == pytest.approx(exp["vwap"], rel=1e-9), sym
         assert got[sym]["period"] == exp["period"]
     trades.unpersist()
+
+
+def test_file_stream_stateful_equals_batch(spark, sf_dir):
+    """Bounded replay through the stateful operator must end in the same
+    per-symbol state as the batch last-N snapshot."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.indicators import compute_indicators
+    from marketstream_etl_spark.operators.validation import split_valid
+    from marketstream_etl_spark.plans.trades_view import load_trades
+    from marketstream_etl_spark.streaming.stateful import (
+        file_stream_stateful_indicators,
+    )
+
+    streamed = {
+        r["symbol"]: (r["n_trades"], r["sma"], r["rsi"], r["vwap"], r["period"])
+        for r in file_stream_stateful_indicators(spark, sf_dir).collect()
+    }
+    valid, _ = split_valid(load_trades(spark, sf_dir))
+    batch = {
+        r["symbol"]: (
+            r["n"],
+            round(r["sma"], 6),
+            round(r["rsi"], 6),
+            round(r["vwap"], 6),
+            r["period"],
+        )
+        for r in compute_indicators(valid, period=5)
+        .join(valid.groupBy("symbol").agg(F.count("*").alias("n")), "symbol")
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
