@@ -32,8 +32,8 @@ def _hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*words)))
 
 
-def lang_id(text: Column) -> Column:
-    toks = tokens(text)
+def lang_id(text: Column, toks: Column | None = None) -> Column:
+    toks = tokens(text) if toks is None else toks
     hits = {lang: _hits(toks, LANG_MARKERS[lang]) for lang in LANG_ORDER}
     best = F.greatest(*[hits[lang] for lang in LANG_ORDER])
     out = F.lit("und")
@@ -67,8 +67,10 @@ def lang_id_sql(text_expr: str) -> str:
 STOPWORDS = LANG_MARKERS["en"] + ("it", "for", "on", "with", "as", "this")
 
 
-def quality_features(text: Column) -> dict[str, Column]:
-    toks = tokens(text)
+def quality_features(
+    text: Column, toks: Column | None = None
+) -> dict[str, Column]:
+    toks = tokens(text) if toks is None else toks
     n_chars = F.length(text)
     n_tokens = F.size(toks)
     n_punct = F.length(text) - F.length(
@@ -181,11 +183,15 @@ def analyze_documents(docs: DataFrame) -> DataFrame:
     Small-file inputs are spread across the cluster first — the regex work
     is CPU-bound and a single parquet file otherwise pins it to one task."""
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    q = quality_features(F.col("text"))
+    # tokenize ONCE into a named column; lang-id and quality scoring both
+    # read it (the split regex is the expensive part — an inline copy per
+    # consumer roughly doubles the stage)
+    docs = docs.select("doc_id", "text", tokens(F.col("text")).alias("_toks"))
+    q = quality_features(F.col("text"), toks=F.col("_toks"))
     tc = token_counts(F.col("text"))
     return docs.select(
         "doc_id",
-        lang_id(F.col("text")).alias("lang_pred"),
+        lang_id(F.col("text"), toks=F.col("_toks")).alias("lang_pred"),
         tc["ws_tokens"].alias("ws_tokens"),
         tc["bpe_ish_tokens"].alias("bpe_ish_tokens"),
         q["n_tokens"].alias("n_tokens"),
