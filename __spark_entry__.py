@@ -150,6 +150,14 @@ def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_join(spark, sf_dir)
 
 
+def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session_window sessionization; final state on
+    bounded replay equals the batch gaps-and-islands plan."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_sessions
+
+    return file_stream_sessions(spark, sf_dir)
+
+
 def _stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState last-N indicators);
     final per-symbol state on bounded replay equals the batch snapshot."""
@@ -248,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _stream_dedup,
         "streaming_join": _stream_join,
         "streaming_stateful": _stream_stateful,
+        "streaming_sessions": _stream_sessions,
     }
 
 
@@ -812,6 +821,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2 ORDER BY day_start_ns, event_type
         """,
         "sessionization": """
+            WITH chg AS (
+                SELECT user_id, event_id, epoch_ns(ts) AS tns,
+                       epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                FROM events
+            ),
+            sess AS (
+                SELECT user_id, tns,
+                    sum(CASE WHEN gap IS NULL OR gap > 1800000000000
+                             THEN 1 ELSE 0 END) OVER
+                        (PARTITION BY user_id ORDER BY tns, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS session_id
+                FROM chg
+            ),
+            per_session AS (
+                SELECT user_id, session_id, count(*) AS n_events,
+                       (max(tns) - min(tns)) / 1000000000 AS dur_s
+                FROM sess GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   round(avg(dur_s), 6) AS avg_session_s,
+                   round(max(dur_s), 6) AS max_session_s
+            FROM per_session GROUP BY user_id ORDER BY user_id
+        """,
+        # streaming session_window final state == batch islands
+        "streaming_sessions": """
             WITH chg AS (
                 SELECT user_id, event_id, epoch_ns(ts) AS tns,
                        epoch_ns(ts) - lag(epoch_ns(ts)) OVER

@@ -32,14 +32,16 @@ def q_trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_validate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 annotate: every trade with is_valid + first-failing reject_reason."""
-    return with_validation(load_trades(spark, sf_dir, fan_out=True)).select(
+    # NOTE: no fan_out here — validation must stay a pure map-side pass
+    # (zero shuffles at any scale); test_validation_is_shuffle_free guards it
+    return with_validation(load_trades(spark, sf_dir)).select(
         "trade_id", "symbol", "price", "volume", "is_valid", "reject_reason"
     )
 
 
 def q_validate_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 reject side: dead-letter rows with reasons."""
-    _, rejects = split_valid(load_trades(spark, sf_dir, fan_out=True))
+    _, rejects = split_valid(load_trades(spark, sf_dir))
     return rejects.select("trade_id", "symbol", "price", "volume", "reject_reason")
 
 

@@ -274,6 +274,67 @@ def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP = "30 minutes"
+SESSION_GAP_NS = 1_800_000_000_000
+
+
+def file_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via the native session_window (the
+    merge-on-overlap generalization of the batch gaps-and-islands plan in
+    plans/advanced.q_sessionization): per-user sessions with a 30-minute
+    inactivity gap, computed by the streaming state store.
+
+    A session window spans [first_ts, last_ts + gap), so the batch island
+    duration is (end - start - gap).  On bounded replay the final state
+    equals the batch islands (the two semantics differ only for gaps of
+    EXACTLY 30 minutes, absent at µs resolution), so the oracle is the same
+    SQL as the batch query.  Per-user stats are a batch step over the sink
+    table — chaining a second stateful aggregation onto the session window
+    is deliberately avoided."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    with_ts = events.select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+    )
+    sessions = with_ts.groupBy(
+        F.session_window("event_time", SESSION_GAP), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    name = f"stream_sessions_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dur_s = (
+        (
+            F.unix_micros(F.col("session_window.end"))
+            - F.unix_micros(F.col("session_window.start"))
+        )
+        * 1000
+        - SESSION_GAP_NS
+    ) / 1_000_000_000
+    return (
+        spark.table(name)
+        .select("user_id", "n_events", dur_s.alias("dur_s"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg("dur_s"), 6).alias("avg_session_s"),
+            F.round(F.max("dur_s"), 6).alias("max_session_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def file_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication (the staging-table `ON CONFLICT DO NOTHING`
     pattern of README.md:78-82, as a stream): input rows are deliberately

@@ -206,3 +206,30 @@ def test_file_stream_join_equals_batch(spark, sf_dir):
         .collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_file_stream_sessions_equals_batch(spark, sf_dir):
+    """Streaming session_window final state must equal the batch
+    gaps-and-islands sessionization on the same data."""
+    from marketstream_etl_spark.plans.advanced import q_sessionization
+    from marketstream_etl_spark.streaming.ticks import file_stream_sessions
+
+    streamed = {
+        r["user_id"]: (
+            r["n_sessions"],
+            r["n_events"],
+            r["avg_session_s"],
+            r["max_session_s"],
+        )
+        for r in file_stream_sessions(spark, sf_dir).collect()
+    }
+    batch = {
+        r["user_id"]: (
+            r["n_sessions"],
+            r["n_events"],
+            r["avg_session_s"],
+            r["max_session_s"],
+        )
+        for r in q_sessionization(spark, sf_dir).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
