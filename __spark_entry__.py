@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": advanced.q_asof_enrich,
         "events_tumbling": advanced.q_events_tumbling,
         "sessionization": advanced.q_sessionization,
+        "range_join_bands": advanced.q_range_join_bands,
         "rollup_lineitem": advanced.q_rollup_lineitem,
         "pivot_status": advanced.q_pivot_status,
         "set_ops": advanced.q_set_ops,
@@ -819,6 +820,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value,
                    round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2 ORDER BY day_start_ns, event_type
+        """,
+        # interval-membership (band) join: broadcast nested-loop on Spark,
+        # plain theta join for the oracle
+        "range_join_bands": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('P0_20K', 0.0, 20000.0),
+                ('P20_40K', 20000.0, 40000.0),
+                ('P40_60K', 40000.0, 60000.0),
+                ('P60_80K', 60000.0, 80000.0),
+                ('P80K_UP', 80000.0, 1e18))
+            SELECT band, count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS total_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN bands
+              ON l_extendedprice >= lo AND l_extendedprice < hi
+            GROUP BY band ORDER BY band
         """,
         "sessionization": """
             WITH chg AS (

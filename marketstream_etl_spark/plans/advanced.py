@@ -450,3 +450,45 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("active_users"))
         .orderBy("cohort_ns", "week_offset")
     )
+
+
+PRICE_BANDS = [
+    ("P0_20K", 0.0, 20_000.0),
+    ("P20_40K", 20_000.0, 40_000.0),
+    ("P40_60K", 40_000.0, 60_000.0),
+    ("P60_80K", 60_000.0, 80_000.0),
+    ("P80K_UP", 80_000.0, 1e18),
+]
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: classify every lineitem into a price band by
+    joining against a tiny interval table on lo <= price < hi.
+
+    Scale shape: the interval side is broadcast, so the plan is a
+    BroadcastNestedLoopJoin — a map-side interval lookup with NO shuffle of
+    the fact table regardless of its size (the canonical Spark treatment of
+    small-dimension range/band joins; an equi-join is impossible because the
+    key is an interval membership, not a value)."""
+    from marketstream_etl_spark.sources.tables import load_table
+
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band string, lo double, hi double"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = li.join(
+        F.broadcast(bands),
+        (li["l_extendedprice"] >= bands["lo"])
+        & (li["l_extendedprice"] < bands["hi"]),
+    )
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("band")
+    )

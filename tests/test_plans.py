@@ -136,3 +136,11 @@ def test_q21_two_shuffles_only(spark, sf_dir):
     plan = plan_of(tpch.q21_waiting_suppliers(spark, sf_dir))
     assert plan.count("hashpartitioning(l_orderkey") <= 2
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    """The band join must broadcast the interval side — no shuffle of the
+    fact table for an interval-membership lookup."""
+    plan = plan_of(advanced.q_range_join_bands(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan.split("HashAggregate")[0]
