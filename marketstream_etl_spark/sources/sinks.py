@@ -65,16 +65,16 @@ def write_dual_sinks(
     indicators_path: str,
 ) -> None:
     """Concurrent independent sinks (~1.87× in the reference, README.md:101):
-    two driver threads submit both writes; Spark's scheduler overlaps them."""
-    trades = trades.persist()
-    try:
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f1 = pool.submit(write_parquet, trades, trades_path)
-            f2 = pool.submit(write_parquet, indicators, indicators_path)
-            f1.result()
-            f2.result()
-    finally:
-        trades.unpersist()
+    two driver threads submit both writes; Spark's scheduler overlaps them.
+
+    Each input is scanned exactly once here, so no extra persist — callers
+    that reuse `trades` for other consumers (e.g. run_pipeline) hold their
+    own cache."""
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(write_parquet, trades, trades_path)
+        f2 = pool.submit(write_parquet, indicators, indicators_path)
+        f1.result()
+        f2.result()
 
 
 def _jdbc_exec(spark, url: str, statements: list[str]) -> None:
