@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_rejects": analytics.q_validate_rejects,
         "validation_counts": analytics.q_validation_counts,
         "indicators": analytics.q_indicators,
+        "rsi_wilder": analytics.q_rsi_wilder,
         "trade_count": analytics.q_trade_count,
         "symbol_leaderboard": analytics.q_symbol_leaderboard,
         "rsi_signals": analytics.q_rsi_signals,
@@ -286,6 +287,47 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, {_REASON_CASE} AS reason FROM trades)
         """,
         "indicators": _INDICATORS_SQL + " ORDER BY symbol",
+        "rsi_wilder": f"""
+            WITH trades AS ({TRADES_CTE}),
+            valid AS (SELECT * FROM trades WHERE {_VALID_WHERE}),
+            chg AS (
+                SELECT symbol,
+                    price - lag(price) OVER (PARTITION BY symbol
+                        ORDER BY "timestamp", trade_id) AS change,
+                    row_number() OVER (PARTITION BY symbol
+                        ORDER BY "timestamp", trade_id) - 1 AS j,
+                    count(*) OVER (PARTITION BY symbol) - 1 AS m
+                FROM valid
+            ),
+            wchg AS (
+                SELECT symbol, m, change,
+                    CASE WHEN m <= 14 THEN 1.0 / m
+                         WHEN j <= 14
+                             THEN power(1.0 - 1.0/14.0, m - 14.0) / 14.0
+                         ELSE (1.0/14.0) * power(1.0 - 1.0/14.0, m - j)
+                    END AS w
+                FROM chg WHERE change IS NOT NULL
+            ),
+            agg AS (
+                SELECT symbol, max(m) AS n_changes,
+                    sum(w * greatest(change, 0.0)) AS ag,
+                    sum(w * greatest(-change, 0.0)) AS al
+                FROM wchg GROUP BY symbol
+            ),
+            rs AS (
+                SELECT symbol, n_changes,
+                    CASE WHEN n_changes < 1 THEN 50.0
+                         WHEN al = 0.0 THEN 100.0
+                         ELSE 100.0 - 100.0 / (1.0 + ag / al)
+                    END AS rsi_raw
+                FROM agg
+            )
+            SELECT symbol, n_changes, round(rsi_raw, 4) AS rsi_wilder,
+                CASE WHEN rsi_raw >= 70 THEN 'OVERBOUGHT'
+                     WHEN rsi_raw <= 30 THEN 'OVERSOLD'
+                     ELSE 'NEUTRAL' END AS signal
+            FROM rs ORDER BY symbol
+        """,
         "trade_count": f"""
             WITH trades AS ({TRADES_CTE}) SELECT count(*) AS n_trades FROM trades
         """,

@@ -249,6 +249,76 @@ def compute_indicators_topk(
     return out
 
 
+def compute_rsi_wilder(
+    trades: DataFrame, period: int = 14
+) -> DataFrame:
+    """Engine extension: Wilder-smoothed RSI (the industry-standard variant;
+    the reference's RSI at TechnicalIndicators.hpp:249-290 uses a plain
+    average over the trailing window instead).
+
+    Wilder's recursion  avg_t = (avg_{t-1}·(period−1) + x_t) / period  with a
+    simple-average seed over the first `period` changes is rewritten in
+    CLOSED FORM so it stays a single shuffle with no iterative driver loop:
+    with α = 1/period and m changes per symbol, change j (1-based, ordered by
+    (timestamp, trade_id)) contributes weight
+
+        m ≤ period : 1/m                      (seed regime — simple average)
+        j ≤ period : (1−α)^(m−period) / period   (decayed seed share)
+        else       : α · (1−α)^(m−j)             (recursion unrolled)
+
+    avg_gain = Σ wⱼ·gainⱼ, avg_loss = Σ wⱼ·lossⱼ — exact, per-row weights,
+    fully parallel partial aggregation.  At 100 TB this is the same plan
+    shape as `compute_indicators`: one hash shuffle on symbol, no per-symbol
+    sort of the full history in the aggregate itself (the lag/row_number
+    window is the only sort, shared with every other indicator).
+
+    Output: symbol, n_changes, rsi_wilder, signal — one row per symbol.
+    """
+    alpha = 1.0 / float(period)
+    w_asc = Window.partitionBy("symbol").orderBy("timestamp", "trade_id")
+    w_all = Window.partitionBy("symbol")
+
+    ann = trades.select(
+        "symbol",
+        (F.col("price") - F.lag("price").over(w_asc)).alias("_change"),
+        (F.row_number().over(w_asc) - F.lit(1)).alias("_j"),
+        (F.count("*").over(w_all) - F.lit(1)).alias("_m"),
+    ).filter(F.col("_change").isNotNull())
+
+    m = F.col("_m").cast("double")
+    j = F.col("_j").cast("double")
+    decay = F.lit(1.0 - alpha)
+    weight = (
+        F.when(F.col("_m") <= period, F.lit(1.0) / m)
+        .when(
+            F.col("_j") <= period,
+            F.pow(decay, m - F.lit(float(period))) / F.lit(float(period)),
+        )
+        .otherwise(F.lit(alpha) * F.pow(decay, m - j))
+    )
+    gain = F.greatest(F.col("_change"), F.lit(0.0))
+    loss = F.greatest(-F.col("_change"), F.lit(0.0))
+
+    agg = ann.groupBy("symbol").agg(
+        F.max("_m").alias("n_changes"),
+        F.sum(weight * gain).alias("_ag"),
+        F.sum(weight * loss).alias("_al"),
+    )
+    rsi = (
+        F.when(F.col("n_changes") < 1, F.lit(50.0))
+        .when(F.col("_al") == 0.0, F.lit(100.0))
+        .otherwise(
+            F.lit(100.0)
+            - F.lit(100.0) / (F.lit(1.0) + F.col("_ag") / F.col("_al"))
+        )
+    )
+    return agg.select(
+        "symbol",
+        "n_changes",
+        rsi.alias("rsi_wilder"),
+    ).withColumn("signal", rsi_signal(F.col("rsi_wilder")))
+
+
 def compute_indicators_auto(
     trades: DataFrame,
     period: int = DEFAULT_PERIOD,

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from marketstream_etl_spark.operators.indicators import (
     compute_indicators,
+    compute_rsi_wilder,
     rsi_signal,
 )
 from marketstream_etl_spark.operators.validation import split_valid, with_validation
@@ -62,6 +63,19 @@ def q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rsi", 6).alias("rsi"),
         F.round("vwap", 6).alias("vwap"),
         "period",
+    ).orderBy("symbol")
+
+
+def q_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine extension: Wilder-smoothed RSI per symbol (closed-form EMA
+    weights — see operators/indicators.compute_rsi_wilder)."""
+    valid, _ = split_valid(load_trades(spark, sf_dir, fan_out=True))
+    out = compute_rsi_wilder(valid, period=14)
+    return out.select(
+        "symbol",
+        "n_changes",
+        F.round("rsi_wilder", 4).alias("rsi_wilder"),
+        "signal",
     ).orderBy("symbol")
 
 

@@ -160,3 +160,44 @@ def test_topk_variant_edge_cases(spark):
     assert out["ONE"]["rsi"] == 50.0 and out["ONE"]["period"] == 1
     assert out["UP"]["rsi"] == 100.0
     assert abs(out["UP"]["sma"] - 11.0) < 1e-12
+
+
+def _wilder_rsi_recursive(prices, period=14):
+    """Literal Wilder recursion (textbook form) for the closed-form check."""
+    changes = [b - a for a, b in zip(prices, prices[1:])]
+    gains = [max(c, 0.0) for c in changes]
+    losses = [max(-c, 0.0) for c in changes]
+    m = len(changes)
+    if m < 1:
+        return None
+    if m <= period:
+        ag, al = sum(gains) / m, sum(losses) / m
+    else:
+        ag = sum(gains[:period]) / period
+        al = sum(losses[:period]) / period
+        for g, l in zip(gains[period:], losses[period:]):
+            ag = (ag * (period - 1) + g) / period
+            al = (al * (period - 1) + l) / period
+    if al == 0.0:
+        return 100.0
+    return 100.0 - 100.0 / (1.0 + ag / al)
+
+
+def test_wilder_closed_form_matches_recursion(spark):
+    from marketstream_etl_spark.operators.indicators import compute_rsi_wilder
+
+    # deterministic pseudo-walk long enough to exercise the post-seed regime
+    prices = [100.0]
+    for i in range(60):
+        prices.append(prices[-1] + ((i * 7919) % 13 - 6) * 0.25)
+    df = trades_df(spark, {"A": [(p, 10) for p in prices], "B": [(5.0, 1)] * 3})
+    got = by_symbol(compute_rsi_wilder(df, period=14))
+    assert got["A"]["rsi_wilder"] == pytest.approx(
+        _wilder_rsi_recursive(prices, 14), abs=1e-9
+    )
+    assert got["A"]["n_changes"] == 60
+    # flat series: all changes zero → avg_loss 0 → 100.0 by convention
+    assert got["B"]["rsi_wilder"] == 100.0
+    # single-row symbols produce no change rows and are absent
+    df1 = trades_df(spark, {"C": [(9.0, 1)]})
+    assert by_symbol(compute_rsi_wilder(df1, period=14)) == {}
