@@ -168,13 +168,21 @@ def _stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_stateful_indicators(spark, sf_dir)
 
 
+def _stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas backend for the same stateful
+    indicator operator; identical oracle (the backends are interchangeable)."""
+    from marketstream_etl_spark.streaming.tws import file_stream_tws_indicators
+
+    return file_stream_tws_indicators(spark, sf_dir)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: events→trades→validate→per-symbol SMA/RSI/VWAP on sf0.001."""
     return analytics.q_indicators(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    qs = {
         # --- trade domain (reference parity, SURVEY §2.2-2.5) ---
         "trades_view": analytics.q_trades_view,
         "validate_split": analytics.q_validate_split,
@@ -260,10 +268,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful": _stream_stateful,
         "streaming_sessions": _stream_sessions,
     }
+    from marketstream_etl_spark.streaming.tws import HAS_TWS_RUNTIME
+
+    if HAS_TWS_RUNTIME:  # gRPC state-server runtime (cluster images only)
+        qs["streaming_tws"] = _stream_tws
+    return qs
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "trades_view": f"WITH trades AS ({TRADES_CTE}) SELECT * FROM trades",
         "validate_split": f"""
             WITH trades AS ({TRADES_CTE})
@@ -1225,3 +1238,11 @@ def oracle_sql() -> dict[str, str]:
                    true AS type_valid, true AS all_pass_validation
         """,
     }
+    # transformWithState backend computes the exact same snapshot as the
+    # applyInPandasWithState one — share the oracle verbatim (only when the
+    # query itself is registered, i.e. the gRPC runtime exists).
+    from marketstream_etl_spark.streaming.tws import HAS_TWS_RUNTIME
+
+    if HAS_TWS_RUNTIME:
+        sql["streaming_tws"] = sql["streaming_stateful"]
+    return sql
