@@ -168,6 +168,16 @@ def _stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_stateful_indicators(spark, sf_dir)
 
 
+def _stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch dual JDBC sink (embedded Derby) + relational readback;
+    the oracle's plain GROUP BY proves exactly-once landing in both tables."""
+    from marketstream_etl_spark.streaming.jdbc_sink import (
+        file_stream_jdbc_dual_sink,
+    )
+
+    return file_stream_jdbc_dual_sink(spark, sf_dir)
+
+
 def _stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 transformWithStateInPandas backend for the same stateful
     indicator operator; identical oracle (the backends are interchangeable)."""
@@ -267,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": _stream_join,
         "streaming_stateful": _stream_stateful,
         "streaming_sessions": _stream_sessions,
+        "streaming_jdbc_sink": _stream_jdbc_sink,
     }
     from marketstream_etl_spark.streaming.tws import HAS_TWS_RUNTIME
 
@@ -1228,6 +1239,16 @@ def oracle_sql() -> dict[str, str]:
                 round(CASE WHEN v = 0 THEN 0.0 ELSE pv / v END, 6) AS vwap,
                 CAST(least(5, n) AS INTEGER) AS period
             FROM agg ORDER BY symbol
+        """,
+        # dual-sink landing: both JDBC tables must reproduce the plain
+        # per-symbol GROUP BY over valid trades (exactly-once, end-to-end).
+        "streaming_jdbc_sink": f"""
+            WITH trades AS ({TRADES_CTE}),
+            valid AS (SELECT * FROM trades WHERE {_VALID_WHERE})
+            SELECT symbol, count(*) AS n_trades,
+                   count(*) AS n_from_counts,
+                   CAST(sum(volume) AS BIGINT) AS total_volume
+            FROM valid GROUP BY symbol ORDER BY symbol
         """,
         # generator invariants: the random draws differ engine-to-engine by
         # design; the invariant booleans are the deterministic contract.

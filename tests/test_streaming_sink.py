@@ -95,3 +95,27 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     spark.range(100, 250).select(F.col("id")).write.mode("append").parquet(src)
     # restart from the checkpoint: 150 new rows, zero reprocessing
     assert run_total() == 250
+
+
+def test_foreachbatch_jdbc_dual_sink(spark, sf_dir):
+    """Bounded replay through the JDBC dual sink: the relational readback
+    must agree between the row-level table, the per-epoch counts table, and
+    the batch GROUP BY over the same valid trades."""
+    from marketstream_etl_spark.operators.validation import split_valid
+    from marketstream_etl_spark.plans.trades_view import load_trades
+    from marketstream_etl_spark.streaming.jdbc_sink import (
+        file_stream_jdbc_dual_sink,
+    )
+
+    got = {
+        r["symbol"]: (r["n_trades"], r["n_from_counts"], r["total_volume"])
+        for r in file_stream_jdbc_dual_sink(spark, sf_dir).collect()
+    }
+    valid, _ = split_valid(load_trades(spark, sf_dir))
+    want = {
+        r["symbol"]: (r["n"], r["n"], r["vol"])
+        for r in valid.groupBy("symbol")
+        .agg(F.count("*").alias("n"), F.sum("volume").alias("vol"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
