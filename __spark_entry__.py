@@ -17,6 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
+from marketstream_etl_spark.functions.hashing import (
+    h32_sql as _h32_sql,
+    shingles_sql as _shingles_sql,
+    tokens_sql as _tokens_sql,
+)
 from marketstream_etl_spark.operators import dedup as _dedup
 from marketstream_etl_spark.operators import similarity as _sim
 from marketstream_etl_spark.operators import text as _text
@@ -249,6 +254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": training_data.q_stratified_sample,
         "corpus_curation": training_data.q_corpus_curation,
         "ann_ivf_recall": training_data.q_ann_ivf_recall,
+        "vocab_topk": training_data.q_vocab_topk,
+        "contamination": training_data.q_contamination,
+        "sequence_packing": training_data.q_sequence_packing,
         # --- advanced OLAP surface ---
         "rolling_indicators": advanced.q_rolling_indicators,
         "asof_enrich": advanced.q_asof_enrich,
@@ -790,6 +798,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(bpe_ish_tokens) AS BIGINT) AS total_tokens,
                    round(avg(quality_score), 6) AS avg_quality
             FROM final GROUP BY 1 ORDER BY lang_pred
+        """,
+        "vocab_topk": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_tokens_sql("text")}) AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS n_total,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM toks GROUP BY token
+            ORDER BY n_total DESC, token LIMIT 50
+        """,
+        "contamination": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                    {_h32_sql("CAST(doc_id AS VARCHAR)")} % 20 = 0 AS is_bench,
+                    list_distinct({_shingles_sql(_tokens_sql("text"), 3)}) AS s
+                FROM documents
+            ),
+            bench AS (
+                SELECT DISTINCT unnest(s) AS sh FROM sh WHERE is_bench
+            ),
+            corpus AS (
+                SELECT doc_id, len(s) AS n_shingles, unnest(s) AS sh
+                FROM sh WHERE NOT is_bench
+            )
+            SELECT doc_id, any_value(n_shingles) AS n_shingles,
+                   count(*) AS n_overlap,
+                   round(count(*) / CAST(any_value(n_shingles) AS DOUBLE), 4)
+                       AS contamination
+            FROM corpus JOIN bench USING (sh)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "sequence_packing": f"""
+            WITH docs AS (
+                SELECT doc_id,
+                    len({_tokens_sql("text")}) AS n_tokens,
+                    {_h32_sql("CAST(doc_id AS VARCHAR)")} % 8 AS lane,
+                    md5('pack42:' || CAST(doc_id AS VARCHAR)) AS sk
+                FROM documents
+            ),
+            packed AS (
+                SELECT lane,
+                    CAST(floor((sum(n_tokens) OVER w - n_tokens) / 2048.0)
+                         AS BIGINT) AS bin,
+                    n_tokens
+                FROM docs
+                WINDOW w AS (PARTITION BY lane ORDER BY sk
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT lane, bin, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM packed GROUP BY lane, bin ORDER BY lane, bin
         """,
         # connected components via recursive transitive closure — the
         # LSH near-dup graph is tiny, so full closure is fine oracle-side;

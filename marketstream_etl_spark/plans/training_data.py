@@ -218,3 +218,117 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector-corpus health stats (counts, norms, centroid norm)."""
     return similarity.embedding_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-50 tokens by total frequency,
+    with document frequency alongside.
+
+    Classic skewed-key workload ("the" dominates): explode → groupBy rides
+    map-side partial aggregation, so each task pre-collapses its own token
+    counts before the single shuffle, and the final top-k compiles to
+    TakeOrderedAndProject — no global sort.  At 100 TB this is the standard
+    vocab-building pass; nothing here is per-row Python."""
+    from marketstream_etl_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), "token")
+        .limit(50)
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: word-3-gram overlap between every
+    corpus document and a held-out "benchmark" slice (deterministic 1-in-20
+    of docs by md5 of doc_id).
+
+    Scale shape: the benchmark shingle set is tiny relative to the corpus →
+    broadcast it and the overlap join is map-side (no shuffle of the corpus
+    side); per-doc overlap counts then aggregate on doc_id, which is
+    uniformly distributed.  This is the n-gram-decontamination pass every
+    eval-safe training pipeline runs."""
+    from marketstream_etl_spark.functions.hashing import h32, shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        (h32(F.col("doc_id").cast("string")) % 20 == 0).alias("_is_bench"),
+        F.array_distinct(shingles(tokens(F.col("text")), k=3)).alias("_sh"),
+    )
+    bench_shingles = (
+        sh.filter("_is_bench")
+        .select(F.explode("_sh").alias("sh"))
+        .distinct()
+    )
+    corpus = sh.filter(~F.col("_is_bench")).select(
+        "doc_id",
+        F.size("_sh").alias("n_shingles"),
+        F.explode("_sh").alias("sh"),
+    )
+    overlap = corpus.join(F.broadcast(bench_shingles), "sh").groupBy(
+        "doc_id"
+    ).agg(
+        F.first("n_shingles").alias("n_shingles"),
+        F.count("*").alias("n_overlap"),
+    )
+    return overlap.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(
+            F.col("n_overlap") / F.col("n_shingles").cast("double"), 4
+        ).alias("contamination"),
+    ).orderBy("doc_id")
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle + streaming sequence packing.
+
+    Training pipelines need (a) a reproducible global shuffle of documents
+    and (b) packing shuffled docs into fixed token budgets.  Both are pure
+    window arithmetic: shuffle key = md5('pack42:' || doc_id) (engine-
+    independent), 8 independent packer lanes keyed by doc-id hash, and
+    bin = floor(preceding-cumsum / 2048) inside each lane — the cumulative
+    sum IS the packer, so there is no sequential driver loop; each lane
+    sorts only its own slice (at 100 TB: one range-partitioned sort per
+    lane, fully parallel)."""
+    from marketstream_etl_spark.functions.hashing import h32, tokens
+    from pyspark.sql import Window
+
+    budget = 2048
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        (h32(F.col("doc_id").cast("string")) % 8).alias("lane"),
+        F.md5(F.concat(F.lit("pack42:"), F.col("doc_id").cast("string"))).alias(
+            "_sk"
+        ),
+    )
+    w = (
+        Window.partitionBy("lane")
+        .orderBy("_sk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = docs.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(budget)
+        ),
+    )
+    return (
+        packed.groupBy("lane", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("lane", "bin")
+    )

@@ -56,3 +56,44 @@ def test_analyze_documents_features(spark):
     assert r["stop_ratio"] == pytest.approx(3 / 8, abs=1e-6)
     assert 0.0 <= r["quality_score"] <= 1.0
     assert len(r["fingerprint"]) == 32
+
+
+def test_corpus_ops_invariants(spark, sf_dir):
+    """vocab_topk / contamination / sequence_packing structural invariants."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.functions.hashing import tokens
+    from marketstream_etl_spark.plans.training_data import (
+        q_contamination,
+        q_sequence_packing,
+        q_vocab_topk,
+    )
+    from marketstream_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    ).cache()
+    total_tokens = docs.agg(F.sum("n")).collect()[0][0]
+    n_docs = docs.count()
+
+    vocab = q_vocab_topk(spark, sf_dir).collect()
+    assert 0 < len(vocab) <= 50
+    assert all(r["n_docs"] <= n_docs and r["n_total"] >= r["n_docs"] for r in vocab)
+    # heavy hitters are sorted by total frequency
+    totals = [r["n_total"] for r in vocab]
+    assert totals == sorted(totals, reverse=True)
+
+    cont = q_contamination(spark, sf_dir).collect()
+    assert all(0 < r["n_overlap"] <= r["n_shingles"] for r in cont)
+    assert all(0.0 < r["contamination"] <= 1.0 for r in cont)
+
+    packed = q_sequence_packing(spark, sf_dir)
+    agg = packed.agg(F.sum("n_docs"), F.sum("sum_tokens")).collect()[0]
+    # packing is a partition of the corpus: every doc and token lands once
+    assert (agg[0], agg[1]) == (n_docs, total_tokens)
+    # each lane's bins are dense from 0
+    lanes = packed.groupBy("lane").agg(
+        F.min("bin").alias("lo"), F.max("bin").alias("hi"), F.count("*").alias("k")
+    )
+    assert all(r["lo"] == 0 and r["k"] == r["hi"] + 1 for r in lanes.collect())
+    docs.unpersist()
