@@ -173,6 +173,14 @@ def _stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_stateful_indicators(spark, sf_dir)
 
 
+def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact join over bucket-sorted managed tables (exchange-free
+    sort-merge; test_layout asserts the plan shape)."""
+    from marketstream_etl_spark.sources.bucketed import q_bucketed_join
+
+    return q_bucketed_join(spark, sf_dir)
+
+
 def _stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch dual JDBC sink (embedded Derby) + relational readback;
     the oracle's plain GROUP BY proves exactly-once landing in both tables."""
@@ -235,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": tpch.q21_waiting_suppliers,
         "tpch_q22": tpch.q22_idle_customers,
         "top_parts_by_revenue": tpch.q_top_parts_by_revenue,
+        "bucketed_join": _bucketed_join,
         # --- training-data pipeline ops (north star) ---
         "text_analysis": training_data.q_text_analysis,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
@@ -798,6 +807,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(bpe_ish_tokens) AS BIGINT) AS total_tokens,
                    round(avg(quality_score), 6) AS avg_quality
             FROM final GROUP BY 1 ORDER BY lang_pred
+        """,
+        "bucketed_join": """
+            SELECT o_orderpriority, count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "vocab_topk": f"""
             WITH toks AS (

@@ -61,3 +61,46 @@ def test_bucketed_join_is_shuffle_free(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_trades")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """Both sides bucket-sorted by the join key → the sort-merge join plan
+    has no Exchange (and no per-side Sort): co-location is a table property,
+    not a per-query shuffle."""
+    from marketstream_etl_spark.sources.bucketed import (
+        bucketed_join,
+        ensure_bucketed_pair,
+        q_bucketed_join,
+    )
+
+    o_tbl, l_tbl = ensure_bucketed_pair(spark, sf_dir)
+    joined = bucketed_join(spark, o_tbl, l_tbl)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "ShuffleExchange" not in plan
+
+    # and the full driver query agrees with a plain (shuffled) join
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.sources.tables import load_table
+
+    got = {
+        r["o_orderpriority"]: (r["n_items"], r["revenue"])
+        for r in q_bucketed_join(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    want = {
+        r["o_orderpriority"]: (r["n"], r["rev"])
+        for r in o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("rev"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
