@@ -100,3 +100,34 @@ def test_indicators_match_reference_model(spark_prop, series, period):
         assert got[sym]["vwap"] == pytest.approx(
             model_vwap(prices, volumes), rel=1e-9
         )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    prices=st.lists(
+        st.floats(min_value=1.0, max_value=10_000.0, allow_nan=False),
+        min_size=2,
+        max_size=40,
+    ),
+    period=st.integers(min_value=2, max_value=14),
+)
+def test_wilder_closed_form_property(spark_prop, prices, period):
+    """Closed-form weight unrolling == literal Wilder recursion for any
+    price path and period (the seed regime, the boundary m == period, and
+    the decayed-recursion regime are all reachable here)."""
+    from marketstream_etl_spark.operators.indicators import compute_rsi_wilder
+    from tests.test_indicators import _wilder_rsi_recursive
+
+    rows = [
+        Row(trade_id=i, symbol="A", timestamp=1_000_000 + i, price=float(p), volume=1)
+        for i, p in enumerate(prices)
+    ]
+    df = spark_prop.createDataFrame(rows)
+    got = {r["symbol"]: r for r in compute_rsi_wilder(df, period=period).collect()}
+    want = _wilder_rsi_recursive(prices, period)
+    assert got["A"]["rsi_wilder"] == pytest.approx(want, rel=1e-9, abs=1e-9)
+    assert 0.0 <= got["A"]["rsi_wilder"] <= 100.0
