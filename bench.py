@@ -35,6 +35,10 @@ HEADLINE = [
     "ann_bruteforce",
     "simhash_pairs",
     "corpus_curation",
+    "vocab_topk",
+    "contamination",
+    "sequence_packing",
+    "rsi_wilder",
 ]
 
 

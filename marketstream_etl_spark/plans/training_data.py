@@ -259,11 +259,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.functions.hashing import h32, shingles, tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # persist: both branches (benchmark set + corpus) consume this frame, and
+    # without a materialization point each consumer re-runs the expensive
+    # tokenize→shingle→distinct expression per row (measured 7× slower)
     sh = docs.select(
         "doc_id",
         (h32(F.col("doc_id").cast("string")) % 20 == 0).alias("_is_bench"),
         F.array_distinct(shingles(tokens(F.col("text")), k=3)).alias("_sh"),
-    )
+    ).persist()
     bench_shingles = (
         sh.filter("_is_bench")
         .select(F.explode("_sh").alias("sh"))

@@ -165,3 +165,40 @@ def test_tws_processor_fold_matches_stateful_update_fn():
 
     pd.testing.assert_frame_equal(tws_out, legacy_out)
     assert tws_out["n_trades"].iloc[0] == 7
+
+
+def test_file_stream_tws_equals_batch(spark, sf_dir):
+    """End-to-end transformWithState replay == batch snapshot — runs only
+    where the gRPC state-server runtime (grpcio+protobuf) is available."""
+    import pytest
+
+    from marketstream_etl_spark.streaming.tws import HAS_TWS_RUNTIME
+
+    if not HAS_TWS_RUNTIME:
+        pytest.skip("transformWithState needs grpcio+protobuf")
+
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.indicators import compute_indicators
+    from marketstream_etl_spark.operators.validation import split_valid
+    from marketstream_etl_spark.plans.trades_view import load_trades
+    from marketstream_etl_spark.streaming.tws import file_stream_tws_indicators
+
+    streamed = {
+        r["symbol"]: (r["n_trades"], r["sma"], r["rsi"], r["vwap"], r["period"])
+        for r in file_stream_tws_indicators(spark, sf_dir).collect()
+    }
+    valid, _ = split_valid(load_trades(spark, sf_dir))
+    batch = {
+        r["symbol"]: (
+            r["n"],
+            round(r["sma"], 6),
+            round(r["rsi"], 6),
+            round(r["vwap"], 6),
+            r["period"],
+        )
+        for r in compute_indicators(valid, period=5)
+        .join(valid.groupBy("symbol").agg(F.count("*").alias("n")), "symbol")
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
