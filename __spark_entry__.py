@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": training_data.q_vocab_topk,
         "contamination": training_data.q_contamination,
         "sequence_packing": training_data.q_sequence_packing,
+        "chunk_documents": training_data.q_chunk_documents,
         # --- advanced OLAP surface ---
         "rolling_indicators": advanced.q_rolling_indicators,
         "asof_enrich": advanced.q_asof_enrich,
@@ -844,6 +845,21 @@ def oracle_sql() -> dict[str, str]:
                        AS contamination
             FROM corpus JOIN bench USING (sh)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "chunk_documents": f"""
+            WITH toks AS (
+                SELECT doc_id, {_tokens_sql("text")} AS tk FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id, len(tk) AS n, tk,
+                       unnest(range(0, len(tk), 48)) AS s
+                FROM toks WHERE len(tk) > 0
+            )
+            SELECT doc_id,
+                   CAST(s // 48 AS INTEGER) AS chunk_idx,
+                   CAST(least(64, n - s) AS INTEGER) AS n_chunk_tokens,
+                   md5(array_to_string(tk[s+1 : s+64], ' ')) AS checksum
+            FROM chunks ORDER BY doc_id, chunk_idx
         """,
         "sequence_packing": f"""
             WITH docs AS (

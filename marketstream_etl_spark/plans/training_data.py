@@ -335,3 +335,39 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lane", "bin")
     )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into overlapping
+    fixed-token windows (size 64, stride 48), the standard pre-tokenization
+    pass for LLM training shards.
+
+    One generate per row — tokens are projected once, the chunk starts come
+    from `sequence`, and `slice` + `concat_ws` build each window, all
+    JVM-side inside the scan stage (no shuffle until the final order-by).
+    1-to-N fan-out scales with output size, not document count, and no
+    chunk ever crosses a row boundary so partitioning is embarrassing."""
+    from marketstream_etl_spark.functions.hashing import tokens
+
+    size_, stride = 64, 48
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("_tk")
+    )
+    n = F.size("_tk")
+    chunks = docs.filter(n > 0).select(
+        "doc_id",
+        "_tk",
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n - 1, F.lit(stride))).alias("_s"),
+    )
+    chunk_text = F.concat_ws(
+        " ", F.slice(F.col("_tk"), F.col("_s") + 1, size_)
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("_s") / stride).cast("int").alias("chunk_idx"),
+        F.least(F.lit(size_), F.col("_n") - F.col("_s")).alias(
+            "n_chunk_tokens"
+        ),
+        F.md5(chunk_text).alias("checksum"),
+    ).orderBy("doc_id", "chunk_idx")

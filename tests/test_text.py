@@ -97,3 +97,53 @@ def test_corpus_ops_invariants(spark, sf_dir):
     )
     assert all(r["lo"] == 0 and r["k"] == r["hi"] + 1 for r in lanes.collect())
     docs.unpersist()
+
+
+def test_chunk_documents_invariants(spark, sf_dir):
+    """Sliding-window chunking: full coverage, correct overlap arithmetic."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.functions.hashing import tokens
+    from marketstream_etl_spark.plans.training_data import q_chunk_documents
+    from marketstream_etl_spark.sources.tables import load_table
+
+    chunks = q_chunk_documents(spark, sf_dir).cache()
+    per_doc = {
+        r["doc_id"]: (r["k"], r["last_tokens"])
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.min_by("n_chunk_tokens", "chunk_idx" ).alias("first_tokens"),
+            F.max_by("n_chunk_tokens", "chunk_idx").alias("last_tokens"),
+        )
+        .collect()
+    }
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .filter("n > 0")
+        .collect()
+    }
+    assert set(per_doc) == set(docs)
+    for doc_id, n in docs.items():
+        k, last_tokens = per_doc[doc_id]
+        # starts are 0, 48, 96, ... < n
+        assert k == (n + 47) // 48
+        # the final window holds whatever remains past the last start
+        assert last_tokens == min(64, n - 48 * (k - 1))
+    # stride (48) < size (64) ⇒ the last TWO windows of a doc may run past
+    # the end and come up short; every earlier window must be full-size
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    short_early = (
+        chunks.withColumn("k", F.max("chunk_idx").over(w))
+        .filter(
+            (F.col("chunk_idx") < F.col("k") - 1)
+            & (F.col("n_chunk_tokens") != 64)
+        )
+        .count()
+    )
+    assert short_early == 0
+    chunks.unpersist()
