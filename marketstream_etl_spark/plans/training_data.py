@@ -224,11 +224,12 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters: top-50 tokens by total frequency,
     with document frequency alongside.
 
-    Classic skewed-key workload ("the" dominates): explode → groupBy rides
-    map-side partial aggregation, so each task pre-collapses its own token
-    counts before the single shuffle, and the final top-k compiles to
-    TakeOrderedAndProject — no global sort.  At 100 TB this is the standard
-    vocab-building pass; nothing here is per-row Python."""
+    Classic skewed-key workload ("the" dominates): the distinct-doc count
+    plans as the standard two-phase aggregate — partial collapse on
+    (token, doc_id) map-side, then the per-token roll-up — so no reducer
+    ever sees raw exploded rows, and the final top-k compiles to
+    TakeOrderedAndProject, not a global sort.  At 100 TB this is the
+    standard vocab-building pass; nothing here is per-row Python."""
     from marketstream_etl_spark.functions.hashing import tokens
 
     docs = load_table(spark, sf_dir, "documents")

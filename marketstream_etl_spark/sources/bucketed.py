@@ -48,12 +48,23 @@ def write_bucketed(
 
 
 def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Write orders + lineitem bucketed by orderkey (idempotent overwrite)."""
-    o_tbl, l_tbl = "bkt_orders", "bkt_lineitem"
-    write_bucketed(load_table(spark, sf_dir, "orders"), o_tbl, "o_orderkey")
-    write_bucketed(
-        load_table(spark, sf_dir, "lineitem"), l_tbl, "l_orderkey"
-    )
+    """Write orders + lineitem bucketed by orderkey — once.  Table names are
+    keyed to the source dir (stable md5, not the per-process str hash), so
+    repeat calls within a session find the catalog entry and skip the
+    rewrite: the bucketing cost really is paid at write time only."""
+    import hashlib
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o_tbl, l_tbl = f"bkt_orders_{sfx}", f"bkt_lineitem_{sfx}"
+    if not (
+        spark.catalog.tableExists(o_tbl) and spark.catalog.tableExists(l_tbl)
+    ):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders"), o_tbl, "o_orderkey"
+        )
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem"), l_tbl, "l_orderkey"
+        )
     return o_tbl, l_tbl
 
 

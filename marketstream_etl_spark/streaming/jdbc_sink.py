@@ -110,20 +110,13 @@ def file_stream_jdbc_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — the oracle (a plain GROUP BY over valid trades) confirms both
     sinks landed every row exactly once, end-to-end across the JDBC boundary.
     """
-    from marketstream_etl_spark.operators.validation import split_valid
-    from marketstream_etl_spark.plans.trades_view import trades_from_events
+    from marketstream_etl_spark.streaming.replay import valid_trades_stream
 
     url = _derby_url(f"stream_sink_{abs(hash(sf_dir)) % 100000}")
     trades_table, counts_table = "stream_trades", "stream_symbol_counts"
     _drop_if_exists(spark, url, [trades_table, counts_table])
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    valid, _ = split_valid(trades_from_events(events))
+    valid = valid_trades_stream(spark, sf_dir)
     run_stream_to_jdbc_dual_sink(
         valid.select("trade_id", "symbol", "price", "volume"),
         url,
@@ -131,8 +124,15 @@ def file_stream_jdbc_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts_table,
     )
 
-    landed = _read_jdbc(spark, url, trades_table)
-    counts = _read_jdbc(spark, url, counts_table)
+    # Retry-proof readback: a JDBC append has no global transaction, so a
+    # transiently-failed partition task can re-append committed rows.  The
+    # stored keys make replays idempotent to read: trade_id dedups the row
+    # table, (symbol, epoch) dedups the per-epoch counts (a retried epoch
+    # writes identical rows).
+    landed = _read_jdbc(spark, url, trades_table).dropDuplicates(["trade_id"])
+    counts = _read_jdbc(spark, url, counts_table).dropDuplicates(
+        ["symbol", "epoch"]
+    )
     per_symbol = landed.groupBy("symbol").agg(
         F.count("*").alias("n_trades"),
         F.sum("volume").alias("total_volume"),

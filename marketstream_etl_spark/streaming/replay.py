@@ -1,0 +1,64 @@
+"""Shared bounded-replay scaffold for the oracle-checked streaming queries.
+
+Every streaming driver query follows the same contract: replay the
+events-derived VALID trades through a real Structured Streaming query
+(file source + availableNow), drain into a memory sink, and reduce the
+emissions to a final snapshot the DuckDB oracle can reproduce with batch
+SQL.  The scaffold lives here once so the replay contract (source schema,
+glob, sink naming, final-emission tie-break) has a single definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def valid_trades_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream, mapped to valid trades."""
+    from marketstream_etl_spark.operators.validation import split_valid
+    from marketstream_etl_spark.plans.trades_view import trades_from_events
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    valid, _ = split_valid(trades_from_events(events))
+    return valid
+
+
+def drain_to_memory(
+    df: DataFrame, name_prefix: str, sf_dir: str, output_mode: str = "update"
+) -> DataFrame:
+    """Run the streaming frame to completion into a memory sink; return the
+    sink table.  The sink name is unique per (prefix, sf_dir) within the
+    process, matching the pre-existing per-query naming convention."""
+    name = f"{name_prefix}_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def final_indicator_snapshot(emitted: DataFrame) -> DataFrame:
+    """Latest per-symbol emission of a stateful indicator stream:
+    n_trades grows monotonically per symbol, so max_by picks the final
+    state; doubles are rounded to the oracle's 6 decimals."""
+    return (
+        emitted.groupBy("symbol")
+        .agg(
+            F.max("n_trades").alias("n_trades"),
+            F.round(F.max_by("sma", "n_trades"), 6).alias("sma"),
+            F.round(F.max_by("rsi", "n_trades"), 6).alias("rsi"),
+            F.round(F.max_by("vwap", "n_trades"), 6).alias("vwap"),
+            F.max_by("period", "n_trades").alias("period"),
+        )
+        .orderBy("symbol")
+    )

@@ -95,8 +95,9 @@ def make_update_fn(period: int = DEFAULT_PERIOD):
             if chunks
             else pd.DataFrame({"price": [], "volume": []})
         )
-        if {"timestamp", "trade_id"} <= set(batch.columns):
-            batch = batch.sort_values(["timestamp", "trade_id"])
+        order_cols = [c for c in ("timestamp", "trade_id") if c in batch.columns]
+        if order_cols:
+            batch = batch.sort_values(order_cols)
         for price, volume in zip(batch["price"], batch["volume"]):
             prices.append(float(price))
             pv += float(price) * float(volume)
@@ -145,38 +146,13 @@ def file_stream_stateful_indicators(spark, sf_dir: str) -> DataFrame:
     batch `compute_indicators` snapshot, so even the Pandas-UDF state
     machinery is oracle-checked (the one genuinely non-SQL piece of the
     streaming surface gets a SQL oracle anyway)."""
-    from pyspark.sql import functions as F
-
-    from marketstream_etl_spark.operators.validation import split_valid
-    from marketstream_etl_spark.plans.trades_view import trades_from_events
-
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    from marketstream_etl_spark.streaming.replay import (
+        drain_to_memory,
+        final_indicator_snapshot,
+        valid_trades_stream,
     )
-    valid, _ = split_valid(trades_from_events(events))
+
+    valid = valid_trades_stream(spark, sf_dir)
     ind = streaming_indicators(valid, period=DEFAULT_PERIOD)
-    name = f"stream_stateful_{abs(hash(sf_dir)) % 100000}"
-    q = (
-        ind.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # n_trades grows monotonically per symbol → max_by picks the final state
-    emitted = spark.table(name)
-    return (
-        emitted.groupBy("symbol")
-        .agg(
-            F.max("n_trades").alias("n_trades"),
-            F.round(F.max_by("sma", "n_trades"), 6).alias("sma"),
-            F.round(F.max_by("rsi", "n_trades"), 6).alias("rsi"),
-            F.round(F.max_by("vwap", "n_trades"), 6).alias("vwap"),
-            F.max_by("period", "n_trades").alias("period"),
-        )
-        .orderBy("symbol")
-    )
+    emitted = drain_to_memory(ind, "stream_stateful", sf_dir)
+    return final_indicator_snapshot(emitted)
