@@ -147,6 +147,16 @@ def _stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_dedup_counts(spark, sf_dir)
 
 
+def _stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-bounded dropDuplicatesWithinWatermark variant: same exact-once
+    contract, but dedup keys are evicted once the watermark passes them."""
+    from marketstream_etl_spark.streaming.ticks import (
+        file_stream_dedup_watermarked,
+    )
+
+    return file_stream_dedup_watermarked(spark, sf_dir)
+
+
 def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (buy→sell pairing within 1h);
     bounded replay makes the appended output equal the batch interval join."""
@@ -292,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counts": _stream_counts,
         "streaming_windowed": _stream_windowed,
         "streaming_dedup": _stream_dedup,
+        "streaming_dedup_watermarked": _stream_dedup_watermarked,
         "streaming_join": _stream_join,
         "streaming_stateful": _stream_stateful,
         "streaming_sessions": _stream_sessions,
@@ -1357,4 +1368,6 @@ def oracle_sql() -> dict[str, str]:
 
     if HAS_TWS_RUNTIME:
         sql["streaming_tws"] = sql["streaming_stateful"]
+    # the watermarked dedup variant has the identical exact-once contract
+    sql["streaming_dedup_watermarked"] = sql["streaming_dedup"]
     return sql

@@ -369,3 +369,52 @@ def file_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_trades"))
         .orderBy("symbol")
     )
+
+
+def file_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` — the state-BOUNDED streaming dedup.
+
+    Plain streaming dropDuplicates keeps every key seen forever (state grows
+    with the stream; untenable on an unbounded 100 TB feed).  The
+    within-watermark form evicts keys once the event-time watermark passes
+    them, so state is O(keys-per-watermark-window) — the variant a long-
+    running deployment must use when duplicates arrive close together (the
+    at-least-once-delivery case, which is exactly the retry shape).
+
+    Same contract as file_stream_dedup_counts: deliberately doubled input
+    (duplicates land inside one micro-batch, trivially within the 1h
+    watermark), deduped per-symbol counts equal the plain batch counts."""
+    from marketstream_etl_spark.plans.trades_view import trades_from_events
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    trades = trades_from_events(events)
+    doubled = trades.withColumn(
+        "_copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("_copy")
+    deduped = (
+        doubled.withColumn(
+            "event_time", F.timestamp_micros(F.expr("timestamp div 1000"))
+        )
+        .withWatermark("event_time", "1 hour")
+        .dropDuplicatesWithinWatermark(["trade_id"])
+    )
+    name = f"stream_dedup_wm_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("symbol")
+        .agg(F.count("*").alias("n_trades"))
+        .orderBy("symbol")
+    )
