@@ -62,14 +62,17 @@ def to_json_frames(ticks: DataFrame) -> DataFrame:
     )
 
 
-def parse_json_frames(frames: DataFrame) -> DataFrame:
+def parse_json_frames(
+    frames: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """S5/S6/ST6 ingest: JSON frame → typed tick + dead-letter flag.
 
     Corrupt frames keep the raw frame and set `parse_error` — the
     `parse_errors` counter channel of TickClient.hpp:224-231.  from_json in
     permissive mode yields an all-null struct (not a NULL struct) for
     malformed input, so corruption is detected via the always-present
-    trade_id field.
+    trade_id field.  `passthrough` names source-metadata columns to carry
+    along (e.g. Kafka topic/partition/offset).
     """
     parsed = frames.withColumn(
         "tick", F.from_json("value", T.StructType(TICK_SCHEMA.fields))
@@ -80,6 +83,7 @@ def parse_json_frames(frames: DataFrame) -> DataFrame:
         (F.col("tick").isNull() | F.col("tick.trade_id").isNull()).alias(
             "parse_error"
         ),
+        *passthrough,
     )
 
 
