@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": training_data.q_contamination,
         "sequence_packing": training_data.q_sequence_packing,
         "chunk_documents": training_data.q_chunk_documents,
+        "udtf_doc_terms": training_data.q_udtf_doc_terms,
         # --- advanced OLAP surface ---
         "rolling_indicators": advanced.q_rolling_indicators,
         "asof_enrich": advanced.q_asof_enrich,
@@ -295,6 +296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "generator_invariants": advanced.q_generator_invariants,
         "window_analytics": advanced.q_window_analytics,
         "cube_events": advanced.q_cube_events,
+        "grouping_sets": advanced.q_grouping_sets,
+        "partition_pruning": advanced.q_partition_pruning,
         "skew_salted_join": advanced.q_skew_salted_join,
         "funnel": advanced.q_funnel,
         "retention_cohorts": advanced.q_retention_cohorts,
@@ -1251,6 +1254,46 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT a.user_id) AS active_users
             FROM active a JOIN cohort c USING (user_id)
             GROUP BY 1, 2 ORDER BY cohort_ns, week_offset
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+            ORDER BY l_returnflag ASC NULLS FIRST,
+                     l_linestatus ASC NULLS FIRST
+        """,
+        # the partitioned layout must not change the answer: oracle is the
+        # plain filtered aggregate over the flat table
+        "partition_pruning": """
+            SELECT l_linestatus, count(*) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price
+            FROM lineitem WHERE l_returnflag = 'R'
+            GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        # the UDTF's imperative expansion re-derived relationally
+        "udtf_doc_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            counts AS (
+                SELECT doc_id, term, count(*) AS cnt
+                FROM toks GROUP BY doc_id, term
+            ),
+            ranked AS (
+                SELECT doc_id, term, cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, term)
+                           AS term_rank
+                FROM counts
+            )
+            SELECT doc_id, term, cnt, term_rank FROM ranked
+            WHERE term_rank <= 3 ORDER BY doc_id, term_rank
         """,
         # salting must not change the answer: oracle is the PLAIN join
         "skew_salted_join": """

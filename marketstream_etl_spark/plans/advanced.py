@@ -492,3 +492,57 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of rollup/cube: exactly
+    the three aggregation levels the caller names (flag x status, flag,
+    grand total), nothing else.
+
+    Scale shape: like cube_events, one Expand feeds one partial+final
+    hash aggregate, so the input is scanned ONCE and the shuffle carries
+    pre-reduced rows — v. running three groupBys and unioning (3 scans,
+    3 shuffles)."""
+    from marketstream_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over ONE partition of a directory-partitioned table
+    (sources/partitioned.py).  The l_returnflag='R' predicate resolves at
+    plan time to a PartitionFilter — the 'A' and 'N' directories are never
+    opened, the lakehouse analog of the reference's composite-index lookup
+    (DatabaseLoader.cpp:117-125).  test_layout asserts the file-level
+    pruning; the oracle checks the values."""
+    from marketstream_etl_spark.sources.partitioned import (
+        ensure_partitioned_lineitem,
+        pruned_scan,
+    )
+
+    tbl = ensure_partitioned_lineitem(spark, sf_dir)
+    return (
+        pruned_scan(spark, tbl, "R")
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("l_linestatus")
+    )

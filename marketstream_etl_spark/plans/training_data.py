@@ -372,3 +372,14 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(chunk_text).alias("checksum"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+def q_udtf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (operators/udtf_ops.py): top-3 terms per document via a
+    LATERAL table function — the user-extension point of SURVEY §2.9.  The
+    oracle re-derives the same rows relationally (unnest + count +
+    row_number), proving the imperative expansion exact."""
+    from marketstream_etl_spark.operators.udtf_ops import doc_top_terms
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return doc_top_terms(spark, docs).orderBy("doc_id", "term_rank")

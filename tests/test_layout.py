@@ -104,3 +104,33 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_managed_partitioned_table_prunes_to_one_directory(spark):
+    """sources/partitioned.py: the l_returnflag predicate must resolve to a
+    PartitionFilter and the scan must touch ONLY that partition's files."""
+    from marketstream_etl_spark.sources.partitioned import (
+        ensure_partitioned_lineitem,
+        pruned_scan,
+    )
+
+    tbl = ensure_partitioned_lineitem(spark, "/root/testdata/sf0.001")
+    df = pruned_scan(spark, tbl, "R")
+    plan = plan_of(df)
+    pf = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "l_returnflag" in pf
+    files = df.inputFiles()
+    assert files and all("l_returnflag=R" in f for f in files)
+    # pruning must not change the answer
+    flat = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    assert df.count() == flat.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_grouping_sets_single_scan(spark):
+    """q_grouping_sets: one Expand + one aggregate pass, not three scans."""
+    from marketstream_etl_spark.plans.advanced import q_grouping_sets
+
+    plan = plan_of(q_grouping_sets(spark, "/root/testdata/sf0.001"))
+    assert "Expand" in plan
+    # one file index == one scan (the node name appears twice: tree + detail)
+    assert plan.count("Location: InMemoryFileIndex") == 1
