@@ -298,6 +298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_events": advanced.q_cube_events,
         "grouping_sets": advanced.q_grouping_sets,
         "partition_pruning": advanced.q_partition_pruning,
+        "udaf_vwap": advanced.q_udaf_vwap,
+        "variant_props": advanced.q_variant_props,
+        "orc_roundtrip": advanced.q_orc_roundtrip,
+        "rolling_time_window": advanced.q_rolling_time_window,
         "skew_salted_join": advanced.q_skew_salted_join,
         "funnel": advanced.q_funnel,
         "retention_cohorts": advanced.q_retention_cohorts,
@@ -1274,6 +1278,50 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_extendedprice), 4) AS avg_price
             FROM lineitem WHERE l_returnflag = 'R'
             GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        # the pandas UDAF must equal the native expression exactly
+        "udaf_vwap": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT symbol,
+                   round(sum(price * volume) / sum(CAST(volume AS DOUBLE)), 6)
+                       AS vwap,
+                   count(*) AS n_trades
+            FROM trades WHERE {_VALID_WHERE}
+            GROUP BY symbol ORDER BY symbol
+        """,
+        "variant_props": """
+            WITH kv AS (
+                SELECT CAST(floor(CAST(json_extract_string(props, '$.k')
+                                       AS INTEGER) / 10.0) * 10 AS INTEGER)
+                           AS k_decade,
+                       value
+                FROM events
+            )
+            SELECT k_decade, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM kv GROUP BY k_decade ORDER BY k_decade
+        """,
+        # ORC write+read must preserve every value vs the flat parquet
+        "orc_roundtrip": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   min(o_orderdate) AS first_date,
+                   max(o_orderdate) AS last_date
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "rolling_time_window": """
+            WITH ev AS (
+                SELECT event_id, user_id, value,
+                       epoch_ns(ts) - epoch_ns(ts) % 1000 AS ts_ns
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_1h,
+                   round(sum(value) OVER w, 4) AS sum_1h
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns
+                         RANGE BETWEEN 3600000000000 PRECEDING
+                         AND CURRENT ROW)
+            ORDER BY event_id
         """,
         # the UDTF's imperative expansion re-derived relationally
         "udtf_doc_terms": """

@@ -546,3 +546,88 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+def q_udaf_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via grouped-agg pandas UDF (operators/udaf_ops.py):
+    per-symbol VWAP, checked exact against the native-expression oracle.
+    The UDAF path ships Arrow batches to Python per group — correct but
+    partial-agg-free; see the module docstring for when NOT to use it."""
+    from marketstream_etl_spark.operators.udaf_ops import count_udaf, vwap
+
+    valid, _ = split_valid(load_trades(spark, sf_dir, fan_out=True))
+    return (
+        valid.groupBy("symbol")
+        .agg(
+            F.round(vwap(F.col("price"), F.col("volume")), 6).alias("vwap"),
+            count_udaf(F.col("volume")).alias("n_trades"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4 VARIANT: parse events.props once
+    into a variant column, extract $.k typed, aggregate per k-decade.
+
+    VARIANT stores a parsed binary form — at scale, repeated extraction
+    beats re-parsing JSON text per access (json_props does the text path;
+    this is the typed path).  Oracle: plain JSON arithmetic in DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select((F.floor(k / 10) * 10).cast("int").alias("k_decade"),
+                  F.col("value"))
+        .groupBy("k_decade")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("k_decade")
+    )
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders written to ORC (sources/formats.py) and aggregated back —
+    format round-trip must not change a single value vs. the flat-parquet
+    oracle."""
+    from marketstream_etl_spark.sources.formats import orc_orders
+
+    o = orc_orders(spark, sf_dir)
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+HOUR_NS = 3_600_000_000_000
+
+
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user trailing-1-hour event sum/count at
+    every event — a *value*-bounded frame (RANGE BETWEEN 1h PRECEDING AND
+    CURRENT ROW), vs. the row-count frames of rolling_indicators.  The
+    frame is a function of the timestamp value, so ties share a frame and
+    the result is deterministic under any shuffle order.  One shuffle on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", _ts_us_ns().alias("ts_ns")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-HOUR_NS, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"),
+    ).orderBy("event_id")
