@@ -27,6 +27,7 @@ from marketstream_etl_spark.operators import similarity as _sim
 from marketstream_etl_spark.operators import text as _text
 from marketstream_etl_spark.plans import advanced, analytics, tpch, training_data
 from marketstream_etl_spark.plans.trades_view import TRADES_CTE
+from marketstream_etl_spark.sources.pyds import tradegen_oracle_cte as _tradegen_cte
 
 # ---------------------------------------------------------------------------
 # Shared DuckDB SQL fragments (keep in lockstep with the Spark operators).
@@ -302,6 +303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_props": advanced.q_variant_props,
         "orc_roundtrip": advanced.q_orc_roundtrip,
         "rolling_time_window": advanced.q_rolling_time_window,
+        "python_datasource": advanced.q_python_datasource,
+        "xml_roundtrip": advanced.q_xml_roundtrip,
+        "recursive_rollup": advanced.q_recursive_rollup,
         "skew_salted_join": advanced.q_skew_salted_join,
         "funnel": advanced.q_funnel,
         "retention_cohorts": advanced.q_retention_cohorts,
@@ -1322,6 +1326,37 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN 3600000000000 PRECEDING
                          AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # custom Python DataSource vs bit-identical DuckDB regeneration
+        "python_datasource": f"""
+            WITH gen AS ({_tradegen_cte(50_000)})
+            SELECT symbol, count(*) AS n_trades,
+                   CAST(sum(volume) AS BIGINT) AS total_volume,
+                   round(avg(price), 4) AS avg_price,
+                   min(ts_ns) AS first_ts, max(ts_ns) AS last_ts
+            FROM gen GROUP BY symbol ORDER BY symbol
+        """,
+        # XML write+read must preserve every value
+        "xml_roundtrip": """
+            SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   count(*) AS n_nations,
+                   min(n_name) AS first_name, max(n_name) AS last_name
+            FROM nation GROUP BY 1 ORDER BY 1
+        """,
+        # same recursion, DuckDB dialect (// = integer division)
+        "recursive_rollup": """
+            WITH RECURSIVE anc(custkey, ancestor, depth) AS (
+                SELECT c_custkey, c_custkey // 10, 1
+                FROM customer WHERE c_custkey >= 10
+                UNION ALL
+                SELECT custkey, ancestor // 10, depth + 1
+                FROM anc WHERE ancestor >= 10
+            )
+            SELECT a.ancestor, count(*) AS n_descendants,
+                   CAST(max(a.depth) AS INTEGER) AS max_depth,
+                   round(sum(c.c_acctbal), 2) AS total_balance
+            FROM anc a JOIN customer c ON a.custkey = c.c_custkey
+            GROUP BY a.ancestor ORDER BY a.ancestor
         """,
         # the UDTF's imperative expansion re-derived relationally
         "udtf_doc_terms": """

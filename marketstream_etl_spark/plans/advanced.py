@@ -631,3 +631,82 @@ def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 4).alias("sum_1h"),
     ).orderBy("event_id")
+
+
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (sources/pyds.py): 50K md5-derived
+    trades generated partition-parallel by a pluggable source, then a
+    normal per-symbol aggregate.  The oracle regenerates the identical
+    rows in DuckDB from the same md5 formulas — a bit-exact check on a
+    *source* extension, not just a transform."""
+    from marketstream_etl_spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("tradegen")
+        .option("n", 50_000)
+        .option("partitions", 8)
+        .load()
+    )
+    return (
+        df.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.sum("volume").alias("total_volume"),
+            F.round(F.avg("price"), 4).alias("avg_price"),
+            F.min("ts_ns").alias("first_ts"),
+            F.max("ts_ns").alias("last_ts"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation through the Spark 4 built-in XML writer/reader and back into
+    a per-region aggregate — values must survive the text round trip
+    exactly (sources/formats.py)."""
+    from marketstream_etl_spark.sources.formats import xml_nation
+
+    n = xml_nation(spark, sf_dir)
+    return (
+        n.groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.max("n_name").alias("last_name"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+def q_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (WITH RECURSIVE ... UNION ALL): walk each
+    customer's key-decade ancestor chain (custkey -> custkey DIV 10 -> ...,
+    strictly shrinking, so the recursion is acyclic and ~7 levels deep) and
+    roll balances up to every ancestor.
+
+    This is the iterative-algorithm surface expressed IN the engine rather
+    than driver-side (contrast dedup_clusters, which loops in Python
+    because its graph is cyclic and recursive UNION-distinct is not yet
+    supported — UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE)."""
+    from marketstream_etl_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_rcte_customer"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(custkey, ancestor, depth) AS (
+            SELECT c_custkey, c_custkey DIV 10, 1
+            FROM _rcte_customer WHERE c_custkey >= 10
+            UNION ALL
+            SELECT custkey, ancestor DIV 10, depth + 1
+            FROM anc WHERE ancestor >= 10
+        )
+        SELECT a.ancestor, count(*) AS n_descendants,
+               CAST(max(a.depth) AS INT) AS max_depth,
+               round(sum(c.c_acctbal), 2) AS total_balance
+        FROM anc a JOIN _rcte_customer c ON a.custkey = c.c_custkey
+        GROUP BY a.ancestor ORDER BY a.ancestor
+        """
+    )

@@ -35,3 +35,30 @@ def ensure_orc_orders(spark: SparkSession, sf_dir: str) -> str:
 
 def orc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(ensure_orc_orders(spark, sf_dir))
+
+
+def ensure_xml_nation(spark: SparkSession, sf_dir: str) -> str:
+    """nation as XML files under the warehouse dir (tiny table — XML is a
+    row-expensive interchange format, not an analytics layout; the round
+    trip proves the reader/writer, nothing more)."""
+    import os
+    from urllib.parse import urlparse
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = os.path.join(warehouse, f"xml_nation_{sfx}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "nation")
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "nations")
+            .option("rowTag", "nation")
+            .save(path)
+        )
+    return path
+
+
+def xml_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_xml_nation(spark, sf_dir)
+    return spark.read.format("xml").option("rowTag", "nation").load(path)
