@@ -304,6 +304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_roundtrip": advanced.q_orc_roundtrip,
         "rolling_time_window": advanced.q_rolling_time_window,
         "python_datasource": advanced.q_python_datasource,
+        "zorder_skipping": advanced.q_zorder_skipping,
+        "incremental_agg": advanced.q_incremental_agg,
+        "price_histogram": advanced.q_price_histogram,
         "xml_roundtrip": advanced.q_xml_roundtrip,
         "recursive_rollup": advanced.q_recursive_rollup,
         "skew_salted_join": advanced.q_skew_salted_join,
@@ -1326,6 +1329,32 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN 3600000000000 PRECEDING
                          AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # same fixed 5000-wide buckets, top bucket clamped at 21
+        "price_histogram": """
+            SELECT CAST(least(floor(l_extendedprice / 5000), 21) AS INTEGER)
+                       AS bucket,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS bucket_value
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        # partial-merge refresh must equal the full recompute
+        "incremental_agg": """
+            SELECT o_custkey, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_spend,
+                   round(max(o_totalprice), 2) AS max_order,
+                   round(sum(o_totalprice) / count(*), 4) AS avg_order
+            FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        # z-ordered layout must not change any value: plain-scan equivalent
+        "zorder_skipping": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem
+            WHERE l_partkey BETWEEN 100 AND 299
+              AND l_suppkey BETWEEN 10 AND 39
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         # custom Python DataSource vs bit-identical DuckDB regeneration
         "python_datasource": f"""

@@ -633,6 +633,99 @@ def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Box predicate over the z-ordered lineitem copy (sources/zorder.py).
+
+    The layout clusters files by Morton order of (l_partkey, l_suppkey), so
+    this two-dimensional filter skips most row groups via parquet min/max
+    stats — the one-copy answer to the reference's composite index
+    (DatabaseLoader.cpp:117-125) when queries filter on either key.
+    Values must equal a plain scan of the original table (the oracle)."""
+    from marketstream_etl_spark.sources.zorder import zordered_lineitem
+
+    df = zordered_lineitem(spark, sf_dir)
+    return (
+        df.filter(
+            F.col("l_partkey").between(100, 299)
+            & F.col("l_suppkey").between(10, 39)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of l_extendedprice (5000-wide buckets, top
+    bucket open-ended): one hash aggregate over a derived bucket key — the
+    equi-width profile a curation pipeline runs before choosing filter
+    thresholds.  Bucket bounds are data-independent constants so the result
+    is stable across scale factors."""
+    from marketstream_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor(F.col("l_extendedprice") / 5000), F.lit(21)
+    ).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("bucket_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: merge a delta batch into a stored
+    partial-aggregate summary WITHOUT rescanning the base table's rows.
+
+    The per-custkey summary keeps re-aggregable partials (count, sum, max);
+    folding in new orders is `union partials -> re-aggregate`, touching only
+    summary-sized state plus the delta — at 100 TB that's the difference
+    between a full recompute and a refresh proportional to the new data.
+    Derived measures (avg) are computed from the merged partials at read
+    time, never stored.  The oracle is the full recompute over base+delta:
+    the merge must be exactly equivalent."""
+    from marketstream_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 32 != 0)
+    delta = orders.filter(F.col("o_orderkey") % 32 == 0)
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_spend"),
+            F.max("o_totalprice").alias("max_order"),
+        )
+
+    merged = (
+        partials(base)
+        .unionByName(partials(delta))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_spend").alias("total_spend"),
+            F.max("max_order").alias("max_order"),
+        )
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        F.round("total_spend", 2).alias("total_spend"),
+        F.round("max_order", 2).alias("max_order"),
+        F.round(F.col("total_spend") / F.col("n_orders"), 4).alias(
+            "avg_order"
+        ),
+    ).orderBy("o_custkey")
+
+
 def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python DataSource scan (sources/pyds.py): 50K md5-derived
     trades generated partition-parallel by a pluggable source, then a
