@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_skipping": advanced.q_zorder_skipping,
         "incremental_agg": advanced.q_incremental_agg,
         "price_histogram": advanced.q_price_histogram,
+        "column_profile": advanced.q_column_profile,
+        "compaction_roundtrip": advanced.q_compaction_roundtrip,
         "xml_roundtrip": advanced.q_xml_roundtrip,
         "recursive_rollup": advanced.q_recursive_rollup,
         "skew_salted_join": advanced.q_skew_salted_join,
@@ -1329,6 +1331,33 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN 3600000000000 PRECEDING
                          AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # compaction must preserve every row/byte: plain-scan equivalent
+        "compaction_roundtrip": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT doc_id) AS n_ids,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # melt re-expressed as UNION ALL, one leg per metric column
+        "column_profile": """
+            WITH melted AS (
+                SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', l_discount FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', l_tax FROM lineitem
+            )
+            SELECT metric, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   count(DISTINCT value) AS n_distinct,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value,
+                   round(avg(value), 4) AS mean_value
+            FROM melted GROUP BY metric ORDER BY metric
         """,
         # same fixed 5000-wide buckets, top bucket clamped at 21
         "price_histogram": """

@@ -659,6 +659,55 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the fragmented-then-compacted documents copy
+    (sources/compaction.py) — every row, every byte of text, and every
+    doc_id must survive the 64-file fragmentation and the rewrite.  The
+    oracle reads the original table."""
+    from marketstream_etl_spark.sources.compaction import compacted_documents
+
+    docs = compacted_documents(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("doc_id").alias("n_ids"),
+        F.sum(F.length("text")).alias("total_chars"),
+    ).orderBy("lang")
+
+
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass over lineitem's numeric measures: unpivot the
+    four metric columns into (metric, value) rows — `DataFrame.unpivot`,
+    the relational melt the reference has no analog for — then one hash
+    aggregate computes null count, exact distinct, min/max/mean per metric.
+
+    This is the pre-ingest profile a pipeline runs to pick validation
+    thresholds (compare V1-V6, whose constants the reference hardcodes).
+    Scale: unpivot is a per-row flatMap (no shuffle); the single groupBy
+    on 4 keys shuffles only the partial-agg rows."""
+    from marketstream_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    metrics = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    melted = li.unpivot(
+        ids=[], values=metrics, variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return (
+        melted.groupBy("metric")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+                "n_nulls"
+            ),
+            F.count_distinct("value").alias("n_distinct"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+        )
+        .orderBy("metric")
+    )
+
+
 def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram of l_extendedprice (5000-wide buckets, top
     bucket open-ended): one hash aggregate over a derived bucket key — the
