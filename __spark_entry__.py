@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsi_signals": analytics.q_rsi_signals,
         "symbol_history": analytics.q_symbol_history,
         "vwap_by_symbol": analytics.q_vwap_by_symbol,
+        "ohlc_bars": analytics.q_ohlc_bars,
+        "gap_fill": analytics.q_gap_fill,
         "dedup_trades": analytics.q_dedup_trades,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -309,6 +311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_histogram": advanced.q_price_histogram,
         "column_profile": advanced.q_column_profile,
         "compaction_roundtrip": advanced.q_compaction_roundtrip,
+        "fk_orphans": advanced.q_fk_orphans,
         "xml_roundtrip": advanced.q_xml_roundtrip,
         "recursive_rollup": advanced.q_recursive_rollup,
         "skew_salted_join": advanced.q_skew_salted_join,
@@ -428,6 +431,67 @@ def oracle_sql() -> dict[str, str]:
                        AS vwap
             FROM trades WHERE {_VALID_WHERE}
             GROUP BY symbol ORDER BY symbol
+        """,
+        # 1-minute OHLCV: first/last by (timestamp, trade_id) via the same
+        # double row_number ranking; // is DuckDB integer division
+        "ohlc_bars": f"""
+            WITH trades AS ({TRADES_CTE}),
+            r AS (
+                SELECT symbol, timestamp // 60000000000 AS bar, price, volume,
+                       row_number() OVER (PARTITION BY symbol,
+                                              timestamp // 60000000000
+                                          ORDER BY timestamp, trade_id) AS rn_a,
+                       row_number() OVER (PARTITION BY symbol,
+                                              timestamp // 60000000000
+                                          ORDER BY timestamp DESC,
+                                              trade_id DESC) AS rn_d
+                FROM trades
+            )
+            SELECT symbol, bar,
+                   round(max(CASE WHEN rn_a = 1 THEN price END), 4) AS open,
+                   round(max(price), 4) AS high,
+                   round(min(price), 4) AS low,
+                   round(max(CASE WHEN rn_d = 1 THEN price END), 4) AS close,
+                   CAST(sum(volume) AS BIGINT) AS bar_volume,
+                   count(*) AS n_trades
+            FROM r GROUP BY symbol, bar ORDER BY symbol, bar
+        """,
+        # dense minute grid + forward-filled close, folded per symbol
+        "gap_fill": f"""
+            WITH trades AS ({TRADES_CTE}),
+            r AS (
+                SELECT symbol, timestamp // 60000000000 AS bar, price,
+                       row_number() OVER (PARTITION BY symbol,
+                                              timestamp // 60000000000
+                                          ORDER BY timestamp DESC,
+                                              trade_id DESC) AS rn_d
+                FROM trades
+            ),
+            bars AS (
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+            ),
+            bounds AS (
+                SELECT symbol, min(bar) AS lo, max(bar) AS hi
+                FROM bars GROUP BY symbol
+            ),
+            grid AS (
+                SELECT symbol, unnest(generate_series(lo, hi)) AS bar
+                FROM bounds
+            ),
+            filled AS (
+                SELECT g.symbol, g.bar, b.close,
+                       last_value(b.close IGNORE NULLS) OVER (
+                           PARTITION BY g.symbol ORDER BY g.bar
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS ffill
+                FROM grid g
+                LEFT JOIN bars b ON g.symbol = b.symbol AND g.bar = b.bar
+            )
+            SELECT symbol, count(*) AS n_minutes,
+                   CAST(sum(CASE WHEN close IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_gaps,
+                   round(sum(ffill), 2) AS filled_sum
+            FROM filled GROUP BY symbol ORDER BY symbol
         """,
         "dedup_trades": f"""
             WITH trades AS ({TRADES_CTE})
@@ -1331,6 +1395,17 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN 3600000000000 PRECEDING
                          AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # anti join == NOT IN the surviving parent keys
+        "fk_orphans": """
+            SELECT l_returnflag, count(*) AS n_orphan_rows,
+                   count(DISTINCT l_orderkey) AS n_orphan_orders,
+                   round(sum(l_extendedprice), 2) AS orphan_value
+            FROM lineitem
+            WHERE l_orderkey NOT IN (
+                SELECT o_orderkey FROM orders WHERE o_orderkey % 1000 <> 0
+            )
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         # compaction must preserve every row/byte: plain-scan equivalent
         "compaction_roundtrip": """

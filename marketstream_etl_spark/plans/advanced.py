@@ -659,6 +659,29 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: lineitems orphaned by a simulated
+    partial delete of their parent orders (o_orderkey % 1000 == 0 plays
+    the deleted set).  LEFT ANTI join against the surviving parents — the
+    dead-letter side of the reference's FK-less bulk load, and the check a
+    warehouse runs after every incremental delete/compaction cycle.
+
+    Scale: anti join shuffles on the join key and AQE picks broadcast when
+    the parent side's surviving-key set is small; nothing is collected."""
+    from marketstream_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_kept = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 1000 != 0
+    )
+    orphans = li.join(orders_kept, li.l_orderkey == orders_kept.o_orderkey, "left_anti")
+    return orphans.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_orphan_rows"),
+        F.count_distinct("l_orderkey").alias("n_orphan_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("orphan_value"),
+    ).orderBy("l_returnflag")
+
+
 def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregate over the fragmented-then-compacted documents copy
     (sources/compaction.py) — every row, every byte of text, and every

@@ -144,6 +144,88 @@ def q_vwap_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-minute OHLCV bars per symbol — the time-series resample every
+    market pipeline ships but the reference never built (its indicators
+    fold the whole batch, SURVEY §2.4).
+
+    Open/close are the first/last trade by (timestamp, trade_id) within
+    the bar, taken as min/max of a (timestamp, trade_id, price) struct —
+    lexicographic struct ordering makes them plain aggregates, so the
+    whole bar is ONE hash aggregate with map-side partials: one shuffle
+    on (symbol, bar), no window sort at all.  trade_id is unique, so the
+    price field never participates in the comparison.  Bar state is
+    bounded by the minute grid, never by trade count."""
+    t = load_trades(spark, sf_dir, fan_out=True)
+    # integer DIV — ns magnitudes exceed double's 2^53 mantissa, so a
+    # float divide would misplace boundary trades by one bar
+    bar = F.expr("timestamp DIV 60000000000")
+    key = F.struct("timestamp", "trade_id", "price")
+    return (
+        t.withColumn("bar", bar)
+        .groupBy("symbol", "bar")
+        .agg(
+            F.round(F.min(key).getField("price"), 4).alias("open"),
+            F.round(F.max("price"), 4).alias("high"),
+            F.round(F.min("price"), 4).alias("low"),
+            F.round(F.max(key).getField("price"), 4).alias("close"),
+            F.sum("volume").alias("bar_volume"),
+            F.count("*").alias("n_trades"),
+        )
+        .orderBy("symbol", "bar")
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-symbol minute grid with forward-filled close — the
+    resample-then-ffill step that turns sparse tick bars into an
+    equally-spaced series (model-feature prerequisite; nothing in the
+    reference fills gaps).
+
+    grid = explode(sequence(min_bar, max_bar)) per symbol (bounded by the
+    time span, not the trade count), left join the real bars, then
+    last(close, ignorenulls) over an unbounded-preceding row frame carries
+    the latest observation forward.  close-per-bar is a max-of-struct
+    aggregate (no window sort, see q_ohlc_bars); the bar bounds come from
+    a separate lightweight agg on the raw trades so the bars frame has
+    exactly one consumer and is never recomputed."""
+    from pyspark.sql import Window
+
+    t = load_trades(spark, sf_dir, fan_out=True)
+    bar = F.expr("timestamp DIV 60000000000")
+    key = F.struct("timestamp", "trade_id", "price")
+    bars = (
+        t.withColumn("bar", bar)
+        .groupBy("symbol", "bar")
+        .agg(F.max(key).getField("price").alias("close"))
+    )
+    bounds = t.select("symbol", bar.alias("bar")).groupBy("symbol").agg(
+        F.min("bar").alias("lo"), F.max("bar").alias("hi")
+    )
+    grid = bounds.select(
+        "symbol", F.explode(F.sequence("lo", "hi")).alias("bar")
+    )
+    wf = (
+        Window.partitionBy("symbol")
+        .orderBy("bar")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = grid.join(bars, ["symbol", "bar"], "left").withColumn(
+        "ffill", F.last("close", ignorenulls=True).over(wf)
+    )
+    return (
+        filled.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_minutes"),
+            F.sum(F.when(F.col("close").isNull(), 1).otherwise(0)).alias(
+                "n_gaps"
+            ),
+            F.round(F.sum("ffill"), 2).alias("filled_sum"),
+        )
+        .orderBy("symbol")
+    )
+
+
 def q_dedup_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PK semantics (S8's ON CONFLICT DO NOTHING analog): keep one row per
     trade_id — dropDuplicates on the key, then count as evidence."""
