@@ -132,6 +132,14 @@ def _stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_counts(spark, sf_dir)
 
 
+def _stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLCV bars: windowed event-time aggregate whose final
+    state on bounded replay equals the batch resample."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_ohlc
+
+    return file_stream_ohlc(spark, sf_dir)
+
+
 def _stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 parity probe: watermark + tumbling window on a real streaming
     run; bounded replay makes the final state equal the batch bucketing."""
@@ -312,6 +320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": advanced.q_column_profile,
         "compaction_roundtrip": advanced.q_compaction_roundtrip,
         "fk_orphans": advanced.q_fk_orphans,
+        "jsonl_roundtrip": advanced.q_jsonl_roundtrip,
+        "schema_evolution": advanced.q_schema_evolution,
         "xml_roundtrip": advanced.q_xml_roundtrip,
         "recursive_rollup": advanced.q_recursive_rollup,
         "skew_salted_join": advanced.q_skew_salted_join,
@@ -320,6 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- streaming (real Structured Streaming runs; ST3/ST4/ST5) ---
         "streaming_counts": _stream_counts,
         "streaming_windowed": _stream_windowed,
+        "streaming_ohlc": _stream_ohlc,
         "streaming_dedup": _stream_dedup,
         "streaming_dedup_watermarked": _stream_dedup_watermarked,
         "streaming_join": _stream_join,
@@ -1396,6 +1407,22 @@ def oracle_sql() -> dict[str, str]:
                          AND CURRENT ROW)
             ORDER BY event_id
         """,
+        # JSON-lines write+read must preserve every value
+        "jsonl_roundtrip": """
+            SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+                   count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_acctbal,
+                   min(s_name) AS first_name
+            FROM supplier GROUP BY 1 ORDER BY 1
+        """,
+        # v1 generation (even keys) has no status column -> MISSING
+        "schema_evolution": """
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'MISSING'
+                        ELSE o_orderstatus END AS status,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
         # anti join == NOT IN the surviving parent keys
         "fk_orphans": """
             SELECT l_returnflag, count(*) AS n_orphan_rows,
@@ -1542,6 +1569,35 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(price), 6) AS avg_price
             FROM trades WHERE price > 0 AND volume > 0
             GROUP BY 1, 2 ORDER BY window_start_ns, symbol
+        """,
+        # streaming windowed OHLC == batch resample on bounded replay;
+        # open/close are first/last by (timestamp, trade_id) within the bar
+        "streaming_ohlc": f"""
+            WITH trades AS ({TRADES_CTE}),
+            r AS (
+                SELECT symbol,
+                       "timestamp" - "timestamp" % 60000000000
+                           AS window_start_ns,
+                       price, volume,
+                       row_number() OVER (
+                           PARTITION BY symbol,
+                               "timestamp" - "timestamp" % 60000000000
+                           ORDER BY "timestamp", trade_id) AS rn_a,
+                       row_number() OVER (
+                           PARTITION BY symbol,
+                               "timestamp" - "timestamp" % 60000000000
+                           ORDER BY "timestamp" DESC, trade_id DESC) AS rn_d
+                FROM trades WHERE price > 0 AND volume > 0
+            )
+            SELECT symbol, window_start_ns,
+                   round(max(CASE WHEN rn_a = 1 THEN price END), 4) AS open,
+                   round(max(price), 4) AS high,
+                   round(min(price), 4) AS low,
+                   round(max(CASE WHEN rn_d = 1 THEN price END), 4) AS close,
+                   CAST(sum(volume) AS BIGINT) AS bar_volume,
+                   count(*) AS n_trades
+            FROM r GROUP BY symbol, window_start_ns
+            ORDER BY symbol, window_start_ns
         """,
         # doubled input through streaming dropDuplicates == plain counts
         "streaming_dedup": f"""

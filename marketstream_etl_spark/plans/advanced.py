@@ -659,6 +659,44 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier through JSON-lines and back (sources/formats.py): every
+    value including doubles must survive the text round trip."""
+    from marketstream_etl_spark.sources.formats import jsonl_supplier
+
+    s = jsonl_supplier(spark, sf_dir)
+    return (
+        s.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution: two parquet generations (v1 without
+    o_orderstatus, v2 with it) unified by mergeSchema; rows from the old
+    generation surface NULL status.  The aggregate proves both that no row
+    was lost across generations and that the evolved column is null exactly
+    for the v1 half (sources/formats.py:ensure_evolving_orders)."""
+    from marketstream_etl_spark.sources.formats import evolving_orders
+
+    df = evolving_orders(spark, sf_dir)
+    return (
+        df.groupBy(
+            F.coalesce("o_orderstatus", F.lit("MISSING")).alias("status")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("status")
+    )
+
+
 def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: lineitems orphaned by a simulated
     partial delete of their parent orders (o_orderkey % 1000 == 0 plays

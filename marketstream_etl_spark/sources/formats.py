@@ -62,3 +62,61 @@ def ensure_xml_nation(spark: SparkSession, sf_dir: str) -> str:
 def xml_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ensure_xml_nation(spark, sf_dir)
     return spark.read.format("xml").option("rowTag", "nation").load(path)
+
+
+def ensure_jsonl_supplier(spark: SparkSession, sf_dir: str) -> str:
+    """supplier as JSON-lines files — the interchange format of the
+    streaming path (S6 TickMessage to_json/from_json) applied at rest.
+    Doubles survive via Spark's round-trippable JSON float formatting."""
+    import os
+    from urllib.parse import urlparse
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = os.path.join(warehouse, f"jsonl_supplier_{sfx}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "supplier")
+            .write.mode("overwrite")
+            .json(path)
+        )
+    return path
+
+
+def jsonl_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-pinned read (inference would widen ints and reorder cols)."""
+    path = ensure_jsonl_supplier(spark, sf_dir)
+    return spark.read.schema(
+        "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+    ).json(path)
+
+
+def ensure_evolving_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet writer generations under one dataset root: v1 lacks the
+    o_orderstatus column, v2 carries it.  mergeSchema unifies them at read
+    time with nulls for the missing column — additive schema evolution, the
+    lakehouse answer to ALTER TABLE on a 100 TB table (no rewrite)."""
+    import os
+    from urllib.parse import urlparse
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    path = os.path.join(warehouse, f"evolve_orders_{sfx}")
+    if not os.path.exists(os.path.join(path, "v2", "_SUCCESS")):
+        orders = load_table(spark, sf_dir, "orders")
+        v1 = orders.filter("o_orderkey % 2 = 0").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        v2 = orders.filter("o_orderkey % 2 = 1").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(path, "v1"))
+        v2.write.mode("overwrite").parquet(os.path.join(path, "v2"))
+    return path
+
+
+def evolving_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = ensure_evolving_orders(spark, sf_dir)
+    return spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/v1", f"{path}/v2"
+    )

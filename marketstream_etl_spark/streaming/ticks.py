@@ -207,6 +207,56 @@ def file_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("window_start_ns", "symbol")
 
 
+def file_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLCV: the q_ohlc_bars resample as a real windowed
+    streaming aggregate — event-time tumbling windows over the bounded
+    replay, open/close via the same min/max-of-struct trick (plain
+    aggregates, so they run incrementally in window state with no sort).
+    Batch/stream parity: on bounded input the final window state must
+    equal the batch groupBy, which is what the oracle checks."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.plans.trades_view import trades_from_events
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ticks = hot_path_filter(trades_from_events(events)).withColumn(
+        "event_time", F.timestamp_micros(F.expr("timestamp DIV 1000"))
+    )
+    key = F.struct("timestamp", "trade_id", "price")
+    bars = (
+        ticks.withWatermark("event_time", "10 minutes")
+        .groupBy("symbol", F.window("event_time", "1 minute").alias("win"))
+        .agg(
+            F.round(F.min(key).getField("price"), 4).alias("open"),
+            F.round(F.max("price"), 4).alias("high"),
+            F.round(F.min("price"), 4).alias("low"),
+            F.round(F.max(key).getField("price"), 4).alias("close"),
+            F.sum("volume").alias("bar_volume"),
+            F.count("*").alias("n_trades"),
+        )
+    )
+    out = bars.select(
+        "symbol",
+        (F.unix_micros(F.col("win.start")) * 1000).alias("window_start_ns"),
+        "open", "high", "low", "close", "bar_volume", "n_trades",
+    )
+    name = f"stream_ohlc_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("symbol", "window_start_ns")
+
+
 def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (engine extension beyond the reference's
     streaming surface): buy ticks joined to sell ticks of the same symbol
