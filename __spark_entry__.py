@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": training_data.q_dedup_clusters,
         "embedding_stats": training_data.q_embedding_stats,
         "train_test_split": training_data.q_train_test_split,
+        "weighted_sample": training_data.q_weighted_sample,
         "stratified_sample": training_data.q_stratified_sample,
         "corpus_curation": training_data.q_corpus_curation,
         "ann_ivf_recall": training_data.q_ann_ivf_recall,
@@ -1020,6 +1021,21 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(h.hits, 0) / t.k, 6) AS recall_at_5
             FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
             ORDER BY t.query_id
+        """,
+        # identical md5 threshold -> bit-identical sample membership
+        "weighted_sample": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN
+                       CAST(('0x' || substr(md5('mix' || doc_id), 1, 8))
+                            AS BIGINT) % 1000
+                       < (CAST(substr(source, 4) AS INTEGER) + 1) * 100
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN
+                       CAST(('0x' || substr(md5('mix' || doc_id), 1, 8))
+                            AS BIGINT) % 1000
+                       < (CAST(substr(source, 4) AS INTEGER) + 1) * 100
+                       THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+            FROM documents GROUP BY source ORDER BY source
         """,
         "train_test_split": """
             WITH b AS (

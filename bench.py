@@ -39,6 +39,7 @@ HEADLINE = [
     "contamination",
     "sequence_packing",
     "rsi_wilder",
+    "ohlc_bars",
 ]
 
 

@@ -383,3 +383,36 @@ def q_udtf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return doc_top_terms(spark, docs).orderBy("doc_id", "term_rank")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted subsampling — the training-mix step that up/down-
+    weights corpora before tokenization (e.g. keep 10% of src0 but 100%
+    of src9).  The keep decision is a pure hash threshold,
+    h32('mix' || doc_id) % 1000 < weight*1000, so it is (a) embarrassingly
+    parallel with no RNG state to coordinate across executors and (b)
+    reproduced bit-for-bit by the DuckDB oracle — the determinism
+    convention of functions/hashing.py applied to sampling.
+
+    Output is the mix report: per source, input docs, kept docs, and kept
+    chars (the token-budget proxy)."""
+    from marketstream_etl_spark.functions.hashing import h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    weight_pm = (
+        F.regexp_extract("source", r"src(\d+)", 1).cast("int") + 1
+    ) * 100  # src0 -> 100/1000 ... src9 -> 1000/1000
+    bucket = h32(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))) % 1000
+    keep = bucket < weight_pm
+    return (
+        docs.withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(F.col("keep"), F.col("n_chars")).otherwise(0)
+            ).alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
