@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap_by_symbol": analytics.q_vwap_by_symbol,
         "ohlc_bars": analytics.q_ohlc_bars,
         "gap_fill": analytics.q_gap_fill,
+        "pairwise_correlation": analytics.q_pairwise_correlation,
+        "symbol_beta": analytics.q_symbol_beta,
+        "max_drawdown": analytics.q_max_drawdown,
         "dedup_trades": analytics.q_dedup_trades,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -467,6 +470,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(volume) AS BIGINT) AS bar_volume,
                    count(*) AS n_trades
             FROM r GROUP BY symbol, bar ORDER BY symbol, bar
+        """,
+        # minute-close co-movement; closes from the same rn_d ranking
+        "pairwise_correlation": f"""
+            WITH trades AS ({TRADES_CTE}),
+            r AS (
+                SELECT symbol, timestamp // 60000000000 AS bar, price,
+                       row_number() OVER (PARTITION BY symbol,
+                                              timestamp // 60000000000
+                                          ORDER BY timestamp DESC,
+                                              trade_id DESC) AS rn_d
+                FROM trades
+            ),
+            closes AS (
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+            )
+            SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+                   count(*) AS n_bars,
+                   round(corr(a.close, b.close), 6) AS corr_close,
+                   round(covar_samp(a.close, b.close), 4) AS covar_close
+            FROM closes a JOIN closes b
+              ON a.bar = b.bar AND a.symbol < b.symbol
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "symbol_beta": f"""
+            WITH trades AS ({TRADES_CTE}),
+            r AS (
+                SELECT symbol, timestamp // 60000000000 AS bar, price,
+                       row_number() OVER (PARTITION BY symbol,
+                                              timestamp // 60000000000
+                                          ORDER BY timestamp DESC,
+                                              trade_id DESC) AS rn_d
+                FROM trades
+            ),
+            closes AS (
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+            ),
+            idx AS (
+                SELECT bar, avg(close) AS index_close
+                FROM closes GROUP BY bar
+            )
+            SELECT c.symbol, count(*) AS n_bars,
+                   round(regr_slope(c.close, i.index_close), 6) AS beta,
+                   round(regr_intercept(c.close, i.index_close), 4) AS alpha,
+                   round(regr_r2(c.close, i.index_close), 6) AS r2
+            FROM closes c JOIN idx i ON c.bar = i.bar
+            GROUP BY c.symbol ORDER BY c.symbol
+        """,
+        # running-peak drawdown over the same minute closes
+        "max_drawdown": f"""
+            WITH trades AS ({TRADES_CTE}),
+            r AS (
+                SELECT symbol, timestamp // 60000000000 AS bar, price,
+                       row_number() OVER (PARTITION BY symbol,
+                                              timestamp // 60000000000
+                                          ORDER BY timestamp DESC,
+                                              trade_id DESC) AS rn_d
+                FROM trades
+            ),
+            closes AS (
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+            ),
+            dd AS (
+                SELECT symbol, close,
+                       max(close) OVER (PARTITION BY symbol ORDER BY bar
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS peak
+                FROM closes
+            )
+            SELECT symbol, count(*) AS n_bars,
+                   round(max(peak), 4) AS peak_close,
+                   round(min((close - peak) / peak), 6) AS max_drawdown
+            FROM dd GROUP BY symbol ORDER BY symbol
         """,
         # dense minute grid + forward-filled close, folded per symbol
         "gap_fill": f"""

@@ -226,6 +226,107 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minute_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(symbol, minute-bar) close — shared input of the co-movement
+    statistics below.  Same struct-max trick as q_ohlc_bars: one shuffle,
+    no window sort."""
+    t = load_trades(spark, sf_dir, fan_out=True)
+    bar = F.expr("timestamp DIV 60000000000")
+    key = F.struct("timestamp", "trade_id", "price")
+    return (
+        t.withColumn("bar", bar)
+        .groupBy("symbol", "bar")
+        .agg(F.max(key).getField("price").alias("close"))
+    )
+
+
+def q_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance of minute closes for every symbol
+    pair — the co-movement matrix behind pairs-trading screens.  The
+    statistical aggregate surface (corr, covar_samp) the reference has no
+    analog for.
+
+    Scale: the self-join is on the minute bar (equi-join, both sides
+    already aggregated to |symbols| x |minutes| rows); s1 < s2 keeps each
+    unordered pair once.  corr/covar are single-pass co-moment aggregates
+    with map-side partials."""
+    closes = _minute_closes(spark, sf_dir)
+    a = closes.alias("a")
+    b = closes.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bar") == F.col("b.bar"))
+        & (F.col("a.symbol") < F.col("b.symbol")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.symbol").alias("symbol_a"),
+            F.col("b.symbol").alias("symbol_b"),
+        )
+        .agg(
+            F.count("*").alias("n_bars"),
+            F.round(F.corr("a.close", "b.close"), 6).alias("corr_close"),
+            F.round(F.covar_samp("a.close", "b.close"), 4).alias(
+                "covar_close"
+            ),
+        )
+        .orderBy("symbol_a", "symbol_b")
+    )
+
+
+def q_symbol_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol beta to the equal-weight market index: regress each
+    symbol's minute close on the cross-symbol mean close of that minute
+    with the regr_* aggregate family (slope / intercept / r2) — single-pass
+    co-moment aggregates, one broadcastable index join."""
+    closes = _minute_closes(spark, sf_dir)
+    index = closes.groupBy("bar").agg(F.avg("close").alias("index_close"))
+    joined = closes.join(index, "bar")
+    return (
+        joined.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_bars"),
+            F.round(F.regr_slope("close", "index_close"), 6).alias("beta"),
+            F.round(F.regr_intercept("close", "index_close"), 4).alias(
+                "alpha"
+            ),
+            F.round(F.regr_r2("close", "index_close"), 6).alias("r2"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per symbol over the minute-close series: the
+    deepest relative drop from a running peak — the risk statistic every
+    market engine reports, built from a cumulative-max window frame
+    (unbounded preceding) the reference's hand-rolled trailing windows
+    cannot express.
+
+    Scale: one shuffle to the bars, one sort per symbol partition for the
+    running max, then a tiny per-symbol aggregate."""
+    from pyspark.sql import Window
+
+    closes = _minute_closes(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bar")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = closes.withColumn("peak", F.max("close").over(w)).withColumn(
+        "drawdown", (F.col("close") - F.col("peak")) / F.col("peak")
+    )
+    return (
+        dd.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_bars"),
+            F.round(F.max("peak"), 4).alias("peak_close"),
+            F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+        )
+        .orderBy("symbol")
+    )
+
+
 def q_dedup_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PK semantics (S8's ON CONFLICT DO NOTHING analog): keep one row per
     trade_id — dropDuplicates on the key, then count as evidence."""
