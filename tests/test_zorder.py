@@ -14,6 +14,8 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import pyarrow.parquet as pq
+from hypothesis import given
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from marketstream_etl_spark.functions.zorder import z_value, z_value_py
@@ -33,6 +35,20 @@ def test_z_value_matches_python_reference(spark):
     }
     for a, b in pairs:
         assert got[(a, b)] == z_value_py(a, b, 12), (a, b)
+
+
+@given(
+    a=st.integers(min_value=0, max_value=4095),
+    b=st.integers(min_value=0, max_value=4095),
+)
+def test_z_value_py_is_bijective(a, b):
+    """Interleave is invertible: de-interleaving the even/odd bits of z
+    recovers (a, b) exactly — no two key pairs share a z-value."""
+    z = z_value_py(a, b, 12)
+    got_a = sum(((z >> (2 * i)) & 1) << i for i in range(12))
+    got_b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(12))
+    assert (got_a, got_b) == (a, b)
+    assert 0 <= z < 1 << 24
 
 
 def _files_intersecting(path: str, column: str, lo: int, hi: int):
