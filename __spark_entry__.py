@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_correlation": analytics.q_pairwise_correlation,
         "symbol_beta": analytics.q_symbol_beta,
         "max_drawdown": analytics.q_max_drawdown,
+        "realized_volatility": analytics.q_realized_volatility,
+        "order_imbalance": analytics.q_order_imbalance,
         "dedup_trades": analytics.q_dedup_trades,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -516,6 +518,48 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_r2(c.close, i.index_close), 6) AS r2
             FROM closes c JOIN idx i ON c.bar = i.bar
             GROUP BY c.symbol ORDER BY c.symbol
+        """,
+        # stddev of log minute-close returns, same rn_d close ranking
+        "realized_volatility": f"""
+            WITH trades AS ({TRADES_CTE}),
+            r AS (
+                SELECT symbol, timestamp // 60000000000 AS bar, price,
+                       row_number() OVER (PARTITION BY symbol,
+                                              timestamp // 60000000000
+                                          ORDER BY timestamp DESC,
+                                              trade_id DESC) AS rn_d
+                FROM trades
+            ),
+            closes AS (
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+            ),
+            rets AS (
+                SELECT symbol,
+                       ln(close / lag(close) OVER (PARTITION BY symbol
+                                                   ORDER BY bar)) AS log_ret
+                FROM closes
+            )
+            SELECT symbol, count(*) AS n_returns,
+                   round(stddev_samp(log_ret), 6) AS volatility,
+                   round(avg(log_ret), 6) AS mean_return
+            FROM rets WHERE log_ret IS NOT NULL
+            GROUP BY symbol ORDER BY symbol
+        """,
+        # conditional aggregation on side; greatest() guards zero volume
+        "order_imbalance": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT symbol,
+                   CAST(sum(CASE WHEN side = 'B' THEN volume ELSE 0 END)
+                        AS BIGINT) AS buy_volume,
+                   CAST(sum(CASE WHEN side = 'S' THEN volume ELSE 0 END)
+                        AS BIGINT) AS sell_volume,
+                   round((sum(CASE WHEN side = 'B' THEN volume ELSE 0 END)
+                          - sum(CASE WHEN side = 'S' THEN volume ELSE 0 END))
+                         / CAST(greatest(
+                               sum(CASE WHEN side = 'B' THEN volume ELSE 0 END)
+                               + sum(CASE WHEN side = 'S' THEN volume ELSE 0 END),
+                               1) AS DOUBLE), 6) AS imbalance
+            FROM trades GROUP BY symbol ORDER BY symbol
         """,
         # running-peak drawdown over the same minute closes
         "max_drawdown": f"""

@@ -327,6 +327,52 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol realized volatility: stddev of log minute-close returns
+    (lag window -> ln ratio -> stddev_samp), plus the mean return — the
+    volatility input to any risk model, exercising lag + log + stddev over
+    the shared minute-close series.  One extra sort per symbol partition
+    for the lag; everything else is re-aggregable."""
+    from pyspark.sql import Window
+
+    closes = _minute_closes(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar")
+    rets = closes.withColumn(
+        "log_ret", F.log(F.col("close") / F.lag("close").over(w))
+    ).filter(F.col("log_ret").isNotNull())
+    return (
+        rets.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_returns"),
+            F.round(F.stddev_samp("log_ret"), 6).alias("volatility"),
+            F.round(F.avg("log_ret"), 6).alias("mean_return"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def q_order_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buy/sell order-flow imbalance per symbol: conditional aggregation
+    over the side column, (buy_vol - sell_vol) / total_vol — the
+    microstructure pressure metric, a single hash aggregate."""
+    t = load_trades(spark, sf_dir, fan_out=True)
+    buy_vol = F.sum(F.when(F.col("side") == "B", F.col("volume")).otherwise(0))
+    sell_vol = F.sum(F.when(F.col("side") == "S", F.col("volume")).otherwise(0))
+    return (
+        t.groupBy("symbol")
+        .agg(
+            buy_vol.alias("buy_volume"),
+            sell_vol.alias("sell_volume"),
+            F.round(
+                (buy_vol - sell_vol)
+                / F.greatest(buy_vol + sell_vol, F.lit(1)).cast("double"),
+                6,
+            ).alias("imbalance"),
+        )
+        .orderBy("symbol")
+    )
+
+
 def q_dedup_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PK semantics (S8's ON CONFLICT DO NOTHING analog): keep one row per
     trade_id — dropDuplicates on the key, then count as evidence."""
