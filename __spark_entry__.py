@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_beta": analytics.q_symbol_beta,
         "max_drawdown": analytics.q_max_drawdown,
         "realized_volatility": analytics.q_realized_volatility,
+        "ewma_price": analytics.q_ewma_price,
         "order_imbalance": analytics.q_order_imbalance,
         "dedup_trades": analytics.q_dedup_trades,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
@@ -327,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_roundtrip": advanced.q_compaction_roundtrip,
         "fk_orphans": advanced.q_fk_orphans,
         "jsonl_roundtrip": advanced.q_jsonl_roundtrip,
+        "federated_join": advanced.q_federated_join,
         "schema_evolution": advanced.q_schema_evolution,
         "xml_roundtrip": advanced.q_xml_roundtrip,
         "recursive_rollup": advanced.q_recursive_rollup,
@@ -518,6 +520,34 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_r2(c.close, i.index_close), 6) AS r2
             FROM closes c JOIN idx i ON c.bar = i.bar
             GROUP BY c.symbol ORDER BY c.symbol
+        """,
+        # closed-form EWMA weights: seed (1-a)^(n-1), then a*(1-a)^(n-j)
+        "ewma_price": f"""
+            WITH trades AS ({TRADES_CTE}),
+            r AS (
+                SELECT symbol, timestamp // 60000000000 AS bar, price,
+                       row_number() OVER (PARTITION BY symbol,
+                                              timestamp // 60000000000
+                                          ORDER BY timestamp DESC,
+                                              trade_id DESC) AS rn_d
+                FROM trades
+            ),
+            closes AS (
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+            ),
+            ann AS (
+                SELECT symbol, close,
+                       row_number() OVER (PARTITION BY symbol
+                                          ORDER BY bar) AS j,
+                       count(*) OVER (PARTITION BY symbol) AS n
+                FROM closes
+            )
+            SELECT symbol, CAST(max(n) AS BIGINT) AS n_bars,
+                   round(sum((CASE WHEN j = 1 THEN power(0.8, n - 1)
+                              ELSE 0.2 * power(0.8, n - j) END) * close), 4)
+                       AS ewma_close,
+                   round(arg_max(close, j), 4) AS last_close
+            FROM ann GROUP BY symbol ORDER BY symbol
         """,
         # stddev of log minute-close returns, same rn_d close ranking
         "realized_volatility": f"""
@@ -1541,6 +1571,17 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN 3600000000000 PRECEDING
                          AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # three formats in one plan == the plain three-table join
+        "federated_join": """
+            SELECT CAST(s_nationkey AS INTEGER) AS s_nationkey,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE o_orderstatus = 'F'
+            GROUP BY 1 ORDER BY 1
         """,
         # JSON-lines write+read must preserve every value
         "jsonl_roundtrip": """

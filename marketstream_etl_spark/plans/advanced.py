@@ -659,6 +659,37 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One plan over three storage formats: parquet lineitem joined to the
+    ORC orders copy joined to the JSON-lines supplier copy — the
+    source-agnostic planning a lakehouse migration relies on (formats
+    differ per table, the logical plan does not notice).  Catalyst still
+    pushes filters into each scan and broadcasts the small supplier side;
+    the oracle runs on the plain tables, so every format must read back
+    value-exact."""
+    from marketstream_etl_spark.sources.formats import (
+        jsonl_supplier,
+        orc_orders,
+    )
+    from marketstream_etl_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = orc_orders(spark, sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = jsonl_supplier(spark, sf_dir)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier through JSON-lines and back (sources/formats.py): every
     value including doubles must survive the text round trip."""

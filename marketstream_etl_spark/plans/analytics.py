@@ -327,6 +327,41 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the minute close, alpha =
+    0.2, as a CLOSED-FORM weighted aggregate (the compute_rsi_wilder
+    unrolling applied to the plain EWMA recursion): ordered close j of n
+    contributes alpha*(1-alpha)^(n-j), the seed keeps (1-alpha)^(n-1).
+    No iterative loop, no per-row state — one rank window plus one hash
+    aggregate, fully parallel at any history length (old terms underflow
+    to zero harmlessly)."""
+    from pyspark.sql import Window
+
+    alpha = 0.2
+    closes = _minute_closes(spark, sf_dir)
+    w_asc = Window.partitionBy("symbol").orderBy("bar")
+    w_all = Window.partitionBy("symbol")
+    ann = closes.select(
+        "symbol",
+        "close",
+        F.row_number().over(w_asc).alias("j"),
+        F.count("*").over(w_all).alias("n"),
+    )
+    decay = F.lit(1.0 - alpha)
+    weight = F.when(
+        F.col("j") == 1, F.pow(decay, F.col("n") - 1)
+    ).otherwise(F.lit(alpha) * F.pow(decay, F.col("n") - F.col("j")))
+    return (
+        ann.groupBy("symbol")
+        .agg(
+            F.max("n").alias("n_bars"),
+            F.round(F.sum(weight * F.col("close")), 4).alias("ewma_close"),
+            F.round(F.max_by("close", "j"), 4).alias("last_close"),
+        )
+        .orderBy("symbol")
+    )
+
+
 def q_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-symbol realized volatility: stddev of log minute-close returns
     (lag window -> ln ratio -> stddev_samp), plus the mean return — the
