@@ -27,6 +27,7 @@ from marketstream_etl_spark.operators import similarity as _sim
 from marketstream_etl_spark.operators import text as _text
 from marketstream_etl_spark.plans import advanced, analytics, tpch, training_data
 from marketstream_etl_spark.plans.trades_view import TRADES_CTE
+from marketstream_etl_spark.sources.pyds import N_ROWS_DEFAULT as _tradegen_n
 from marketstream_etl_spark.sources.pyds import tradegen_oracle_cte as _tradegen_cte
 
 # ---------------------------------------------------------------------------
@@ -1177,12 +1178,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN
                        CAST(('0x' || substr(md5('mix' || doc_id), 1, 8))
                             AS BIGINT) % 1000
-                       < (CAST(substr(source, 4) AS INTEGER) + 1) * 100
+                       < (CAST(substr(source, 4) AS INTEGER) + 1) * 50
                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                    CAST(sum(CASE WHEN
                        CAST(('0x' || substr(md5('mix' || doc_id), 1, 8))
                             AS BIGINT) % 1000
-                       < (CAST(substr(source, 4) AS INTEGER) + 1) * 100
+                       < (CAST(substr(source, 4) AS INTEGER) + 1) * 50
                        THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
             FROM documents GROUP BY source ORDER BY source
         """,
@@ -1665,7 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # custom Python DataSource vs bit-identical DuckDB regeneration
         "python_datasource": f"""
-            WITH gen AS ({_tradegen_cte(50_000)})
+            WITH gen AS ({_tradegen_cte(_tradegen_n)})
             SELECT symbol, count(*) AS n_trades,
                    CAST(sum(volume) AS BIGINT) AS total_volume,
                    round(avg(price), 4) AS avg_price,

@@ -878,7 +878,7 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     pyds.register(spark)
     df = (
         spark.read.format("tradegen")
-        .option("n", 50_000)
+        .option("n", pyds.N_ROWS_DEFAULT)
         .option("partitions", 8)
         .load()
     )

@@ -387,8 +387,8 @@ def q_udtf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-weighted subsampling — the training-mix step that up/down-
-    weights corpora before tokenization (e.g. keep 10% of src0 but 100%
-    of src9).  The keep decision is a pure hash threshold,
+    weights corpora before tokenization (e.g. keep 5% of src0 but 100%
+    of src19).  The keep decision is a pure hash threshold,
     h32('mix' || doc_id) % 1000 < weight*1000, so it is (a) embarrassingly
     parallel with no RNG state to coordinate across executors and (b)
     reproduced bit-for-bit by the DuckDB oracle — the determinism
@@ -401,7 +401,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     weight_pm = (
         F.regexp_extract("source", r"src(\d+)", 1).cast("int") + 1
-    ) * 100  # src0 -> 100/1000 ... src9 -> 1000/1000
+    ) * 50  # src0 -> 50/1000 ... src19 -> 1000/1000 (20 sources)
     bucket = h32(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))) % 1000
     keep = bucket < weight_pm
     return (

@@ -16,12 +16,12 @@ instead — same plan, different constant.
 
 from __future__ import annotations
 
-import hashlib
 import math
 import os
-from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+from marketstream_etl_spark.sources.tables import warehouse_path
 
 
 def compact_parquet(
@@ -39,23 +39,16 @@ def compact_parquet(
     return n_files
 
 
-def _warehouse_path(spark: SparkSession, name: str, sf_dir: str) -> str:
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    return os.path.join(warehouse, f"{name}_{sfx}")
-
-
 def ensure_compacted_documents(spark: SparkSession, sf_dir: str) -> str:
     """Fragment documents into 64 tiny files (the ingest-damage fixture),
-    then compact back to a handful — once per source dir."""
-    frag = _warehouse_path(spark, "frag_documents", sf_dir)
-    compacted = _warehouse_path(spark, "compact_documents", sf_dir)
+    then compact back — once per source dir.  The 2^40 target means "one
+    file"; compact_parquet's own count is the only job over the data."""
+    frag = warehouse_path(spark, "frag_documents", sf_dir)
+    compacted = warehouse_path(spark, "compact_documents", sf_dir)
     if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         docs.repartition(64).write.mode("overwrite").parquet(frag)
-        compact_parquet(
-            spark, frag, compacted, target_rows_per_file=max(docs.count(), 1)
-        )
+        compact_parquet(spark, frag, compacted, target_rows_per_file=1 << 40)
     return compacted
 
 

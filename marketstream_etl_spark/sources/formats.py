@@ -15,7 +15,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 
 from marketstream_etl_spark.sources.bucketed import _clear_table
-from marketstream_etl_spark.sources.tables import load_table
+from marketstream_etl_spark.sources.tables import load_table, warehouse_path
 
 
 def ensure_orc_orders(spark: SparkSession, sf_dir: str) -> str:
@@ -42,11 +42,8 @@ def ensure_xml_nation(spark: SparkSession, sf_dir: str) -> str:
     row-expensive interchange format, not an analytics layout; the round
     trip proves the reader/writer, nothing more)."""
     import os
-    from urllib.parse import urlparse
 
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = os.path.join(warehouse, f"xml_nation_{sfx}")
+    path = warehouse_path(spark, "xml_nation", sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             load_table(spark, sf_dir, "nation")
@@ -69,11 +66,8 @@ def ensure_jsonl_supplier(spark: SparkSession, sf_dir: str) -> str:
     streaming path (S6 TickMessage to_json/from_json) applied at rest.
     Doubles survive via Spark's round-trippable JSON float formatting."""
     import os
-    from urllib.parse import urlparse
 
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = os.path.join(warehouse, f"jsonl_supplier_{sfx}")
+    path = warehouse_path(spark, "jsonl_supplier", sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
             load_table(spark, sf_dir, "supplier")
@@ -97,11 +91,8 @@ def ensure_evolving_orders(spark: SparkSession, sf_dir: str) -> str:
     time with nulls for the missing column — additive schema evolution, the
     lakehouse answer to ALTER TABLE on a 100 TB table (no rewrite)."""
     import os
-    from urllib.parse import urlparse
 
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = os.path.join(warehouse, f"evolve_orders_{sfx}")
+    path = warehouse_path(spark, "evolve_orders", sf_dir)
     if not os.path.exists(os.path.join(path, "v2", "_SUCCESS")):
         orders = load_table(spark, sf_dir, "orders")
         v1 = orders.filter("o_orderkey % 2 = 0").select(

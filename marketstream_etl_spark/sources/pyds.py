@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 EPOCH_NS = 1_698_208_500_000_000_000  # DataGenerator.hpp:151
+N_ROWS_DEFAULT = 50_000  # shared by q_python_datasource and its oracle CTE
 GAP_NS = 27_500  # midpoint of the reference's U[5us, 50us] tick gap
 SYMBOLS = [  # 16-entry weighted pick table, DataGenerator.hpp:86-97
     "RELIANCE", "RELIANCE", "RELIANCE", "TCS", "TCS", "TCS",
@@ -65,6 +66,8 @@ class TradeGenReader(DataSourceReader):
         self.num_partitions = int(options.get("partitions", 8))
 
     def partitions(self):  # noqa: D102 - DataSourceReader contract
+        if self.n <= 0:  # empty scan, not a range() crash
+            return [RangePartition(0, 0)]
         step = -(-self.n // self.num_partitions)
         return [
             RangePartition(s, min(s + step, self.n))

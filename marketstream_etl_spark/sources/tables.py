@@ -16,6 +16,19 @@ from marketstream_etl_spark.schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def warehouse_path(spark: SparkSession, name: str, sf_dir: str) -> str:
+    """Canonical cache path for a derived dataset: one directory per
+    (artifact name, source dir) under the session warehouse.  Every
+    write-once fixture (ORC/XML/JSONL copies, z-order layout, compaction)
+    keys through here so the keying scheme has a single definition."""
+    import hashlib
+    from urllib.parse import urlparse
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    return os.path.join(warehouse, f"{name}_{sfx}")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -15,15 +15,13 @@ Write-once per source dir under the warehouse, keyed like formats.py.
 
 from __future__ import annotations
 
-import hashlib
 import os
-from urllib.parse import urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marketstream_etl_spark.functions.zorder import z_value
-from marketstream_etl_spark.sources.tables import load_table
+from marketstream_etl_spark.sources.tables import load_table, warehouse_path
 
 Z_BITS = 12  # 4096 buckets per dimension after min/max scaling
 
@@ -43,6 +41,9 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
     ).first()
+    if lo_a is None or lo_b is None:  # empty input: write the empty layout
+        df.write.mode("overwrite").parquet(path)
+        return
 
     def scaled(col: str, lo, hi) -> Column:
         span = max(int(hi) - int(lo), 1)
@@ -64,9 +65,7 @@ def write_zordered(
 
 
 def ensure_zordered_lineitem(spark: SparkSession, sf_dir: str) -> str:
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    path = os.path.join(warehouse, f"zorder_lineitem_{sfx}")
+    path = warehouse_path(spark, "zorder_lineitem", sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_zordered(
             load_table(spark, sf_dir, "lineitem"),

@@ -23,6 +23,12 @@ def test_row_of_is_pure_and_valid():
     assert ts == pyds.EPOCH_NS + 7 * pyds.GAP_NS
 
 
+def test_zero_rows_is_an_empty_scan(spark):
+    pyds.register(spark)
+    df = spark.read.format("tradegen").option("n", 0).load()
+    assert df.count() == 0
+
+
 def test_source_scans_partition_parallel(spark):
     pyds.register(spark)
     df = (

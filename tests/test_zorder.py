@@ -51,6 +51,17 @@ def test_z_value_py_is_bijective(a, b):
     assert 0 <= z < 1 << 24
 
 
+def test_write_zordered_accepts_empty_input(spark, tmp_path):
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+        .filter("l_partkey < 0")
+    )
+    out = str(tmp_path / "empty")
+    write_zordered(li, out, "l_partkey", "l_suppkey", n_files=4)
+    assert spark.read.parquet(out).count() == 0
+
+
 def _files_intersecting(path: str, column: str, lo: int, hi: int):
     """(n_intersecting, n_total) by parquet row-group footer stats — the
     same min/max the Spark reader uses to skip."""
