@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": analytics.q_max_drawdown,
         "realized_volatility": analytics.q_realized_volatility,
         "ewma_price": analytics.q_ewma_price,
+        "observed_metrics": analytics.q_observed_metrics,
         "order_imbalance": analytics.q_order_imbalance,
         "dedup_trades": analytics.q_dedup_trades,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
@@ -521,6 +522,16 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_r2(c.close, i.index_close), 6) AS r2
             FROM closes c JOIN idx i ON c.bar = i.bar
             GROUP BY c.symbol ORDER BY c.symbol
+        """,
+        # observe()-collected counters == the relational recompute
+        "observed_metrics": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CASE WHEN ({_VALID_WHERE})
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid,
+                   round(sum(CASE WHEN {_VALID_WHERE} THEN price END), 4)
+                       AS valid_price_sum
+            FROM trades
         """,
         # closed-form EWMA weights: seed (1-a)^(n-1), then a*(1-a)^(n-j)
         "ewma_price": f"""

@@ -327,6 +327,35 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the Observation API: data-quality
+    counters (rows, invalid rows, distinct-symbol price sum) collected as
+    a side effect of ONE pass over the validated trades — no second scan,
+    no separate metrics query.  At 100 TB a monitoring re-scan is a real
+    cost; `observe` rides the action the pipeline already runs.
+
+    The observed metrics are returned as the result frame; the oracle
+    recomputes them relationally."""
+    from pyspark.sql import Observation
+
+    t = with_validation(load_trades(spark, sf_dir))
+    obs = Observation("etl_quality")
+    observed = t.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~F.col("is_valid")).cast("long")).alias("n_invalid"),
+        F.round(F.sum(F.when(F.col("is_valid"), F.col("price"))), 4).alias(
+            "valid_price_sum"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the one action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_invalid"], m["valid_price_sum"])],
+        "n_rows long, n_invalid long, valid_price_sum double",
+    )
+
+
 def q_ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of the minute close, alpha =
     0.2, as a CLOSED-FORM weighted aggregate (the compute_rsi_wilder
