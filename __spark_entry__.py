@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphans": advanced.q_fk_orphans,
         "jsonl_roundtrip": advanced.q_jsonl_roundtrip,
         "federated_join": advanced.q_federated_join,
+        "partition_backfill": advanced.q_partition_backfill,
         "schema_evolution": advanced.q_schema_evolution,
         "xml_roundtrip": advanced.q_xml_roundtrip,
         "recursive_rollup": advanced.q_recursive_rollup,
@@ -1583,6 +1584,19 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN 3600000000000 PRECEDING
                          AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        # dynamic overwrite doubled exactly the min(day)+7 partition
+        "partition_backfill": """
+            WITH ev AS (
+                SELECT (epoch_us(ts) * 1000) // 86400000000000 AS day, value
+                FROM events
+            ),
+            m AS (SELECT min(day) + 7 AS bday FROM ev)
+            SELECT day, count(*) AS n_events,
+                   round(sum(CASE WHEN day = (SELECT bday FROM m)
+                             THEN value * 2 ELSE value END), 2)
+                       AS total_value
+            FROM ev GROUP BY day ORDER BY day
         """,
         # three formats in one plan == the plain three-table join
         "federated_join": """

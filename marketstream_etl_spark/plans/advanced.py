@@ -659,6 +659,25 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day totals over the backfilled day-partitioned events copy
+    (sources/partitioned.py): dynamic partition overwrite must have
+    doubled exactly the min(day)+7 partition and left every other day's
+    values untouched — which is precisely what the oracle's CASE
+    recomputation over the original table demands."""
+    from marketstream_etl_spark.sources.partitioned import backfilled_events
+
+    ev = backfilled_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.col("day").cast("long").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day")
+    )
+
+
 def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One plan over three storage formats: parquet lineitem joined to the
     ORC orders copy joined to the JSON-lines supplier copy — the

@@ -14,11 +14,13 @@ Write-once per (sf_dir), keyed like sources/bucketed.py.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from marketstream_etl_spark.sources.bucketed import _clear_table
-from marketstream_etl_spark.sources.tables import load_table
+from marketstream_etl_spark.sources.tables import load_table, warehouse_path
 
 PARTITION_COL = "l_returnflag"  # 3 values -> 3 directories
 
@@ -48,3 +50,48 @@ def pruned_scan(spark: SparkSession, tbl: str, flag: str) -> DataFrame:
     and that inputFiles() stays inside the one directory."""
     df = spark.table(tbl)
     return df.filter(df[PARTITION_COL] == flag)
+
+
+# --- dynamic partition overwrite (incremental backfill) ---------------------
+
+BACKFILL_DAY_OFFSET = 7  # corrected day = min(day) + 7, deterministic per dir
+
+
+def ensure_backfilled_events(spark: SparkSession, sf_dir: str) -> str:
+    """Day-partitioned events with ONE day's partition rewritten in place
+    (values doubled) via dynamic partition overwrite — the backfill
+    primitive of a partitioned warehouse: `partitionOverwriteMode=dynamic`
+    replaces exactly the partitions present in the incoming frame and
+    leaves every other directory byte-untouched.  Static overwrite (the
+    default) would instead TRUNCATE THE WHOLE TABLE — at 100 TB that
+    mode distinction is the difference between a partition-sized job and
+    losing the dataset.
+
+    Day = µs-truncated ns DIV 86400e9, matching the events-ts convention
+    (DuckDB reads the TIMESTAMP(NANOS) column at µs precision)."""
+    path = warehouse_path(spark, "backfill_events", sf_dir)
+    marker = os.path.join(path, "_BACKFILL_DONE")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "value",
+            F.expr("(ts - ts % 1000) DIV 86400000000000").alias("day"),
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(path)
+        bday = ev.agg(F.min("day")).first()[0] + BACKFILL_DAY_OFFSET
+        corrected = ev.filter(F.col("day") == bday).withColumn(
+            "value", F.col("value") * 2
+        )
+        (
+            corrected.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(path)
+        )
+        open(marker, "w").close()
+    return path
+
+
+def backfilled_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(ensure_backfilled_events(spark, sf_dir))
