@@ -141,6 +141,13 @@ def _stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_ohlc(spark, sf_dir)
 
 
+def _stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6: corrupt-frame dead-letter split as a real streaming ingest."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_deadletter
+
+    return file_stream_deadletter(spark, sf_dir)
+
+
 def _stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST4 parity probe: watermark + tumbling window on a real streaming
     run; bounded replay makes the final state equal the batch bucketing."""
@@ -342,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_counts": _stream_counts,
         "streaming_windowed": _stream_windowed,
         "streaming_ohlc": _stream_ohlc,
+        "streaming_deadletter": _stream_deadletter,
         "streaming_dedup": _stream_dedup,
         "streaming_dedup_watermarked": _stream_dedup_watermarked,
         "streaming_join": _stream_join,
@@ -1771,6 +1779,16 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(price), 6) AS avg_price
             FROM trades WHERE price > 0 AND volume > 0
             GROUP BY 1, 2 ORDER BY window_start_ns, symbol
+        """,
+        # every 50th frame truncated -> unparseable; volume only from the
+        # clean side (corrupt rows carry no fields)
+        "streaming_deadletter": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT (trade_id % 50 = 0) AS parse_error,
+                   count(*) AS n_frames,
+                   CAST(sum(CASE WHEN trade_id % 50 <> 0 THEN volume END)
+                        AS BIGINT) AS total_volume
+            FROM trades GROUP BY 1 ORDER BY 1
         """,
         # streaming windowed OHLC == batch resample on bounded replay;
         # open/close are first/last by (timestamp, trade_id) within the bar

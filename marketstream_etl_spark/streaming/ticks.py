@@ -257,6 +257,54 @@ def file_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("symbol", "window_start_ns")
 
 
+def file_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 `parse_errors` as an oracle-checked streaming run: serialize
+    the replayed trades to JSON wire frames, deterministically corrupt
+    every 50th frame (truncate to 10 bytes — never valid JSON), run the
+    real from_json ingest, and count the dead-letter split plus the
+    clean-side volume.  The reference counts exactly this channel in
+    TickClient.hpp:224-231; here the counter is a verifiable query."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.plans.trades_view import trades_from_events
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    events = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ticks = trades_from_events(events).withColumn("exchange", F.lit("WSS"))
+    frames = ticks.select(
+        "trade_id",
+        F.to_json(
+            F.struct(*[F.col(f.name) for f in TICK_SCHEMA.fields])
+        ).alias("value"),
+    )
+    wire = frames.select(
+        F.when(
+            F.col("trade_id") % 50 == 0, F.substring("value", 1, 10)
+        )
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+    parsed = parse_json_frames(wire)
+    out = parsed.groupBy("parse_error").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("volume").alias("total_volume"),
+    )
+    name = f"stream_deadletter_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("parse_error")
+
+
 def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (engine extension beyond the reference's
     streaming surface): buy ticks joined to sell ticks of the same symbol
