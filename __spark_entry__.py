@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": training_data.q_embedding_stats,
         "train_test_split": training_data.q_train_test_split,
         "weighted_sample": training_data.q_weighted_sample,
+        "array_functions": training_data.q_array_functions,
         "stratified_sample": training_data.q_stratified_sample,
         "corpus_curation": training_data.q_corpus_curation,
         "ann_ivf_recall": training_data.q_ann_ivf_recall,
@@ -1191,6 +1192,25 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(h.hits, 0) / t.k, 6) AS recall_at_5
             FROM totals t LEFT JOIN hits h ON t.query_id = h.query_id
             ORDER BY t.query_id
+        """,
+        # list_* HOFs mirror transform/aggregate/filter; double casts keep
+        # float32 element math off both sides
+        "array_functions": """
+            WITH v AS (
+                SELECT label,
+                       sqrt(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                           AS norm,
+                       CAST(len(list_filter(embedding, x -> x > 0))
+                            AS DOUBLE) / len(embedding) AS pos_frac,
+                       CAST(list_max(embedding) AS DOUBLE) AS max_comp
+                FROM embeddings
+            )
+            SELECT CAST(label AS INTEGER) AS label, count(*) AS n_vectors,
+                   round(avg(norm), 4) AS avg_norm,
+                   round(avg(pos_frac), 4) AS avg_pos_frac,
+                   round(max(max_comp), 4) AS max_component
+            FROM v GROUP BY label ORDER BY label
         """,
         # identical md5 threshold -> bit-identical sample membership
         "weighted_sample": """

@@ -416,3 +416,34 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding column — transform
+    / aggregate / filter / array_max as pure JVM expressions (no UDF), the
+    X-function surface for ArrayType the reference never needed: per
+    label, average L2 norm, average positive-component fraction, and the
+    max component.  Element math runs in double on both engines (float32
+    rounding would diverge from the DuckDB mirror)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x))
+    pos_frac = F.size(F.filter(d, lambda x: x > 0)) / F.size(d).cast(
+        "double"
+    )
+    return (
+        emb.select(
+            "label",
+            norm.alias("norm"),
+            pos_frac.alias("pos_frac"),
+            F.array_max(d).alias("max_comp"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.avg("pos_frac"), 4).alias("avg_pos_frac"),
+            F.round(F.max("max_comp"), 4).alias("max_component"),
+        )
+        .orderBy("label")
+    )
