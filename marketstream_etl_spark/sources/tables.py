@@ -30,6 +30,10 @@ def warehouse_path(spark: SparkSession, name: str, sf_dir: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores ts as INT64 TIMESTAMP(NANOS); a vanilla session
+    # (e.g. an external driver's) raises PARQUET_TYPE_ILLEGAL without this
+    # runtime conf, which maps it to BIGINT nanoseconds.  Idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

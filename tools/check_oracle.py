@@ -2,7 +2,11 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, schema
 shape, and an order-insensitive value hash.
 
-Usage: python tools/check_oracle.py [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [query ...]
+
+--vanilla uses a plain ``SparkSession.builder.getOrCreate()`` (no session.py
+confs) to replicate the external driver exactly — round 1 failed 21 queries
+because the builder-only nanosAsLong conf masked a dependency.
 """
 
 from __future__ import annotations
@@ -49,10 +53,18 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
-    spark = get_spark("oracle-check")
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[32]").getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[1:])
+    only = set(args)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -67,7 +79,8 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows={len(srows)} (no oracle, rows-only)")
+            dt = time.time() - t0
+            print(f"ok?  {name} ({dt:.1f}s): rows={len(srows)} (no oracle, rows-only)")
             continue
         try:
             rel = con.sql(oracles[name])
