@@ -1040,8 +1040,47 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'unknown' END AS sniffed_type
             FROM documents ORDER BY media_id
         """,
-        # multimodal_features intentionally has no oracle (Pandas-UDF decode
-        # path; driver records the rows-only check).
+        # multimodal_features: the stub decoder is acc[i%8] += byte over the
+        # ASCII payload then /= total — exact integer sums in doubles, so the
+        # DuckDB replay hash-matches the mapInPandas path bit for bit.
+        "multimodal_features": """
+            WITH pos AS (
+                -- uncorrelated series (DuckDB can't lateral-join
+                -- generate_series on a column); docs are < 4096 chars
+                SELECT i FROM generate_series(0, 4095) s(i)
+            ),
+            bytes AS (
+                SELECT doc_id AS media_id,
+                       (pos.i % 8) AS dim,
+                       ascii(substr(text, CAST(pos.i + 1 AS INTEGER), 1)) AS b
+                FROM documents, pos
+                WHERE pos.i < strlen(text)
+            ),
+            acc AS (
+                SELECT media_id, dim, CAST(sum(b) AS DOUBLE) AS a
+                FROM bytes GROUP BY 1, 2
+            ),
+            feat AS (
+                SELECT media_id,
+                       round(max(CASE WHEN dim = 0 THEN a END) / sum(a), 6) AS f0,
+                       round(max(CASE WHEN dim = 1 THEN a END) / sum(a), 6) AS f1,
+                       round(max(CASE WHEN dim = 2 THEN a END) / sum(a), 6) AS f2,
+                       round(max(CASE WHEN dim = 3 THEN a END) / sum(a), 6) AS f3,
+                       round(max(CASE WHEN dim = 4 THEN a END) / sum(a), 6) AS f4,
+                       round(max(CASE WHEN dim = 5 THEN a END) / sum(a), 6) AS f5,
+                       round(max(CASE WHEN dim = 6 THEN a END) / sum(a), 6) AS f6,
+                       round(max(CASE WHEN dim = 7 THEN a END) / sum(a), 6) AS f7
+                FROM acc GROUP BY media_id
+            )
+            SELECT d.doc_id AS media_id,
+                   CASE WHEN d.doc_id % 3 = 0 THEN 'png'
+                        WHEN d.doc_id % 3 = 1 THEN 'jpeg'
+                        ELSE 'wav' END AS media_type,
+                   CAST(strlen(d.text) AS INTEGER) AS n_bytes,
+                   f.f0, f.f1, f.f2, f.f3, f.f4, f.f5, f.f6, f.f7
+            FROM documents d JOIN feat f ON f.media_id = d.doc_id
+            ORDER BY media_id
+        """,
         # frame sampling: ASCII payloads (checked: strlen == length over the
         # corpus) make byte slices == substr slices, so the mapInPandas
         # fan-out is hash-checked end to end. min doc length 48 → k is
@@ -1413,8 +1452,16 @@ def oracle_sql() -> dict[str, str]:
                        AS INTEGER)) AS distinct_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
-        # approx_aggs: no oracle — HLL/KLL sketches are implementation-
-        # defined; tests assert the error bound instead.
+        # approx_aggs: the sketch values themselves are implementation-
+        # defined, so the query exposes exact values + in-bound booleans and
+        # the oracle states the booleans as TRUE — hash-checks the bound.
+        "approx_aggs": """
+            SELECT count(DISTINCT l_partkey) AS exact_parts,
+                   TRUE AS parts_within_3pct,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+                   TRUE AS p50_within_1pct
+            FROM lineitem
+        """,
         "merge_upsert": f"""
             WITH trades AS ({TRADES_CTE}),
             source AS (

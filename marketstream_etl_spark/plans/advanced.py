@@ -308,16 +308,31 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL distinct + approx quantiles) next to the
-    exact values. No SQL oracle — HLL sketches are implementation-defined;
-    the driver records the rows-only check, and the test suite asserts the
-    approximation error bound instead."""
+    """Approximate aggregates (HLL distinct + approx quantiles) asserted
+    AGAINST their exact counterparts inside the query: the sketch values are
+    implementation-defined (no SQL oracle can reproduce them), so the
+    oracle-visible columns are the exact values plus in-bound booleans that
+    the DuckDB side states as TRUE — a full hash check that fails if either
+    sketch drifts out of tolerance.  HLL rsd=0.01, tolerance 3%; KLL
+    accuracy=10000, tolerance 1% of the exact median."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_p50"),
-        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("exact_p50"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+    )
+    return agg.select(
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= F.col("exact_parts") * 0.03
+        ).alias("parts_within_3pct"),
+        F.round("exact_p50", 4).alias("exact_p50"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            <= F.col("exact_p50") * 0.01
+        ).alias("p50_within_1pct"),
     )
 
 

@@ -186,11 +186,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pandas-UDF decode plumbing over binary payloads (no SQL oracle —
-    driver records the rows-only check; feature math is the deterministic
-    fake decoder, see operators/multimodal.py)."""
+    """Pandas-UDF decode plumbing over binary payloads.  The stub decoder
+    (operators/multimodal._fake_decode) folds payload bytes into 8
+    accumulators — deterministic integer arithmetic over ASCII payloads, so
+    DuckDB reproduces it byte-for-byte and the mapInPandas plumbing is
+    hash-checked end to end.  Feature dims are projected to rounded scalar
+    columns for stable cross-engine hashing."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
-    return extract_features(media).orderBy("media_id")
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        *[
+            F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    ).orderBy("media_id")
 
 
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:

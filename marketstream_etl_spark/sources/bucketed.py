@@ -52,9 +52,9 @@ def ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     keyed to the source dir (stable md5, not the per-process str hash), so
     repeat calls within a session find the catalog entry and skip the
     rewrite: the bucketing cost really is paid at write time only."""
-    import hashlib
+    from marketstream_etl_spark.sources.tables import source_key
 
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sfx = source_key(sf_dir)
     o_tbl, l_tbl = f"bkt_orders_{sfx}", f"bkt_lineitem_{sfx}"
     if not (
         spark.catalog.tableExists(o_tbl) and spark.catalog.tableExists(l_tbl)

@@ -15,11 +15,11 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 
 from marketstream_etl_spark.sources.bucketed import _clear_table
-from marketstream_etl_spark.sources.tables import load_table, warehouse_path
+from marketstream_etl_spark.sources.tables import load_table, source_key, warehouse_path
 
 
 def ensure_orc_orders(spark: SparkSession, sf_dir: str) -> str:
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sfx = source_key(sf_dir)
     tbl = f"orc_orders_{sfx}"
     if not spark.catalog.tableExists(tbl):
         _clear_table(spark, tbl)

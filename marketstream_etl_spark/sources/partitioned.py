@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from marketstream_etl_spark.sources.bucketed import _clear_table
-from marketstream_etl_spark.sources.tables import load_table, warehouse_path
+from marketstream_etl_spark.sources.tables import load_table, source_key, warehouse_path
 
 PARTITION_COL = "l_returnflag"  # 3 values -> 3 directories
 
@@ -29,7 +29,7 @@ def ensure_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
     """Write lineitem partitioned by l_returnflag as a managed table — once
     per source dir.  Repeat calls find the catalog entry and skip the
     rewrite (the layout cost is paid at write time only)."""
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    sfx = source_key(sf_dir)
     tbl = f"part_lineitem_{sfx}"
     if not spark.catalog.tableExists(tbl):
         _clear_table(spark, tbl)

@@ -10,31 +10,74 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from marketstream_etl_spark.schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def source_key(sf_dir: str) -> str:
+    """8-hex cache key for every write-once fixture derived from a testdata
+    dir.  Keyed on path AND data mtime: regenerated testdata must not be
+    served from a fixture built against the previous generation."""
+    import glob
+    import hashlib
+
+    mtime = max(
+        (os.stat(p).st_mtime_ns for p in glob.glob(os.path.join(sf_dir, "*.parquet"))),
+        default=0,
+    )
+    return hashlib.md5(f"{sf_dir}@{mtime}".encode()).hexdigest()[:8]
+
+
 def warehouse_path(spark: SparkSession, name: str, sf_dir: str) -> str:
     """Canonical cache path for a derived dataset: one directory per
-    (artifact name, source dir) under the session warehouse.  Every
+    (artifact name, source key) under the session warehouse.  Every
     write-once fixture (ORC/XML/JSONL copies, z-order layout, compaction)
     keys through here so the keying scheme has a single definition."""
-    import hashlib
     from urllib.parse import urlparse
 
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    return os.path.join(warehouse, f"{name}_{sfx}")
+    return os.path.join(warehouse, f"{name}_{source_key(sf_dir)}")
+
+
+def normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Restore the repo-wide invariant `events.ts is int64 epoch-ns`
+    regardless of the parquet timestamp encoding of the testdata:
+
+    - TIMESTAMP(NANOS) files (+ nanosAsLong) arrive as LongType ns → pass.
+    - TIMESTAMP(MICROS) files arrive as TIMESTAMP_NTZ → interpret the wall
+      clock as UTC (exactly DuckDB's ``epoch_us(ts)*1000`` oracle, which is
+      tz-naive) and widen to ns.
+
+    The engine keeps raw int64 ns downstream to match the reference's time
+    model (Trade.hpp:21) and because ns magnitudes exceed double's 2^53
+    mantissa — all bucketing stays in integer arithmetic.  Pure projection:
+    valid on both batch and streaming frames.
+    """
+    dtypes = dict(df.dtypes)
+    if dtypes.get("ts") in ("timestamp_ntz", "timestamp"):
+        # NTZ→LTZ cast interprets the wall clock in the session timezone;
+        # pin it to UTC so the instant equals the oracle's naive-as-UTC read.
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp_ltz")) * F.lit(1000)
+        )
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores ts as INT64 TIMESTAMP(NANOS); a vanilla session
-    # (e.g. an external driver's) raises PARQUET_TYPE_ILLEGAL without this
-    # runtime conf, which maps it to BIGINT nanoseconds.  Idempotent.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # NANOS-era testdata needs this legacy mapping to be readable at all
+    # (PARQUET_TYPE_ILLEGAL otherwise); it is a no-op for MICROS files.
+    # Guarded so a vanilla (driver-owned) session is only mutated once.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = normalize_event_ts(spark, df)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -18,14 +18,9 @@ def valid_trades_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream, mapped to valid trades."""
     from marketstream_etl_spark.operators.validation import split_valid
     from marketstream_etl_spark.plans.trades_view import trades_from_events
+    from marketstream_etl_spark.streaming.ticks import stream_events
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    valid, _ = split_valid(trades_from_events(events))
+    valid, _ = split_valid(trades_from_events(stream_events(spark, sf_dir)))
     return valid
 
 

@@ -26,6 +26,23 @@ STREAM_EPOCH_NS = 1_698_208_500_000_000_000  # TickServer.hpp:186
 STREAM_SYMBOLS = ["RELIANCE", "TCS", "INFY", "HDFC", "WIPRO"]  # :196
 
 
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bounded replay of events.parquet as a file-source
+    stream, with `ts` normalized to int64 epoch-ns exactly like the batch
+    loader (sources/tables.normalize_event_ts) so streaming plans share the
+    batch time model."""
+    from marketstream_etl_spark.sources.tables import normalize_event_ts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory; glob-filter down to the one table
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return normalize_event_ts(spark, raw)
+
+
 def tick_stream(spark: SparkSession, rows_per_second: int = 5000) -> DataFrame:
     """S4: rate-source tick generator with the server's column semantics —
     5K ticks/s, event time advancing 10µs/tick from a fixed epoch
@@ -150,13 +167,7 @@ def file_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     websocket_demo.cpp:174-214)."""
     from marketstream_etl_spark.plans.trades_view import trades_from_events
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file source wants a directory; glob-filter down to the one table
-    events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events = stream_events(spark, sf_dir)
     counts = symbol_counts(hot_path_filter(trades_from_events(events)))
     name = f"stream_counts_{abs(hash(sf_dir)) % 100000}"
     q = (
@@ -179,12 +190,7 @@ def file_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from marketstream_etl_spark.plans.trades_view import trades_from_events
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events = stream_events(spark, sf_dir)
     stats = windowed_symbol_stats(
         hot_path_filter(trades_from_events(events)), window="1 minute"
     )
@@ -218,12 +224,7 @@ def file_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from marketstream_etl_spark.plans.trades_view import trades_from_events
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events = stream_events(spark, sf_dir)
     ticks = hot_path_filter(trades_from_events(events)).withColumn(
         "event_time", F.timestamp_micros(F.expr("timestamp DIV 1000"))
     )
@@ -268,12 +269,7 @@ def file_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from marketstream_etl_spark.plans.trades_view import trades_from_events
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events = stream_events(spark, sf_dir)
     ticks = trades_from_events(events).withColumn("exchange", F.lit("WSS"))
     frames = ticks.select(
         "trade_id",
@@ -320,12 +316,7 @@ def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     not part of the streaming state)."""
     from marketstream_etl_spark.plans.trades_view import trades_from_events
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events = stream_events(spark, sf_dir)
     trades = trades_from_events(events).withColumn(
         "event_time", F.timestamp_micros(F.expr("timestamp div 1000"))
     )
@@ -393,12 +384,7 @@ def file_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL as the batch query.  Per-user stats are a batch step over the sink
     table — chaining a second stateful aggregation onto the session window
     is deliberately avoided."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events = stream_events(spark, sf_dir)
     with_ts = events.select(
         "user_id",
         F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
@@ -445,12 +431,7 @@ def file_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain batch counts — oracle-checkable."""
     from marketstream_etl_spark.plans.trades_view import trades_from_events
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events = stream_events(spark, sf_dir)
     trades = trades_from_events(events)
     doubled = trades.withColumn(
         "_copy", F.explode(F.array(F.lit(1), F.lit(2)))
@@ -488,12 +469,7 @@ def file_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
     watermark), deduped per-symbol counts equal the plain batch counts."""
     from marketstream_etl_spark.plans.trades_view import trades_from_events
 
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    events = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    events = stream_events(spark, sf_dir)
     trades = trades_from_events(events)
     doubled = trades.withColumn(
         "_copy", F.explode(F.array(F.lit(1), F.lit(2)))

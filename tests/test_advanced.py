@@ -10,13 +10,12 @@ from marketstream_etl_spark.plans import advanced
 
 
 def test_approx_aggs_error_bounds(spark, sf_dir):
+    # the query now asserts the sketch bounds itself (oracle-visible
+    # booleans); the test checks they hold and the exact values are sane
     r = advanced.q_approx_aggs(spark, sf_dir).collect()[0]
-    # HLL++ default rsd is 5%; allow 3x margin
-    assert abs(r["approx_parts"] - r["exact_parts"]) <= max(
-        3, 0.15 * r["exact_parts"]
-    )
-    # approx median within 10% of exact
-    assert abs(r["approx_p50"] - r["exact_p50"]) <= 0.10 * r["exact_p50"]
+    assert r["parts_within_3pct"]
+    assert r["p50_within_1pct"]
+    assert r["exact_parts"] > 0 and r["exact_p50"] > 0
 
 
 def test_sessionization_sane(spark, sf_dir):

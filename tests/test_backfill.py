@@ -14,6 +14,7 @@ from marketstream_etl_spark.sources.partitioned import (
     BACKFILL_DAY_OFFSET,
     ensure_backfilled_events,
 )
+from marketstream_etl_spark.sources.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -41,7 +42,7 @@ def test_backfill_rewrites_only_one_partition(spark):
 
     # and the doubled values live exactly there
     df = spark.read.parquet(path)
-    src = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+    src = load_table(spark, SF_DIR, "events").select(
         F.expr("(ts - ts % 1000) DIV 86400000000000").alias("day"), "value"
     )
     got = df.filter(F.col("day") == bday).agg(F.sum("value")).first()[0]
