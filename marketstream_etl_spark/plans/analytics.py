@@ -31,6 +31,49 @@ def q_trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_trades(spark, sf_dir)
 
 
+# The reference repo's 13-row CSV test fixture (sample_data.csv): 10 valid
+# trades + 3 that each trip one validation rule — lowercase symbol (V1),
+# negative price (V2), zero volume (V3).  Reproduced as data so the golden
+# valid/reject split is driver-oracle-visible end to end through the REAL
+# CSV source path (S1/S2 typed extraction + defaults).
+SAMPLE_FIXTURE_CSV = """trade_id,order_id,timestamp,symbol,price,volume,side,type,is_pro
+1000001,2000001,1698230400000000000,RELIANCE,2456.75,100,B,L,0
+1000002,2000002,1698230400100000000,RELIANCE,2457.00,250,S,M,1
+1000003,2000003,1698230400200000000,TCS,3567.50,75,B,L,0
+1000004,2000004,1698230400300000000,INFY,1423.25,500,S,L,1
+1000005,2000005,1698230400400000000,HDFC,1678.90,200,B,M,0
+1000006,2000006,1698230400500000000,WIPRO,432.60,1000,S,L,0
+1000007,2000007,1698230400600000000,RELIANCE,2458.00,150,B,M,1
+1000008,2000008,1698230400700000000,TCS,3565.25,90,S,L,0
+1000009,2000009,1698230400800000000,ICICIBANK,987.45,300,B,L,1
+1000010,2000010,1698230400900000000,INFY,1424.00,450,B,M,0
+9999991,8888881,1698230400950000000,reliance,1424.00,450,B,M,0
+9999992,8888882,1698230400960000000,WIPRO,-50.00,200,B,L,0
+9999993,8888883,1698230400970000000,HDFC,1678.90,0,B,M,0
+"""
+
+
+def q_validate_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sample_data.csv golden (10 valid / 3 rejects with
+    first-failing reasons), run through the real CSV source + validator
+    (/root/reference/sample_data.csv:12-14, TradeValidator.hpp:109-178)."""
+    import os
+
+    from marketstream_etl_spark.sources.csv_trades import read_trades_csv
+    from marketstream_etl_spark.sources.tables import warehouse_path
+
+    path = warehouse_path(spark, "sample_fixture_csv", sf_dir)
+    csv_file = os.path.join(path, "sample_data.csv")
+    if not os.path.exists(csv_file):
+        os.makedirs(path, exist_ok=True)
+        with open(csv_file, "w") as f:
+            f.write(SAMPLE_FIXTURE_CSV)
+    trades = read_trades_csv(spark, csv_file)
+    return with_validation(trades).select(
+        "trade_id", "symbol", "price", "volume", "is_valid", "reject_reason"
+    ).orderBy("trade_id")
+
+
 def q_validate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 annotate: every trade with is_valid + first-failing reject_reason."""
     # NOTE: no fan_out here — validation must stay a pure map-side pass

@@ -367,6 +367,90 @@ def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def socket_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 NETWORK ingest parity: a localhost TCP emitter thread plays the
+    reference's TickServer (src/feed/TickServer.hpp:144-265 — JSON frames
+    over a socket), and `readStream.format("socket")` is the TickClient
+    (TickClient.hpp:126-246): live wire → from_json → dead-letter split.
+
+    Same deterministic corruption contract as file_stream_deadletter (every
+    50th frame truncated to 10 bytes), so the final counts hash-match the
+    same batch oracle.  The driver-side emitter buffer is a test-scale
+    stand-in for a real feed (a production deployment points the same parse
+    stage at Kafka — streaming/kafka.py); the ingest path under test — the
+    socket source, JSON parse, error channel, stateful counts — is the real
+    streaming machinery."""
+    import socket as socketlib
+    import threading
+    import time
+
+    from marketstream_etl_spark.plans.trades_view import trades_from_events
+    from marketstream_etl_spark.sources.tables import load_table
+
+    ticks = trades_from_events(load_table(spark, sf_dir, "events")).withColumn(
+        "exchange", F.lit("WSS")
+    )
+    wire_json = F.to_json(F.struct(*[F.col(f.name) for f in TICK_SCHEMA.fields]))
+    frames = ticks.select(
+        F.when(F.col("trade_id") % 50 == 0, F.substring(wire_json, 1, 10))
+        .otherwise(wire_json)
+        .alias("value")
+    )
+    payload = [r.value for r in frames.collect()]
+    n_expected = len(payload)
+
+    server = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
+    server.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    done = threading.Event()
+
+    def serve() -> None:
+        conn, _ = server.accept()
+        try:
+            conn.sendall(("\n".join(payload) + "\n").encode())
+            # keep the connection open until the reader has drained — the
+            # socket source treats a close as stream end mid-read
+            done.wait(timeout=120)
+        finally:
+            conn.close()
+            server.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    parsed = parse_json_frames(lines)
+    out = parsed.groupBy("parse_error").agg(
+        F.count("*").alias("n_frames"),
+        F.sum("volume").alias("total_volume"),
+    )
+    name = f"stream_socket_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            counted = spark.table(name).agg(F.sum("n_frames")).first()[0]
+            if counted == n_expected:
+                break
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        done.set()
+    return spark.table(name).orderBy("parse_error")
+
+
 SESSION_GAP = "30 minutes"
 SESSION_GAP_NS = 1_800_000_000_000
 
