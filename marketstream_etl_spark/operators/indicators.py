@@ -249,6 +249,124 @@ def compute_indicators_topk(
     return out
 
 
+def _tail_indicators(
+    joined: DataFrame, period: int, computed_at_ns: int | None
+) -> DataFrame:
+    """Shared final step: given one row per symbol with `_n/_pv/_v` totals
+    and `_tail` = last ≤(period+1) prices most-recent-first, emit the
+    reference indicator row (same clamps/edge cases as compute_indicators,
+    TechnicalIndicators.hpp:125,252-290)."""
+    prices = F.col("_tail")
+    # changes[i] = prices[i] - prices[i+1], most-recent change first
+    changes = F.expr(
+        "transform(slice(_tail, 1, size(_tail) - 1),"
+        " (p, i) -> p - element_at(_tail, i + 2))"
+    )
+    n = F.col("_n")
+    eff = F.least(F.lit(period), n)
+    n_ch = F.least(eff, n - 1)
+
+    sma = F.aggregate(
+        F.slice(prices, 1, eff), F.lit(0.0), lambda acc, x: acc + x
+    ) / eff.cast("double")
+    used = F.slice(changes, 1, n_ch)
+    gain_sum = F.aggregate(
+        used, F.lit(0.0), lambda acc, x: acc + F.greatest(x, F.lit(0.0))
+    )
+    loss_sum = F.aggregate(
+        used, F.lit(0.0), lambda acc, x: acc + F.greatest(-x, F.lit(0.0))
+    )
+    avg_gain = gain_sum / n_ch.cast("double")
+    avg_loss = loss_sum / n_ch.cast("double")
+    rsi = (
+        F.when((n < 2) | (eff <= 1), F.lit(50.0))
+        .when(avg_loss == 0.0, F.lit(100.0))
+        .otherwise(
+            F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss)
+        )
+    )
+    vwap = F.when(F.col("_v") == 0.0, F.lit(0.0)).otherwise(
+        F.col("_pv") / F.col("_v")
+    )
+    out = joined.select(
+        "symbol",
+        sma.alias("sma"),
+        rsi.alias("rsi"),
+        vwap.alias("vwap"),
+        eff.cast("int").alias("period"),
+    )
+    if computed_at_ns is not None:
+        out = out.withColumn(
+            "computed_at", F.lit(int(computed_at_ns)).cast("long")
+        )
+    return out
+
+
+def compute_indicators_fused(
+    trades: DataFrame,
+    period: int = DEFAULT_PERIOD,
+    computed_at_ns: int | None = None,
+) -> DataFrame:
+    """Single-pass fused indicator aggregate — the scale plan.
+
+    The window form sorts every row of a symbol on one reducer; the salted
+    top-k form avoids the serialization but still SHUFFLES every row once.
+    This variant shuffles almost nothing: group by (spark_partition_id,
+    symbol) so each group is complete within its input partition — the
+    "partial" aggregation IS the full group — computing count/Σpv/Σv plus a
+    bounded last-(period+1) tail via array_sort+slice on the local rows.
+    The exchange then moves only n_partitions × n_symbols tiny rows, and
+    the final merge re-sorts ≤ n_partitions·(period+1) elements per symbol.
+
+      map side : one pass, hash agg, O(rows·log(rows-per-group)) local sort
+      shuffle  : n_partitions × n_symbols rows (~KBs at any input scale)
+      reduce   : trivial
+
+    Memory envelope: the local collect_list holds one input partition's rows
+    for one symbol (≤ maxPartitionBytes worth) — bounded by the scan split
+    size, independent of total table size, so the plan survives 100 TB with
+    low-cardinality keys (the reference universe is ~10 symbols,
+    DataGenerator.hpp:86-97).  Semantics identical to compute_indicators.
+    """
+    k = period + 1
+    last_k = (  # last k elements of an ascending array, named `{col}`
+        lambda col: f"slice({col}, greatest(size({col}) - {k} + 1, 1), {k})"
+    )
+    # ascending (timestamp, trade_id, price) structs; keep the LAST k
+    local = (
+        trades.groupBy(F.spark_partition_id().alias("_pid"), "symbol")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("price") * F.col("volume")).alias("_pv"),
+            F.sum(F.col("volume").cast("double")).alias("_v"),
+            F.array_sort(
+                F.collect_list(F.struct("timestamp", "trade_id", "price"))
+            ).alias("_all"),
+        )
+        .select(
+            "symbol", "_n", "_pv", "_v",
+            F.expr(last_k("_all")).alias("_t"),
+        )
+    )
+    merged = (
+        local.groupBy("symbol")
+        .agg(
+            F.sum("_n").alias("_n"),
+            F.sum("_pv").alias("_pv"),
+            F.sum("_v").alias("_v"),
+            F.array_sort(F.flatten(F.collect_list("_t"))).alias("_all"),
+        )
+        .select(
+            "symbol", "_n", "_pv", "_v",
+            # most-recent-first price tail
+            F.expr(f"reverse(transform({last_k('_all')}, s -> s.price))").alias(
+                "_tail"
+            ),
+        )
+    )
+    return _tail_indicators(merged, period, computed_at_ns)
+
+
 def compute_rsi_wilder(
     trades: DataFrame, period: int = 14
 ) -> DataFrame:
@@ -326,13 +444,15 @@ def compute_indicators_auto(
     partition_threshold: int = 8,
 ) -> DataFrame:
     """Strategy dispatch: the window form wins on small inputs (one
-    exchange, no join); the salted top-k form wins once per-symbol history
-    outgrows a single reducer (measured crossover ≈ low-millions of rows on
-    local[32]; at cluster scale it is the only viable plan).  Input
-    partition count is the cheap, statistics-free size proxy."""
+    exchange, no join); the fused partial-aggregate form wins once
+    per-symbol history outgrows a single reducer — it moves only
+    n_partitions × n_symbols rows through the exchange, so it is the only
+    shape whose shuffle volume is independent of input size (measured 1M
+    floor study: tests/test_indicator_floor.py, README §performance).
+    Input partition count is the cheap, statistics-free size proxy."""
     n_parts = trades.rdd.getNumPartitions()
     if n_parts >= partition_threshold:
-        return compute_indicators_topk(
+        return compute_indicators_fused(
             trades, period=period, computed_at_ns=computed_at_ns
         )
     return compute_indicators(
