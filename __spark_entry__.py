@@ -262,14 +262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symbol_history": analytics.q_symbol_history,
         "vwap_by_symbol": analytics.q_vwap_by_symbol,
         "ohlc_bars": analytics.q_ohlc_bars,
-        "gap_fill": analytics.q_gap_fill,
-        "pairwise_correlation": analytics.q_pairwise_correlation,
-        "symbol_beta": analytics.q_symbol_beta,
-        "max_drawdown": analytics.q_max_drawdown,
-        "realized_volatility": analytics.q_realized_volatility,
         "ewma_price": analytics.q_ewma_price,
         "observed_metrics": analytics.q_observed_metrics,
-        "order_imbalance": analytics.q_order_imbalance,
         "dedup_trades": analytics.q_dedup_trades,
         # --- streaming (real Structured Streaming runs; ST1-ST7) — 11 ---
         "streaming_counts": _stream_counts,
@@ -302,17 +296,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": training_data.q_simhash_pairs,
         "ann_bruteforce": training_data.q_ann_bruteforce,
         "multimodal_features": training_data.q_multimodal_features,
-        # ---------------- fold: slot 51+ ----------------
+        "multimodal_metadata": training_data.q_multimodal_metadata,
+        "multimodal_frames": training_data.q_multimodal_frames,
         "dedup_clusters": training_data.q_dedup_clusters,
         "ann_ivf": training_data.q_ann_ivf,
+        "corpus_curation": training_data.q_corpus_curation,
+        "contamination": training_data.q_contamination,
+        # ---------------- fold: slot 51+ ----------------
+        "gap_fill": analytics.q_gap_fill,
+        "pairwise_correlation": analytics.q_pairwise_correlation,
+        "symbol_beta": analytics.q_symbol_beta,
+        "max_drawdown": analytics.q_max_drawdown,
+        "realized_volatility": analytics.q_realized_volatility,
+        "order_imbalance": analytics.q_order_imbalance,
         "ann_ivf_recall": training_data.q_ann_ivf_recall,
         "embedding_neardup": training_data.q_embedding_neardup,
         "embedding_stats": training_data.q_embedding_stats,
         "simhash": training_data.q_simhash,
-        "multimodal_metadata": training_data.q_multimodal_metadata,
-        "multimodal_frames": training_data.q_multimodal_frames,
-        "corpus_curation": training_data.q_corpus_curation,
-        "contamination": training_data.q_contamination,
         "vocab_topk": training_data.q_vocab_topk,
         "train_test_split": training_data.q_train_test_split,
         "array_functions": training_data.q_array_functions,

@@ -77,8 +77,16 @@ def bench_etl_1m(spark) -> dict[str, float]:
         _gen_csv(spark, 10_000, ETL_WARM_DIR, 1)
     with tempfile.TemporaryDirectory() as out:
         run_pipeline(spark, ETL_WARM_DIR, out, period=5)  # codegen warm-up
-    with tempfile.TemporaryDirectory() as out:
-        report = run_pipeline(spark, ETL_CSV_DIR, out, period=5)
+    # best of two full runs, like the headline loop: ambient machine noise
+    # (noisy-neighbor VM) measured up to 1.5x on single runs
+    report = None
+    for _ in range(2):
+        with tempfile.TemporaryDirectory() as out:
+            r = run_pipeline(spark, ETL_CSV_DIR, out, period=5)
+        if report is None or sum(r.stage_seconds.values()) < sum(
+            report.stage_seconds.values()
+        ):
+            report = r
     total = sum(report.stage_seconds.values())
     return {
         "etl_1m_total": round(total, 4),
@@ -141,9 +149,11 @@ def bench_stream_1m(spark) -> dict[str, float]:
         q.awaitTermination()
 
     run(warm_dir, "bench_stream_warm")  # one-time engine/codegen warmup
-    t0 = time.perf_counter()
-    run(STREAM_FRAMES_DIR, "bench_stream_counts")
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(2):  # best of two (see bench_etl_1m)
+        t0 = time.perf_counter()
+        run(STREAM_FRAMES_DIR, "bench_stream_counts")
+        dt = min(dt, time.perf_counter() - t0)
     n = spark.table("bench_stream_counts").agg(F.sum("n_ticks")).collect()[0][0]
     return {
         "stream_1m_total": round(dt, 4),

@@ -68,12 +68,27 @@ def normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # NANOS-era testdata needs this legacy mapping to be readable at all
-    # (PARQUET_TYPE_ILLEGAL otherwise); it is a no-op for MICROS files.
-    # Guarded so a vanilla (driver-owned) session is only mutated once.
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """One-time session tuning when the engine runs under a caller-owned
+    vanilla session (the external driver's): each conf is set only if still
+    at its Spark default, so a caller's explicit choice always wins.
+
+    - nanosAsLong: NANOS-era testdata is unreadable without it
+      (PARQUET_TYPE_ILLEGAL); no-op for MICROS files.
+    - shuffle partitions: the Spark default of 200 is wrong for local[32]
+      and makes every STATEFUL streaming query build 200 state-store
+      partitions per side (measured 31s for the stream-stream join at
+      sf0.01); 32 matches session.py.  Batch plans are unaffected either
+      way — AQE coalesces them at runtime.
+    """
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_engine_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_ts(spark, df)

@@ -31,8 +31,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, with `ts` normalized to int64 epoch-ns exactly like the batch
     loader (sources/tables.normalize_event_ts) so streaming plans share the
     batch time model."""
-    from marketstream_etl_spark.sources.tables import normalize_event_ts
+    from marketstream_etl_spark.sources.tables import (
+        ensure_engine_confs,
+        normalize_event_ts,
+    )
 
+    ensure_engine_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source wants a directory; glob-filter down to the one table
     raw = (
