@@ -1985,7 +1985,31 @@ def oracle_sql() -> dict[str, str]:
                     sum(CAST(volume AS DOUBLE)) AS v
                 FROM ann GROUP BY symbol
             )
-            SELECT symbol,
+            ,
+            wchg AS (
+                SELECT symbol,
+                    price - lag(price) OVER (PARTITION BY symbol
+                        ORDER BY "timestamp", trade_id) AS change,
+                    row_number() OVER (PARTITION BY symbol
+                        ORDER BY "timestamp", trade_id) - 1 AS j,
+                    count(*) OVER (PARTITION BY symbol) - 1 AS m
+                FROM valid
+            ),
+            wilder AS (
+                SELECT symbol, max(m) AS m,
+                    sum((CASE WHEN m <= 14 THEN 1.0 / m
+                              WHEN j <= 14
+                                  THEN power(1.0 - 1.0/14.0, m - 14.0) / 14.0
+                              ELSE (1.0/14.0) * power(1.0 - 1.0/14.0, m - j)
+                         END) * greatest(change, 0.0)) AS ag,
+                    sum((CASE WHEN m <= 14 THEN 1.0 / m
+                              WHEN j <= 14
+                                  THEN power(1.0 - 1.0/14.0, m - 14.0) / 14.0
+                              ELSE (1.0/14.0) * power(1.0 - 1.0/14.0, m - j)
+                         END) * greatest(-change, 0.0)) AS al
+                FROM wchg WHERE change IS NOT NULL GROUP BY symbol
+            )
+            SELECT agg.symbol,
                 n AS n_trades,
                 round(sma_raw, 6) AS sma,
                 round(CASE WHEN n < 2 OR least(5, n) <= 1 THEN 50.0
@@ -1995,8 +2019,13 @@ def oracle_sql() -> dict[str, str]:
                               / (loss_sum / CAST(least(5, n - 1) AS DOUBLE)))
                       END, 6) AS rsi,
                 round(CASE WHEN v = 0 THEN 0.0 ELSE pv / v END, 6) AS vwap,
-                CAST(least(5, n) AS INTEGER) AS period
-            FROM agg ORDER BY symbol
+                CAST(least(5, n) AS INTEGER) AS period,
+                round(CASE WHEN w.m < 1 THEN 50.0
+                           WHEN w.al = 0.0 THEN 100.0
+                           ELSE 100.0 - 100.0 / (1.0 + w.ag / w.al)
+                      END, 4) AS rsi_wilder
+            FROM agg JOIN wilder w ON w.symbol = agg.symbol
+            ORDER BY agg.symbol
         """,
         # dual-sink landing: both JDBC tables must reproduce the plain
         # per-symbol GROUP BY over valid trades (exactly-once, end-to-end).

@@ -54,6 +54,9 @@ def final_indicator_snapshot(emitted: DataFrame) -> DataFrame:
             F.round(F.max_by("rsi", "n_trades"), 6).alias("rsi"),
             F.round(F.max_by("vwap", "n_trades"), 6).alias("vwap"),
             F.max_by("period", "n_trades").alias("period"),
+            # recursion vs closed-form float drift is ~1e-12 relative;
+            # round(4) matches the rsi_wilder oracle's output precision
+            F.round(F.max_by("rsi_wilder", "n_trades"), 4).alias("rsi_wilder"),
         )
         .orderBy("symbol")
     )

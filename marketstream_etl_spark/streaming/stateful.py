@@ -24,6 +24,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 DEFAULT_PERIOD = 5
 
+WILDER_PERIOD = 14
+
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("symbol", T.StringType(), False),
@@ -32,15 +34,24 @@ OUTPUT_SCHEMA = T.StructType(
         T.StructField("rsi", T.DoubleType(), False),
         T.StructField("vwap", T.DoubleType(), False),
         T.StructField("period", T.IntegerType(), False),
+        T.StructField("rsi_wilder", T.DoubleType(), False),
     ]
 )
 
+# Wilder state is O(1) per key: seed sums (simple-average regime) plus the
+# two running smoothed averages — the EWMA recursion needs no history, so
+# the streaming variant of rsi_wilder (operators/indicators.py closed form)
+# is just four accumulators.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("prices", T.ArrayType(T.DoubleType()), True),
         T.StructField("pv", T.DoubleType(), True),
         T.StructField("v", T.DoubleType(), True),
         T.StructField("n", T.LongType(), True),
+        T.StructField("wsg", T.DoubleType(), True),
+        T.StructField("wsl", T.DoubleType(), True),
+        T.StructField("wag", T.DoubleType(), True),
+        T.StructField("wal", T.DoubleType(), True),
     ]
 )
 
@@ -71,52 +82,108 @@ def _indicators_from_state(
     return sma, rsi, vwap, eff
 
 
-def make_update_fn(period: int = DEFAULT_PERIOD):
-    keep = period + 1
+def _wilder_from_state(m: int, wag: float, wal: float) -> float:
+    """Wilder RSI from the smoothed averages (same edge rules as the batch
+    closed form, operators/indicators.compute_rsi_wilder)."""
+    if m < 1:
+        return 50.0
+    if wal == 0.0:
+        return 100.0
+    return 100.0 - 100.0 / (1.0 + wag / wal)
 
+
+def fold_batch(
+    existing: tuple | None,
+    batch: pd.DataFrame,
+    period: int = DEFAULT_PERIOD,
+    wilder_period: int = WILDER_PERIOD,
+) -> tuple[tuple, dict]:
+    """The keyed state transition shared by BOTH state backends
+    (applyInPandasWithState and transformWithState): fold one micro-batch
+    in canonical (timestamp, trade_id) order — shuffle delivery order is
+    not deterministic, and the last-N tail depends on it (Trade.hpp:36-37
+    ordering); across batches the watermark-free contract is source order,
+    as in the reference's SPSC queue.
+
+    Returns (new_state_tuple, output_column_dict).  The Wilder recursion
+    avg_t = (avg_{t-1}·(p−1) + x_t)/p with a simple-average seed is the
+    incremental form of the batch closed-form weights — O(1) state.
+    """
+    if existing is not None:
+        prices, pv, v, n, wsg, wsl, wag, wal = existing
+        prices = list(prices)
+    else:
+        prices, pv, v, n = [], 0.0, 0.0, 0
+        wsg, wsl, wag, wal = 0.0, 0.0, 0.0, 0.0
+    order_cols = [c for c in ("timestamp", "trade_id") if c in batch.columns]
+    if order_cols:
+        batch = batch.sort_values(order_cols)
+    keep = period + 1
+    wp = float(wilder_period)
+    for price, volume in zip(batch["price"], batch["volume"]):
+        price = float(price)
+        if n >= 1:
+            change = price - prices[-1]
+            gain = change if change > 0 else 0.0
+            loss = -change if change < 0 else 0.0
+            m = n  # change index (1-based) == rows seen so far
+            if m <= wilder_period:
+                wsg += gain
+                wsl += loss
+                wag = wsg / m
+                wal = wsl / m
+            else:
+                wag = (wag * (wp - 1.0) + gain) / wp
+                wal = (wal * (wp - 1.0) + loss) / wp
+        prices.append(price)
+        pv += price * float(volume)
+        v += float(volume)
+        n += 1
+    if len(prices) > keep:
+        prices = prices[-keep:]
+    sma, rsi, vwap, eff = _indicators_from_state(prices, pv, v, n, period)
+    out = {
+        "n_trades": n,
+        "sma": sma,
+        "rsi": rsi,
+        "vwap": vwap,
+        "period": eff,
+        "rsi_wilder": _wilder_from_state(n - 1, wag, wal),
+    }
+    return (prices, pv, v, n, wsg, wsl, wag, wal), out
+
+
+def _concat_batch(pdfs: Iterator[pd.DataFrame]) -> pd.DataFrame:
+    chunks = list(pdfs)
+    if chunks:
+        return pd.concat(chunks, ignore_index=True)
+    return pd.DataFrame({"price": [], "volume": []})
+
+
+def _out_frame(symbol: str, out: dict) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "symbol": [symbol],
+            "n_trades": [out["n_trades"]],
+            "sma": [out["sma"]],
+            "rsi": [out["rsi"]],
+            "vwap": [out["vwap"]],
+            "period": [out["period"]],
+            "rsi_wilder": [out["rsi_wilder"]],
+        }
+    )
+
+
+def make_update_fn(period: int = DEFAULT_PERIOD):
     def update(
         key: tuple[str],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            prices, pv, v, n = state.get
-            prices = list(prices)
-        else:
-            prices, pv, v, n = [], 0.0, 0.0, 0
-        # Micro-batch rows are folded in canonical (timestamp, trade_id)
-        # order — shuffle delivery order is not deterministic, and the
-        # last-N tail depends on it (Trade.hpp:36-37 ordering). Across
-        # batches the watermark-free contract is source order, as in the
-        # reference's SPSC queue.
-        chunks = list(pdfs)
-        batch = (
-            pd.concat(chunks, ignore_index=True)
-            if chunks
-            else pd.DataFrame({"price": [], "volume": []})
-        )
-        order_cols = [c for c in ("timestamp", "trade_id") if c in batch.columns]
-        if order_cols:
-            batch = batch.sort_values(order_cols)
-        for price, volume in zip(batch["price"], batch["volume"]):
-            prices.append(float(price))
-            pv += float(price) * float(volume)
-            v += float(volume)
-            n += 1
-        if len(prices) > keep:
-            prices = prices[-keep:]
-        state.update((prices, pv, v, n))
-        sma, rsi, vwap, eff = _indicators_from_state(prices, pv, v, n, period)
-        yield pd.DataFrame(
-            {
-                "symbol": [key[0]],
-                "n_trades": [n],
-                "sma": [sma],
-                "rsi": [rsi],
-                "vwap": [vwap],
-                "period": [eff],
-            }
-        )
+        existing = state.get if state.exists else None
+        new_state, out = fold_batch(existing, _concat_batch(pdfs), period)
+        state.update(new_state)
+        yield _out_frame(key[0], out)
 
     return update
 

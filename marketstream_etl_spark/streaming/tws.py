@@ -28,7 +28,9 @@ from marketstream_etl_spark.streaming.stateful import (
     DEFAULT_PERIOD,
     OUTPUT_SCHEMA,
     STATE_SCHEMA,
-    _indicators_from_state,
+    _concat_batch,
+    _out_frame,
+    fold_batch,
 )
 
 # transformWithStateInPandas drives keyed state through a local gRPC state
@@ -60,42 +62,11 @@ class IndicatorProcessor(StatefulProcessor):
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        existing = self._state.get()
-        if existing is not None:
-            prices, pv, v, n = existing
-            prices = list(prices)
-        else:
-            prices, pv, v, n = [], 0.0, 0.0, 0
-        chunks = list(rows)
-        batch = (
-            pd.concat(chunks, ignore_index=True)
-            if chunks
-            else pd.DataFrame({"price": [], "volume": []})
+        new_state, out = fold_batch(
+            self._state.get(), _concat_batch(rows), self._period
         )
-        order_cols = [c for c in ("timestamp", "trade_id") if c in batch.columns]
-        if order_cols:
-            batch = batch.sort_values(order_cols)
-        for price, volume in zip(batch["price"], batch["volume"]):
-            prices.append(float(price))
-            pv += float(price) * float(volume)
-            v += float(volume)
-            n += 1
-        if len(prices) > self._keep:
-            prices = prices[-self._keep:]
-        self._state.update((prices, pv, v, n))
-        sma, rsi, vwap, eff = _indicators_from_state(
-            prices, pv, v, n, self._period
-        )
-        yield pd.DataFrame(
-            {
-                "symbol": [key[0]],
-                "n_trades": [n],
-                "sma": [sma],
-                "rsi": [rsi],
-                "vwap": [vwap],
-                "period": [eff],
-            }
-        )
+        self._state.update(new_state)
+        yield _out_frame(key[0], out)
 
     def close(self) -> None:
         pass
