@@ -1243,8 +1243,8 @@ def oracle_sql() -> dict[str, str]:
         # LSH near-dup graph is tiny, so full closure is fine oracle-side;
         # Spark side converges by iterative min-label propagation.
         "dedup_clusters": f"""
-            WITH RECURSIVE pairs AS ({_dedup.minhash_lsh_pairs_sql()}),
-            edges AS (
+            WITH RECURSIVE pairs AS MATERIALIZED ({_dedup.minhash_lsh_pairs_sql()}),
+            edges AS MATERIALIZED (
                 SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION SELECT doc_b, doc_a FROM pairs
             ),

@@ -189,15 +189,22 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
 
 
 def _minhash_sig_sql(num_perm: int = NUM_PERM) -> str:
+    # Mirror the Spark shape: unnest shingles, md5 each ONCE, then num_perm
+    # cheap min-aggregates — the list_transform-per-permutation form
+    # re-hashed every shingle num_perm times (measured 10x slower in the
+    # driver's oracle gate).  Docs with no shingles drop out at unnest,
+    # exactly like the Spark explode.
     sh = shingles_sql(tokens_sql("text"), SHINGLE_K)
-    hashed = f"list_transform({sh}, s -> {h32_sql('s')})"
-    sig_cols = []
-    for j, (a, b) in enumerate(minhash_params(num_perm)):
-        sig_cols.append(
-            f"list_min(list_transform({hashed}, "
-            f"h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh_{j}"
-        )
-    return "SELECT doc_id, " + ", ".join(sig_cols) + " FROM documents"
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MERSENNE_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(minhash_params(num_perm))
+    )
+    return (
+        f"SELECT doc_id, {mins} FROM ("
+        f"  SELECT doc_id, {h32_sql('s')} AS h FROM ("
+        f"    SELECT doc_id, unnest({sh}) AS s FROM documents)"
+        f") GROUP BY doc_id"
+    )
 
 
 def minhash_lsh_pairs(
