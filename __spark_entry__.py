@@ -303,6 +303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": training_data.q_corpus_curation,
         "contamination": training_data.q_contamination,
         # ---------------- fold: slot 51+ ----------------
+        "pii_redaction": training_data.q_pii_redaction,
+        "doc_repetition": training_data.q_doc_repetition,
         "gap_fill": analytics.q_gap_fill,
         "pairwise_correlation": analytics.q_pairwise_correlation,
         "symbol_beta": analytics.q_symbol_beta,
@@ -1061,6 +1063,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": _dedup.EXACT_DEDUP_SQL + " ORDER BY fingerprint",
         "dedup_ngram_jaccard": _dedup.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
+        "pii_redaction": _text.pii_redaction_sql(),
+        "doc_repetition": f"""
+            SELECT doc_id,
+                   round({_text.repetition_sql('text')}, 6) AS rep_3gram,
+                   ({_text.repetition_sql('text')} >= 0.2) AS flag_repetitive
+            FROM documents ORDER BY doc_id
+        """,
         "simhash": _dedup.simhash_sql() + " ORDER BY doc_id",
         "simhash_pairs": _dedup.simhash_near_pairs_sql(),
         "ann_bruteforce": _sim.ann_bruteforce_sql(),

@@ -175,6 +175,103 @@ def fingerprint_sql(text_expr: str) -> str:
     return f"md5({normalized_text_sql(text_expr)})"
 
 
+# --- PII redaction ----------------------------------------------------------
+# Scrubbing is a first-class training-data op (emails/phones must not reach
+# a training corpus). The synthetic docs carry no PII, so the query INJECTS
+# deterministic PII first (the same inject→detect contract as the streaming
+# dead-letter corruption): every doc_id%3==0 doc gains an email, %3==1 a
+# phone. Patterns are the redactor under test; counts + a checksum of the
+# redacted text are oracle-checked. Map-side only — regexp_replace fuses
+# into the scan, zero shuffles at any scale.
+
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def inject_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic PII injection keyed on doc_id (test fixture contract)."""
+    email = F.concat(
+        F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lit(" call 555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), email))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), phone))
+        .otherwise(F.col("text")),
+    )
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, redacted checksum) — counts found BEFORE
+    redaction, then emails → <EMAIL>, phones → <PHONE>."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", EMAIL_RE, "<EMAIL>"),
+                PHONE_RE,
+                "<PHONE>",
+            )
+        ).alias("redacted_md5"),
+    )
+
+
+def pii_redaction_sql() -> str:
+    """DuckDB twin of inject_pii >> redact_pii over `documents`."""
+    injected = (
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id "
+        "|| '@example.com' "
+        "WHEN doc_id % 3 = 1 THEN text || ' call 555-' || "
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+        "ELSE text END"
+    )
+    return f"""
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+               md5(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>',
+                   'g'), '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+        FROM (SELECT doc_id, {injected} AS t FROM documents)
+    """
+
+
+# --- within-document repetition (Gopher/C4-style quality rule) --------------
+
+def repetition_ratio(toks: Column, n: int = 3) -> Column:
+    """Fraction of duplicate n-gram occurrences inside one document:
+    1 − distinct_ngrams/total_ngrams.  High values flag boilerplate /
+    degenerate text that quality filters drop before training.  Pure array
+    HOFs — computed inside the scan stage, no shuffle."""
+    from marketstream_etl_spark.functions.hashing import shingles
+
+    grams = shingles(toks, n)
+    return F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+        1.0
+        - F.size(F.array_distinct(grams)).cast("double")
+        / F.size(grams).cast("double")
+    )
+
+
+def repetition_sql(text_expr: str, n: int = 3) -> str:
+    from marketstream_etl_spark.functions.hashing import shingles_sql, tokens_sql
+
+    grams = shingles_sql(tokens_sql(text_expr), n)
+    return (
+        f"CASE WHEN len({grams}) <= 0 THEN 0.0 ELSE "
+        f"1.0 - CAST(len(list_distinct({grams})) AS DOUBLE)"
+        f" / len({grams}) END"
+    )
+
+
 # --- assembled operator -----------------------------------------------------
 
 def analyze_documents(docs: DataFrame) -> DataFrame:

@@ -24,6 +24,29 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/phones → placeholders) with found-counts and a
+    redacted-text checksum; deterministic PII is injected first (the docs
+    are synthetic) so the redactor is provably exercised — see
+    operators/text.inject_pii for the contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.redact_pii(text.inject_pii(docs)).orderBy("doc_id")
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style within-document repetition rule: duplicate-3gram
+    fraction + the drop flag a quality pipeline would apply."""
+    from marketstream_etl_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = text.repetition_ratio(tokens(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.round(rep, 6).alias("rep_3gram"),
+        (rep >= 0.2).alias("flag_repetitive"),
+    ).orderBy("doc_id")
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(
         load_table(spark, sf_dir, "documents")

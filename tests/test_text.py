@@ -154,3 +154,63 @@ def test_chunk_documents_invariants(spark, sf_dir):
     )
     assert short_early == 0
     chunks.unpersist()
+
+
+def test_pii_redaction_finds_injected_pii(spark, sf_dir):
+    from marketstream_etl_spark.plans.training_data import q_pii_redaction
+
+    rows = q_pii_redaction(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        want_email = 1 if r.doc_id % 3 == 0 else 0
+        want_phone = 1 if r.doc_id % 3 == 1 else 0
+        assert r.n_emails == want_email, r.doc_id
+        assert r.n_phones == want_phone, r.doc_id
+
+
+def test_pii_redaction_removes_pii(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.text import (
+        EMAIL_RE,
+        PHONE_RE,
+        inject_pii,
+    )
+    from marketstream_etl_spark.sources.tables import load_table
+
+    injected = inject_pii(load_table(spark, sf_dir, "documents"))
+    redacted = injected.select(
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("text")
+    )
+    leftover = redacted.filter(
+        F.col("text").rlike(EMAIL_RE) | F.col("text").rlike(PHONE_RE)
+    ).count()
+    assert leftover == 0
+
+
+def test_repetition_ratio_bounds_and_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.functions.hashing import tokens
+    from marketstream_etl_spark.operators.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # "a b c" repeats: 7 grams, 3 distinct
+            (2, "one two three four"),  # no repeated 3-gram
+            (3, "x y"),                 # fewer than 3 tokens -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.rep
+        for r in df.select(
+            "doc_id",
+            F.round(repetition_ratio(tokens(F.col("text"))), 6).alias("rep"),
+        ).collect()
+    }
+    assert got[1] == round(1 - 3 / 7, 6)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
