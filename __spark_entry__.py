@@ -24,6 +24,7 @@ from marketstream_etl_spark.functions.hashing import (
 )
 from marketstream_etl_spark.operators import dedup as _dedup
 from marketstream_etl_spark.operators import similarity as _sim
+from marketstream_etl_spark.operators import sketch as _sketch
 from marketstream_etl_spark.operators import text as _text
 from marketstream_etl_spark.plans import advanced, analytics, tpch, training_data
 from marketstream_etl_spark.plans.trades_view import TRADES_CTE
@@ -305,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- fold: slot 51+ ----------------
         "pii_redaction": training_data.q_pii_redaction,
         "doc_repetition": training_data.q_doc_repetition,
+        "cms_heavy_hitters": training_data.q_cms_heavy_hitters,
         "gap_fill": analytics.q_gap_fill,
         "pairwise_correlation": analytics.q_pairwise_correlation,
         "symbol_beta": analytics.q_symbol_beta,
@@ -1064,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _dedup.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
         "pii_redaction": _text.pii_redaction_sql(),
+        "cms_heavy_hitters": _sketch.cms_heavy_hitters_sql(),
         "doc_repetition": f"""
             SELECT doc_id,
                    round({_text.repetition_sql('text')}, 6) AS rep_3gram,

@@ -47,6 +47,16 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token heavy hitters: exact top-20 with the sketch
+    estimates and the CMS error-bound flag (operators/sketch.py — the
+    fixed-size, map-side-mergeable alternative to a full vocabulary
+    shuffle at corpus scale)."""
+    from marketstream_etl_spark.operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_groups(
         load_table(spark, sf_dir, "documents")
