@@ -150,6 +150,14 @@ def _stream_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return socket_stream_deadletter(spark, sf_dir)
 
 
+def _stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as a streaming aggregate: bounded d*w state, final
+    sketch == batch sketch on replay (algebraic cell-wise merge)."""
+    from marketstream_etl_spark.operators.sketch import streaming_cms_heavy_hitters
+
+    return streaming_cms_heavy_hitters(spark, sf_dir)
+
+
 def _stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6: corrupt-frame dead-letter split as a real streaming ingest."""
     from marketstream_etl_spark.streaming.ticks import file_stream_deadletter
@@ -307,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": training_data.q_pii_redaction,
         "doc_repetition": training_data.q_doc_repetition,
         "cms_heavy_hitters": training_data.q_cms_heavy_hitters,
+        "streaming_cms": _stream_cms,
         "gap_fill": analytics.q_gap_fill,
         "pairwise_correlation": analytics.q_pairwise_correlation,
         "symbol_beta": analytics.q_symbol_beta,
@@ -1067,6 +1076,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
         "pii_redaction": _text.pii_redaction_sql(),
         "cms_heavy_hitters": _sketch.cms_heavy_hitters_sql(),
+        # final streamed sketch == batch sketch (algebraic merge), same oracle
+        "streaming_cms": _sketch.cms_heavy_hitters_sql(),
         "doc_repetition": f"""
             SELECT doc_id,
                    round({_text.repetition_sql('text')}, 6) AS rep_3gram,

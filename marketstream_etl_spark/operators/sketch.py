@@ -102,6 +102,97 @@ def cms_heavy_hitters(
     ).orderBy(F.desc("exact_n"), "tok")
 
 
+def streaming_cms_heavy_hitters(spark, sf_dir: str) -> DataFrame:
+    """The CMS as a STREAMING aggregate: because the sketch is algebraic
+    (cell-wise addition), the unmodified groupBy((row, bucket)).count()
+    runs incrementally in streaming state — ≤ d·w state entries total, the
+    textbook bounded-state streaming summary.  On bounded replay the final
+    sketch equals the batch sketch, so estimates are checked by the SAME
+    oracle as the batch query."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.sources.tables import (
+        ensure_engine_confs,
+        load_table,
+    )
+
+    ensure_engine_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(F.col("tok"), r, CMS_WIDTH).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c")
+    )
+    sketch_stream = cells.groupBy("c.row", "c.bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    name = f"stream_cms_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        sketch_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = spark.table(name)
+
+    # present the same report as the batch query, probing the streamed sketch
+    batch_docs = load_table(spark, sf_dir, "documents")
+    toks_b = batch_docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = toks_b.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), "tok").limit(TOP_K)
+    probes = top.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(F.col("tok"), r, CMS_WIDTH).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    )
+    est = (
+        probes.join(
+            sketch,
+            (F.col("p.row") == F.col("row"))
+            & (F.col("p.bucket") == F.col("bucket")),
+        )
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    n_total = toks_b.count()
+    bound = int(2.718281828459045 / CMS_WIDTH * n_total) + 1
+    return est.select(
+        "tok",
+        "exact_n",
+        "est_n",
+        (
+            (F.col("est_n") >= F.col("exact_n"))
+            & (F.col("est_n") - F.col("exact_n") <= F.lit(bound))
+        ).alias("within_bound"),
+    ).orderBy(F.desc("exact_n"), "tok")
+
+
 def cms_heavy_hitters_sql(
     depth: int = CMS_DEPTH, width: int = CMS_WIDTH, top_k: int = TOP_K
 ) -> str:
