@@ -24,6 +24,7 @@ from marketstream_etl_spark.functions.hashing import (
 )
 from marketstream_etl_spark.operators import dedup as _dedup
 from marketstream_etl_spark.operators import similarity as _sim
+from marketstream_etl_spark.operators import patterns as _patterns
 from marketstream_etl_spark.operators import sketch as _sketch
 from marketstream_etl_spark.operators import text as _text
 from marketstream_etl_spark.plans import advanced, analytics, tpch, training_data
@@ -316,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": training_data.q_doc_repetition,
         "cms_heavy_hitters": training_data.q_cms_heavy_hitters,
         "streaming_cms": _stream_cms,
+        "pattern_similarity": advanced.q_pattern_similarity,
         "gap_fill": analytics.q_gap_fill,
         "pairwise_correlation": analytics.q_pairwise_correlation,
         "symbol_beta": analytics.q_symbol_beta,
@@ -1076,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
         "pii_redaction": _text.pii_redaction_sql(),
         "cms_heavy_hitters": _sketch.cms_heavy_hitters_sql(),
+        "pattern_similarity": _patterns.pattern_similarity_sql(TRADES_CTE),
         # final streamed sketch == batch sketch (algebraic merge), same oracle
         "streaming_cms": _sketch.cms_heavy_hitters_sql(),
         "doc_repetition": f"""

@@ -307,6 +307,15 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("k", "valid_from")
 
 
+def q_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search: top-5 minute-close
+    windows (any symbol) most similar to a deterministic query pattern,
+    mean-centered Euclidean (operators/patterns.py)."""
+    from marketstream_etl_spark.operators.patterns import pattern_similarity
+
+    return pattern_similarity(load_trades(spark, sf_dir))
+
+
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct + approx quantiles) asserted
     AGAINST their exact counterparts inside the query: the sketch values are
