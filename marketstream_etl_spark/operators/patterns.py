@@ -48,11 +48,13 @@ def pattern_similarity(
     OBSERVED bars (gaps skip, as in gap-tolerant tick data)."""
     closes = minute_closes(trades)
     w = Window.partitionBy("symbol").orderBy("bar")
+    # persist: consumed three times (query-symbol scalar, query row, scoring)
+    # and bounded by the minute grid (1440/day/symbol), never trade count
     wins = closes.select(
         "symbol",
         "bar",
         F.collect_list("close").over(w.rowsBetween(0, p - 1)).alias("wv"),
-    ).filter(F.size("wv") == p)
+    ).filter(F.size("wv") == p).persist()
 
     qsym = wins.agg(F.min("symbol")).first()[0]
     qrow = (

@@ -144,3 +144,65 @@ def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
     plan = plan_of(advanced.q_range_join_bands(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan.split("HashAggregate")[0]
+
+
+def test_pii_redaction_is_map_only(spark, sf_dir):
+    """Regex scrub must fuse into the scan: no shuffle, no Python."""
+    from marketstream_etl_spark.operators.text import inject_pii, redact_pii
+    from marketstream_etl_spark.sources.tables import load_table
+
+    plan = plan_of(redact_pii(inject_pii(load_table(spark, sf_dir, "documents"))))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_doc_repetition_is_map_only(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.functions.hashing import tokens
+    from marketstream_etl_spark.operators.text import repetition_ratio
+    from marketstream_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(
+        docs.select("doc_id", repetition_ratio(tokens(F.col("text"))).alias("r"))
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cms_sketch_single_bounded_shuffle(spark, sf_dir):
+    """The sketch build is one hash aggregate whose exchange carries at
+    most depth*width rows (map-side partials combine per cell)."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.functions.hashing import h32, tokens
+    from marketstream_etl_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH
+    from marketstream_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        (
+                            h32(F.concat(F.lit(f"cms{r}|"), F.col("tok")))
+                            % CMS_WIDTH
+                        ).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("c")
+    )
+    sketch = cells.groupBy("c.row", "c.bucket").agg(F.count("*").alias("cnt"))
+    plan = plan_of(sketch)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    # partial aggregation both sides of the exchange (map-side combine)
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+    assert sketch.count() <= CMS_DEPTH * CMS_WIDTH
