@@ -1116,15 +1116,19 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": """
             WITH pos AS (
                 -- uncorrelated series (DuckDB can't lateral-join
-                -- generate_series on a column); docs are < 4096 chars
+                -- generate_series on a column); docs are < 4096 bytes
                 SELECT i FROM generate_series(0, 4095) s(i)
             ),
             bytes AS (
+                -- byte-exact: byte i of the utf-8 payload via hex-string
+                -- slicing (DuckDB lacks blob subscripting/md5(blob)), so
+                -- this matches Spark's encode(text) even for non-ASCII
                 SELECT doc_id AS media_id,
                        (pos.i % 8) AS dim,
-                       ascii(substr(text, CAST(pos.i + 1 AS INTEGER), 1)) AS b
+                       CAST(('0x' || substr(hex(encode(text)),
+                            CAST(pos.i * 2 + 1 AS INTEGER), 2)) AS INTEGER) AS b
                 FROM documents, pos
-                WHERE pos.i < strlen(text)
+                WHERE pos.i < octet_length(encode(text))
             ),
             acc AS (
                 SELECT media_id, dim, CAST(sum(b) AS DOUBLE) AS a
@@ -1146,15 +1150,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN d.doc_id % 3 = 0 THEN 'png'
                         WHEN d.doc_id % 3 = 1 THEN 'jpeg'
                         ELSE 'wav' END AS media_type,
-                   CAST(strlen(d.text) AS INTEGER) AS n_bytes,
+                   CAST(octet_length(encode(d.text)) AS INTEGER) AS n_bytes,
                    f.f0, f.f1, f.f2, f.f3, f.f4, f.f5, f.f6, f.f7
             FROM documents d JOIN feat f ON f.media_id = d.doc_id
             ORDER BY media_id
         """,
-        # frame sampling: ASCII payloads (checked: strlen == length over the
-        # corpus) make byte slices == substr slices, so the mapInPandas
-        # fan-out is hash-checked end to end. min doc length 48 → k is
-        # always 4 frames of n//4 bytes.
+        # frame sampling: char slices == byte slices ONLY for ASCII corpora
+        # (this DuckDB has no md5(blob), so the checksum must hash VARCHAR);
+        # tests/test_multimodal.py::test_corpus_is_ascii guards the
+        # precondition loudly if regenerated testdata ever breaks it.
+        # min doc length 48 → k is always 4 frames of n//4 bytes.
         "multimodal_frames": """
             WITH media AS (
                 SELECT doc_id AS media_id, text,

@@ -94,3 +94,19 @@ def test_resize_media_exact_target(spark, sf_dir):
     assert len(out) == 10
     for r in out:
         assert r["n_bytes_out"] == 64 and len(bytes(r["resized"])) == 64
+
+
+def test_corpus_is_ascii(spark, sf_dir):
+    """Precondition guard for the multimodal_frames char-based oracle
+    (DuckDB has no md5(blob)): every document must be pure ASCII so char
+    slices equal byte slices.  If regenerated testdata breaks this, fail
+    HERE loudly instead of as an opaque oracle hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    non_ascii = docs.filter(
+        F.length("text") != F.octet_length(F.encode("text", "utf-8"))
+    ).count()
+    assert non_ascii == 0
