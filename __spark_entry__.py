@@ -1082,10 +1082,11 @@ def oracle_sql() -> dict[str, str]:
         # final streamed sketch == batch sketch (algebraic merge), same oracle
         "streaming_cms": _sketch.cms_heavy_hitters_sql(),
         "doc_repetition": f"""
-            SELECT doc_id,
-                   round({_text.repetition_sql('text')}, 6) AS rep_3gram,
-                   ({_text.repetition_sql('text')} >= 0.2) AS flag_repetitive
-            FROM documents ORDER BY doc_id
+            SELECT doc_id, round(rep, 6) AS rep_3gram,
+                   (rep >= 0.2) AS flag_repetitive
+            FROM (SELECT doc_id, {_text.repetition_sql('text')} AS rep
+                  FROM documents)
+            ORDER BY doc_id
         """,
         "simhash": _dedup.simhash_sql() + " ORDER BY doc_id",
         "simhash_pairs": _dedup.simhash_near_pairs_sql(),

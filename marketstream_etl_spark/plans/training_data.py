@@ -39,11 +39,14 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.functions.hashing import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    rep = text.repetition_ratio(tokens(F.col("text")))
-    return docs.select(
+    # project the ratio once; both output columns read the named column
+    scored = docs.select(
+        "doc_id", text.repetition_ratio(tokens(F.col("text"))).alias("rep")
+    )
+    return scored.select(
         "doc_id",
-        F.round(rep, 6).alias("rep_3gram"),
-        (rep >= 0.2).alias("flag_repetitive"),
+        F.round("rep", 6).alias("rep_3gram"),
+        (F.col("rep") >= 0.2).alias("flag_repetitive"),
     ).orderBy("doc_id")
 
 
