@@ -2,7 +2,10 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, schema
 shape, and an order-insensitive value hash.
 
-Usage: python tools/check_oracle.py [--vanilla] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [--json OUT] [query ...]
+
+--json writes a machine-readable summary (the CORRECTNESS_LOCAL.json
+artifact committed per round) after the run.
 
 --vanilla uses a plain ``SparkSession.builder.getOrCreate()`` (no session.py
 confs) to replicate the external driver exactly — round 1 failed 21 queries
@@ -57,6 +60,11 @@ def main() -> int:
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
         from pyspark.sql import SparkSession
 
         spark = SparkSession.builder.master("local[32]").getOrCreate()
@@ -66,6 +74,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     only = set(args)
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -100,6 +109,12 @@ def main() -> int:
             if sh != oh:
                 problems.append("value-hash mismatch")
         dt = time.time() - t0
+        results[name] = {
+            "pass": not problems,
+            "seconds": round(dt, 2),
+            "rows": len(srows),
+            "problems": problems,
+        }
         if problems:
             failures += 1
             print(f"FAIL {name} ({dt:.1f}s): {'; '.join(problems)}")
@@ -116,6 +131,32 @@ def main() -> int:
                 print(f"   duck-only:  {r}")
         else:
             print(f"PASS {name} ({dt:.1f}s, {len(srows)} rows)")
+    if json_out:
+        import datetime
+        import json
+
+        checked = {n: r for n, r in results.items()}
+        summary = {
+            "date": datetime.date.today().isoformat(),
+            "command": "python tools/check_oracle.py --vanilla",
+            "sf_dir": SF_DIR,
+            "vanilla": vanilla,
+            "queries_total": len(qs) if not only else len(only),
+            "queries_pass": sum(1 for r in checked.values() if r["pass"]),
+            "queries_fail": failures,
+            "wall_seconds": round(
+                sum(r["seconds"] for r in checked.values()), 1
+            ),
+            "per_query_seconds": {
+                n: r["seconds"] for n, r in checked.items()
+            },
+            "failures": {
+                n: r["problems"] for n, r in checked.items() if not r["pass"]
+            },
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
