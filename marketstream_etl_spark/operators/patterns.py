@@ -86,11 +86,17 @@ def pattern_similarity(
             ).alias("dist"),
         )
     )
-    return (
+    # materialize the (≤ top_k)-row result eagerly so the cached window
+    # blocks can be released before returning — otherwise `wins` leaks into
+    # the memory budget of every later query in a long-lived session
+    out = (
         scored.orderBy("dist", "symbol", "bar")
         .limit(top_k)
         .select("symbol", "bar", F.round("dist", 6).alias("dist"))
+        .localCheckpoint()
     )
+    wins.unpersist()
+    return out
 
 
 def pattern_similarity_sql(

@@ -74,6 +74,82 @@ def q_validate_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("trade_id")
 
 
+# S2-focused CSV fixture: every defaults rule of the reference parser
+# (CsvParser.cpp:57-249) trips at least once — unparseable price → 0.0,
+# missing volume/timestamp → 0, missing side/type → 'N'/'M', multi-char
+# side/type cells → first byte, missing is_pro → false.  The parser never
+# yields nulls; validation then rejects the zero defaults downstream.
+DEFAULTS_FIXTURE_CSV = """trade_id,order_id,timestamp,symbol,price,volume,side,type,is_pro
+2000001,3000001,1698230401000000000,RELIANCE,2456.75,100,B,L,0
+2000002,3000002,1698230401100000000,TCS,3567.50,75,BUY,LIMIT,1
+2000003,3000003,1698230401200000000,INFY,1423.25,500,,,
+2000004,3000004,1698230401300000000,HDFC,abc,200,B,L,0
+2000005,3000005,1698230401400000000,WIPRO,432.60,,S,L,1
+2000006,3000006,1698230401500000000,,987.45,300,B,L,0
+2000007,3000007,,TCS,3565.25,90,S,L,0
+2000008,3000008,1698230401700000000,ICICIBANK,987.45,300,B,L,
+"""
+
+
+def q_csv_fixture_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 end-to-end: CSV scan + typed extraction with the reference
+    parser's zero/'N'/'M' defaults and first-byte char fields
+    (CsvParser.cpp:57-249), then validation — the post-defaults typed rows
+    are the output, golden-checked against a VALUES oracle."""
+    import os
+
+    from marketstream_etl_spark.sources.csv_trades import read_trades_csv
+    from marketstream_etl_spark.sources.tables import warehouse_path
+
+    path = warehouse_path(spark, "defaults_fixture_csv", sf_dir)
+    csv_file = os.path.join(path, "defaults_data.csv")
+    if not os.path.exists(csv_file):
+        os.makedirs(path, exist_ok=True)
+        with open(csv_file, "w") as f:
+            f.write(DEFAULTS_FIXTURE_CSV)
+    trades = read_trades_csv(spark, csv_file)
+    return with_validation(trades).select(
+        "trade_id",
+        "symbol",
+        "price",
+        "volume",
+        "side",
+        "type",
+        "is_pro",
+        "is_valid",
+        "reject_reason",
+    ).orderBy("trade_id")
+
+
+def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/S12/X11 end-to-end: trades written through the real sink (snappy,
+    partitioned by side, dated trades_YYYYMMDD_HHMMSS run naming —
+    ParquetWriter.cpp:51-361), read back and aggregated; values must
+    round-trip bit-exact vs. the direct oracle.  The run stamp is pinned so
+    the X11 filename itself is part of the compared result."""
+    import datetime as _dt
+    import os
+
+    from marketstream_etl_spark.sources.sinks import run_output_path, write_parquet
+    from marketstream_etl_spark.sources.tables import warehouse_path
+
+    base = warehouse_path(spark, "parquet_sink_roundtrip", sf_dir)
+    run_ts = _dt.datetime(2023, 10, 25, 9, 15, 0, tzinfo=_dt.timezone.utc)
+    out = run_output_path(base, run_ts)
+    write_parquet(load_trades(spark, sf_dir), out, partition_by=["side"])
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("side")
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.sum("volume").alias("total_volume"),
+            F.round(F.sum(F.col("price") * F.col("volume")), 2).alias("notional"),
+        )
+        .withColumn("run_file", F.lit(os.path.basename(out)))
+        .orderBy("side")
+    )
+
+
 def q_validate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 annotate: every trade with is_valid + first-failing reject_reason."""
     # NOTE: no fan_out here — validation must stay a pure map-side pass

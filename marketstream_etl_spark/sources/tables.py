@@ -57,14 +57,22 @@ def normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
     valid on both batch and streaming frames.
     """
     dtypes = dict(df.dtypes)
-    if dtypes.get("ts") in ("timestamp_ntz", "timestamp"):
-        # NTZ→LTZ cast interprets the wall clock in the session timezone;
-        # pin it to UTC so the instant equals the oracle's naive-as-UTC read.
-        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if dtypes.get("ts") == "timestamp_ntz":
+        # Wall-clock-as-UTC via pure NTZ arithmetic: timestampdiff on NTZ
+        # operands never consults the session timezone, so the caller's
+        # spark.sql.session.timeZone is left untouched (a conf the engine
+        # must not own — see ensure_engine_confs' only-if-default contract).
         df = df.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast("timestamp_ltz")) * F.lit(1000)
+            "ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+            * F.lit(1000),
         )
+    elif dtypes.get("ts") == "timestamp":
+        # LTZ carries an absolute instant (isAdjustedToUTC parquet encoding);
+        # unix_micros reads the instant directly, timezone-independent.
+        df = df.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000))
     return df
 
 

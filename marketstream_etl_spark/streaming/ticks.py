@@ -22,6 +22,11 @@ from pyspark.sql import types as T
 
 from marketstream_etl_spark.schemas import TICK_SCHEMA
 
+# Hard bound on the socket-test emitter's driver-side buffer (~200 B/frame →
+# ≤ ~40 MB).  Covers sf0.1 (~100K events) with headroom; anything larger must
+# fail loudly rather than grow the collect without bound.
+SOCKET_EMITTER_MAX_ROWS = 200_000
+
 STREAM_EPOCH_NS = 1_698_208_500_000_000_000  # TickServer.hpp:186
 STREAM_SYMBOLS = ["RELIANCE", "TCS", "INFY", "HDFC", "WIPRO"]  # :196
 
@@ -400,8 +405,18 @@ def socket_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(wire_json)
         .alias("value")
     )
+    # The emitter buffer is driver-side by design (it IS the server stand-in),
+    # so its size must be bounded explicitly: a future sf bump must fail with
+    # a clear message, never OOM the driver or silently truncate (the counts
+    # are oracle-compared, so a silent cap would be a wrong answer).
+    n_expected = frames.count()
+    if n_expected > SOCKET_EMITTER_MAX_ROWS:
+        raise RuntimeError(
+            f"socket_stream_deadletter fixture: {n_expected} frames exceeds "
+            f"the driver-side emitter cap of {SOCKET_EMITTER_MAX_ROWS}; "
+            "point this query at a smaller sf_dir or raise the cap knowingly"
+        )
     payload = [r.value for r in frames.collect()]
-    n_expected = len(payload)
 
     server = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
     server.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
@@ -413,7 +428,11 @@ def socket_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     def serve() -> None:
         conn, _ = server.accept()
         try:
-            conn.sendall(("\n".join(payload) + "\n").encode())
+            # chunked writes: never materialize one giant wire buffer
+            for i in range(0, len(payload), 1000):
+                conn.sendall(
+                    ("\n".join(payload[i : i + 1000]) + "\n").encode()
+                )
             # keep the connection open until the reader has drained — the
             # socket source treats a close as stream end mid-read
             done.wait(timeout=120)
@@ -443,12 +462,21 @@ def socket_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         deadline = time.time() + 120
+        counted = None
         while time.time() < deadline:
             counted = spark.table(name).agg(F.sum("n_frames")).first()[0]
             if counted == n_expected:
                 break
             time.sleep(0.5)
         q.processAllAvailable()
+        counted = spark.table(name).agg(F.sum("n_frames")).first()[0]
+        if counted != n_expected:
+            # fail loudly: the socket source is non-replayable, so a partial
+            # table is permanently wrong — never return it as an answer
+            raise RuntimeError(
+                f"socket_stream_deadletter: drained {counted} of "
+                f"{n_expected} frames before the 120s deadline"
+            )
     finally:
         q.stop()
         done.set()

@@ -233,3 +233,16 @@ def test_file_stream_sessions_equals_batch(spark, sf_dir):
         for r in q_sessionization(spark, sf_dir).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_socket_emitter_cap_fails_loudly(spark, monkeypatch):
+    """The socket fixture's driver-side buffer is bounded: exceeding
+    SOCKET_EMITTER_MAX_ROWS must raise before any collect, not OOM or
+    silently truncate (counts are oracle-compared)."""
+    import pytest
+
+    from marketstream_etl_spark.streaming import ticks as ticksmod
+
+    monkeypatch.setattr(ticksmod, "SOCKET_EMITTER_MAX_ROWS", 5)
+    with pytest.raises(RuntimeError, match="emitter cap"):
+        ticksmod.socket_stream_deadletter(spark, "/root/testdata/sf0.001")

@@ -48,6 +48,25 @@ def test_load_table_yields_epoch_ns(spark, tmp_path, unit):
     assert got == [t * 1000 for t in TS_US]
 
 
+def test_caller_timezone_survives_load_table(spark, tmp_path):
+    """normalize_event_ts must not own spark.sql.session.timeZone: the
+    conversion is expression-scoped (NTZ timestampdiff), so a caller-set
+    non-UTC zone survives AND the ns values still match the naive-as-UTC
+    oracle convention."""
+    sf_dir = _write_events(str(tmp_path), "us")
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        df = load_table(spark, sf_dir, "events")
+        got = [r.ts for r in df.orderBy("event_id").collect()]
+        assert got == [t * 1000 for t in TS_US]
+        assert (
+            spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+
+
 def test_matches_duckdb_oracle_convention(spark, tmp_path):
     sf_dir = _write_events(str(tmp_path), "us")
     spark_ns = [

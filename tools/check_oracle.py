@@ -65,6 +65,8 @@ def main() -> int:
         i = args.index("--json")
         json_out = args[i + 1]
         del args[i : i + 2]
+    if vanilla:
+        # Plain session, no session.py confs: replicates the external driver.
         from pyspark.sql import SparkSession
 
         spark = SparkSession.builder.master("local[32]").getOrCreate()
@@ -138,9 +140,11 @@ def main() -> int:
         checked = {n: r for n, r in results.items()}
         summary = {
             "date": datetime.date.today().isoformat(),
-            "command": "python tools/check_oracle.py --vanilla",
+            "command": "python tools/check_oracle.py "
+            + " ".join(sys.argv[1:]),
             "sf_dir": SF_DIR,
             "vanilla": vanilla,
+            "session": "vanilla" if vanilla else "tuned (session.get_spark)",
             "queries_total": len(qs) if not only else len(only),
             "queries_pass": sum(1 for r in checked.values() if r["pass"]),
             "queries_fail": failures,
