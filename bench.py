@@ -77,10 +77,10 @@ def bench_etl_1m(spark) -> dict[str, float]:
         _gen_csv(spark, 10_000, ETL_WARM_DIR, 1)
     with tempfile.TemporaryDirectory() as out:
         run_pipeline(spark, ETL_WARM_DIR, out, period=5)  # codegen warm-up
-    # best of two full runs, like the headline loop: ambient machine noise
-    # (noisy-neighbor VM) measured up to 1.5x on single runs
+    # best of three full runs, like the headline loop: ambient machine
+    # noise (noisy-neighbor VM) measured up to 1.5x on single runs
     report = None
-    for _ in range(2):
+    for _ in range(3):
         with tempfile.TemporaryDirectory() as out:
             r = run_pipeline(spark, ETL_CSV_DIR, out, period=5)
         if report is None or sum(r.stage_seconds.values()) < sum(
@@ -150,7 +150,7 @@ def bench_stream_1m(spark) -> dict[str, float]:
 
     run(warm_dir, "bench_stream_warm")  # one-time engine/codegen warmup
     dt = float("inf")
-    for _ in range(2):  # best of two (see bench_etl_1m)
+    for _ in range(3):  # best of three (see bench_etl_1m)
         t0 = time.perf_counter()
         run(STREAM_FRAMES_DIR, "bench_stream_counts")
         dt = min(dt, time.perf_counter() - t0)
@@ -161,28 +161,36 @@ def bench_stream_1m(spark) -> dict[str, float]:
     }
 
 
+N_RUNS = 3  # per-query warm repeats; ambient VM noise measured up to 1.5×
+# on single runs (r3 driver bench vs same-code quiet-session reruns), so the
+# recorded number is the best of N and the raw runs ship in "all_runs" to
+# make the noise floor visible round-over-round.
+
+
 def main() -> None:
     spark = get_spark("marketstream-bench")
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
         # warm whole-stage-codegen for this plan shape at the smallest SF so
         # the timed run measures the query, not one-time JVM compilation
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
-        # best of two full runs: steady-state time, first-touch costs
+        # best of N full runs: steady-state time, first-touch costs
         # (footer reads, broadcast builds) excluded like codegen above
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(N_RUNS):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             # force full materialization of every row cheaply (noop sink)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(round(time.perf_counter() - t0, 4))
+        timings[name] = min(runs)
+        all_runs[name] = runs
 
     etl = bench_etl_1m(spark)
     total = sum(timings.values()) + etl["etl_1m_total"]
@@ -201,6 +209,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_runs": N_RUNS,
+                "all_runs": all_runs,
             }
         )
     )

@@ -336,26 +336,30 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash) — weighted-token signature.
 
     For each bit b: sum over (distinct token, count) of ±count depending on
-    bit b of h32(token); bit set iff the sum is positive.  Computed via an
-    explode + single groupBy (one shuffle), bit arithmetic with integer
-    div/mod so the DuckDB oracle reproduces it exactly.
+    bit b of h32(token); bit set iff the sum is positive.
+
+    Algebraic shortcut: Σ_{distinct t} ±count(t) == Σ_{occurrences} ±1 ==
+    2·(occurrences with bit set) − n, so the per-(doc, token) count
+    aggregation the textbook formulation (and the DuckDB oracle) uses is
+    skipped entirely — explode straight into ONE groupBy(doc_id) of plain
+    bit sums (integer shift/AND, no conditionals) whose partial aggregation
+    collapses each map partition to n_docs × `bits` longs before the only
+    shuffle; bit b is set iff 2·c_b > n.
     """
     tok = _spread(docs).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
-    ).groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    tok = tok.withColumn("h", h32(F.col("token")))
-    bit_sums = [
-        F.sum(
-            F.when(
-                (F.col("h") / F.lit(1 << b)).cast("long") % 2 == 1, F.col("cnt")
-            ).otherwise(-F.col("cnt"))
-        ).alias(f"s_{b}")
+    )
+    tok = tok.select("doc_id", h32(F.col("token")).alias("h"))
+    bit_counts = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"c_{b}")
         for b in range(bits)
     ]
-    agg = tok.groupBy("doc_id").agg(*bit_sums)
+    agg = tok.groupBy("doc_id").agg(F.count("*").alias("_n"), *bit_counts)
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(
+            F.col(f"c_{b}") * 2 > F.col("_n"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.cast("long").alias("simhash"))
 
@@ -418,30 +422,43 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val").persist()
-    # ^ both sides of the self-join reuse one simhash pass
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    # eager localCheckpoint: one materialization of the simhash pass that
+    # both self-join sides read — no cache race, nothing left persisted in a
+    # long-lived session after the frame goes out of scope
+    chunks = chunks.localCheckpoint()
+    # The checkpointed frame has no catalog stats, so the planner can't see
+    # that the build side is tiny and would pick a sort-merge join with two
+    # exchanges.  Re-create the size-based choice by hand (the count is
+    # free — the partitions are already materialized): when small, coalesce
+    # the near-empty partitions (32 near-empty tasks cost more scheduling
+    # than compute) and broadcast the build side; past the bound both sides
+    # stay at full parallelism and the join shuffles on (chunk_id,
+    # chunk_val) — the scale path for corpora where n_docs × n_chunks no
+    # longer fits an executor.
+    if chunks.count() <= 2_000_000:
+        chunks = chunks.coalesce(4)
+        b = F.broadcast(chunks.alias("b"))
+    else:
+        b = chunks.alias("b")
     a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.chunk_id") == F.col("b.chunk_id"))
+        & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.bit_count(
+            F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+        ).cast("int").alias("hamming"),
     )
-    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # hamming filter BEFORE the dedup shuffle: a pair can match in several
+    # chunks, but only near-pairs need to survive into distinct()
     return (
-        cand.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        cand.filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

@@ -25,6 +25,31 @@ from marketstream_etl_spark.plans.trades_view import load_trades
 # (the reference stamps wall-clock ns at save time, DatabaseLoader.cpp:314-316).
 FIXED_COMPUTED_AT_NS = 1_698_208_500_000_000_000
 
+# Session-scoped persisted valid-trades frames, keyed by (application id,
+# sf_dir, source mtime).  The reference pipeline parses+validates once and
+# serves every indicator query from the in-memory batch
+# (PipelineExecutor.hpp:80-184); this is the engine's distributed analog —
+# the JSON-bearing projection and the validation ladder run once per source
+# generation, and the window/agg consumers (indicators, Wilder RSI, RSI
+# signals) read the cache.  Regenerated testdata changes the mtime key, so
+# stale entries are unpersisted and rebuilt, never served.
+_VALID_TRADES_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _valid_trades_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from marketstream_etl_spark.sources.tables import source_key
+
+    key = (spark.sparkContext.applicationId, sf_dir, source_key(sf_dir))
+    df = _VALID_TRADES_CACHE.get(key)
+    if df is None:
+        for stale in [k for k in list(_VALID_TRADES_CACHE) if k[:2] == key[:2]]:
+            _VALID_TRADES_CACHE.pop(stale).unpersist()
+        valid, _ = split_valid(load_trades(spark, sf_dir, fan_out=True))
+        df = valid.persist()
+        df.count()  # materialize now: consumers must never race to build it
+        _VALID_TRADES_CACHE[key] = df
+    return df
+
 
 def q_trades_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical trades mapping itself (scan + projection + JSON access)."""
@@ -174,8 +199,7 @@ def q_validation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: validate → per-symbol SMA/RSI/VWAP snapshot (A1-A4)."""
-    valid, _ = split_valid(load_trades(spark, sf_dir, fan_out=True))
-    ind = compute_indicators(valid, period=5)
+    ind = compute_indicators(_valid_trades_cached(spark, sf_dir), period=5)
     return ind.select(
         "symbol",
         F.round("sma", 6).alias("sma"),
@@ -188,8 +212,7 @@ def q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine extension: Wilder-smoothed RSI per symbol (closed-form EMA
     weights — see operators/indicators.compute_rsi_wilder)."""
-    valid, _ = split_valid(load_trades(spark, sf_dir, fan_out=True))
-    out = compute_rsi_wilder(valid, period=14)
+    out = compute_rsi_wilder(_valid_trades_cached(spark, sf_dir), period=14)
     return out.select(
         "symbol",
         "n_changes",
@@ -217,8 +240,10 @@ def q_symbol_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rsi_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4/O2/X5: latest RSI signals with OVERBOUGHT/OVERSOLD/NEUTRAL label
     (README.md:238-245). computed_at is a fixed injected stamp."""
-    valid, _ = split_valid(load_trades(spark, sf_dir, fan_out=True))
-    ind = compute_indicators(valid, period=5, computed_at_ns=FIXED_COMPUTED_AT_NS)
+    ind = compute_indicators(
+        _valid_trades_cached(spark, sf_dir), period=5,
+        computed_at_ns=FIXED_COMPUTED_AT_NS,
+    )
     return (
         ind.select(
             "symbol",
