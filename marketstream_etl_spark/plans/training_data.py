@@ -18,10 +18,10 @@ from marketstream_etl_spark.sources.tables import load_table
 
 
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID + quality + token counts + fingerprint, one map pass."""
-    return text.analyze_documents(load_table(spark, sf_dir, "documents")).orderBy(
-        "doc_id"
-    )
+    """Language-ID + quality + token counts + fingerprint, one map pass.
+    Unordered by design (see analyze_documents) — the driver compare is
+    order-insensitive."""
+    return text.analyze_documents(load_table(spark, sf_dir, "documents"))
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
