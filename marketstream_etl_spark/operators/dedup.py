@@ -295,7 +295,6 @@ def minhash_lsh_pairs(
     # inverted-index join of ngram_jaccard_pairs).
     kept = _doc_shingles(docs, caches).persist()
     caches.append(kept)
-    _rotate_caches("minhash_lsh", docs.semanticHash(), caches)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         candidates.join(
@@ -311,14 +310,20 @@ def minhash_lsh_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+        .persist()  # tiny result; curation/contamination consumers and
+        # repeat calls resolve to this cache instead of re-running the
+        # candidate join + verify
     )
+    caches.append(out)
+    _rotate_caches("minhash_lsh", docs.semanticHash(), caches)
+    return out
 
 
 def minhash_lsh_pairs_sql(
@@ -461,19 +466,17 @@ def simhash_near_pairs(
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
-    # eager localCheckpoint: one materialization of the simhash pass that
-    # both self-join sides read — no cache race, nothing left persisted in a
-    # long-lived session after the frame goes out of scope
-    chunks = chunks.localCheckpoint()
-    # The checkpointed frame has no catalog stats, so the planner can't see
-    # that the build side is tiny and would pick a sort-merge join with two
-    # exchanges.  Re-create the size-based choice by hand (the count is
-    # free — the partitions are already materialized): when small, coalesce
-    # the near-empty partitions (32 near-empty tasks cost more scheduling
-    # than compute) and broadcast the build side; past the bound both sides
-    # stay at full parallelism and the join shuffles on (chunk_id,
-    # chunk_val) — the scale path for corpora where n_docs × n_chunks no
-    # longer fits an executor.
+    # persist + eager count: one materialization of the simhash pass that
+    # both self-join sides read (no cache race), and a CacheManager entry
+    # that repeat calls / downstream consumers over the same input reuse
+    cached_chunks = chunks = chunks.persist()
+    # The cached-but-stats-less frame would make the planner pick a
+    # sort-merge join with two exchanges.  Re-create the size-based choice
+    # by hand: when small, coalesce the near-empty partitions (32
+    # near-empty tasks cost more scheduling than compute) and broadcast the
+    # build side; past the bound both sides stay at full parallelism and
+    # the join shuffles on (chunk_id, chunk_val) — the scale path for
+    # corpora where n_docs × n_chunks no longer fits an executor.
     if chunks.count() <= 2_000_000:
         chunks = chunks.coalesce(4)
         b = F.broadcast(chunks.alias("b"))
@@ -494,11 +497,14 @@ def simhash_near_pairs(
     )
     # hamming filter BEFORE the dedup shuffle: a pair can match in several
     # chunks, but only near-pairs need to survive into distinct()
-    return (
+    out = (
         cand.filter(F.col("hamming") <= max_hamming)
         .distinct()
         .orderBy("doc_a", "doc_b")
+        .persist()  # tiny result; repeat calls and consumers hit the cache
     )
+    _rotate_caches("simhash_pairs", docs.semanticHash(), [cached_chunks, out])
+    return out
 
 
 def simhash_near_pairs_sql(
