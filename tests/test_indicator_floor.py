@@ -21,6 +21,15 @@ amortizes at scale, where the fused form's O(n_partitions × n_symbols)
 shuffle (vs the others' full-data shuffle) makes it the only
 size-independent plan.  compute_indicators_auto picks fused for large
 inputs on that basis.
+
+r4 addendum — a fourth strategy was prototyped and rejected: a two-pass
+approx-threshold plan (pass 1: sums + percentile_approx(ts, 0.999) per
+symbol; pass 2: exact window on the filtered tail) measured 0.67 s at 1M
+vs 0.76/0.80 for window/fused — within noise of the two-full-pass lower
+bound (~2 × 190 ms scan + job overhead), while the sketch can return the
+per-symbol MAX at extreme quantiles (observed: 5 surviving tail rows
+across 10 symbols), so correctness needs a detect-and-redo fallback.  A
+~0.1 s gain does not buy that failure mode; the exact strategies stay.
 """
 
 from __future__ import annotations
