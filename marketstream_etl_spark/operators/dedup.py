@@ -21,6 +21,9 @@ deterministic result.
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -87,6 +90,30 @@ EXACT_DEDUP_SQL = f"""
 # holds at most one generation of caches per operator family, and the warm
 # path stays warm.
 _CACHE_GENERATIONS: dict[str, tuple[int, list[DataFrame]]] = {}
+
+
+def _cache_key(docs: DataFrame) -> int:
+    """Generation key = plan identity (semanticHash) ∘ input-DATA identity
+    (path, mtime_ns, size of every scan input file).
+
+    semanticHash alone cannot see a testdata file regenerated IN PLACE —
+    the plan is unchanged, so rotation would never fire and Spark's
+    CacheManager would keep serving persisted blocks built from the old
+    bytes (this project's testdata has drifted in place between rounds
+    twice).  Folding the input files' mtimes in makes a rewrite rotate the
+    generation exactly like analytics._VALID_TRADES_CACHE's
+    (appId, sf_dir, source mtime) key.  Frames with no file scan
+    (createDataFrame fixtures) degrade to the plan hash alone."""
+    sig: list[tuple[str, int, int]] = []
+    try:
+        for uri in docs.inputFiles():
+            p = urlparse(uri).path
+            if p and os.path.exists(p):
+                st = os.stat(p)
+                sig.append((p, st.st_mtime_ns, st.st_size))
+    except Exception:
+        pass  # listing is best-effort; plan hash still keys the rotation
+    return hash((docs.semanticHash(), tuple(sorted(sig))))
 
 
 def _rotate_caches(op: str, key: int, frames: list[DataFrame]) -> None:
@@ -156,7 +183,7 @@ def ngram_jaccard_pairs(
     """All doc pairs with shingle-set Jaccard >= threshold (doc_a < doc_b)."""
     caches: list[DataFrame] = []
     kept = _doc_shingles(docs, caches)
-    _rotate_caches("ngram_jaccard", docs.semanticHash(), caches)
+    _rotate_caches("ngram_jaccard", _cache_key(docs), caches)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = kept.alias("a")
     b = kept.alias("b")
@@ -322,7 +349,7 @@ def minhash_lsh_pairs(
         # candidate join + verify
     )
     caches.append(out)
-    _rotate_caches("minhash_lsh", docs.semanticHash(), caches)
+    _rotate_caches("minhash_lsh", _cache_key(docs), caches)
     return out
 
 
@@ -503,7 +530,7 @@ def simhash_near_pairs(
         .orderBy("doc_a", "doc_b")
         .persist()  # tiny result; repeat calls and consumers hit the cache
     )
-    _rotate_caches("simhash_pairs", docs.semanticHash(), [cached_chunks, out])
+    _rotate_caches("simhash_pairs", _cache_key(docs), [cached_chunks, out])
     return out
 
 
