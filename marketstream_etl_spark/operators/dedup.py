@@ -456,14 +456,29 @@ def simhash_sql(bits: int = SIMHASH_BITS) -> str:
     """
 
 
+# Broadcast sizing for the pigeonhole self-join build side (r4 ADVICE: the
+# old 2M-ROW bound allowed ~100-200 MB driver materializations).  A chunk
+# row is (doc_id long, simhash long, chunk_id int, chunk_val long) ≈ 28 B
+# data; UnsafeRow + broadcast-relation overhead lands ~64 B/row, so the
+# 32 MB cap admits ~500k chunk rows ≈ 125k docs — comfortably inside the
+# default 10 MB-to-1 GB autoBroadcast envelope and driver-safe.
+_CHUNK_ROW_BYTES = 64
+_BROADCAST_MAX_BYTES = 32 << 20
+
+
 def simhash_near_pairs(
     docs: DataFrame,
     bits: int = SIMHASH_BITS,
     max_hamming: int = HAMMING_MAX,
+    approx_docs: int | None = None,
 ) -> DataFrame:
     """Pairs with simhash hamming distance <= max_hamming via the pigeonhole
     equi-join: split the signature into 4 bytes; hamming <= 3 guarantees at
     least one byte matches, so candidates come from a per-byte equi-join.
+
+    `approx_docs` is a planner hint (e.g. the parquet footer row count via
+    tables.table_row_count): when given, the broadcast-vs-shuffle switch is
+    decided driver-side with no counting job.
 
     Scale note: 8-bit chunks give 256 buckets per chunk — ample at test
     scale, but a billion-doc corpus needs wider signatures and chunks
@@ -493,18 +508,23 @@ def simhash_near_pairs(
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
-    # persist + eager count: one materialization of the simhash pass that
-    # both self-join sides read (no cache race), and a CacheManager entry
-    # that repeat calls / downstream consumers over the same input reuse
+    # persist: both self-join sides read one materialization of the simhash
+    # pass, and the CacheManager entry lets repeat calls / downstream
+    # consumers over the same input reuse it
     cached_chunks = chunks = chunks.persist()
     # The cached-but-stats-less frame would make the planner pick a
     # sort-merge join with two exchanges.  Re-create the size-based choice
-    # by hand: when small, coalesce the near-empty partitions (32
-    # near-empty tasks cost more scheduling than compute) and broadcast the
-    # build side; past the bound both sides stay at full parallelism and
-    # the join shuffles on (chunk_id, chunk_val) — the scale path for
-    # corpora where n_docs × n_chunks no longer fits an executor.
-    if chunks.count() <= 2_000_000:
+    # by hand: when the build side fits _BROADCAST_MAX_BYTES, coalesce the
+    # near-empty partitions (32 near-empty tasks cost more scheduling than
+    # compute) and broadcast it; past the bound both sides stay at full
+    # parallelism and the join shuffles on (chunk_id, chunk_val) — the
+    # scale path for corpora where n_docs × n_chunks no longer fits an
+    # executor.  The hint skips the counting job entirely; without it the
+    # count doubles as the eager cache materialization.
+    n_chunk_rows = (
+        approx_docs * n_chunks if approx_docs is not None else chunks.count()
+    )
+    if n_chunk_rows * _CHUNK_ROW_BYTES <= _BROADCAST_MAX_BYTES:
         chunks = chunks.coalesce(4)
         b = F.broadcast(chunks.alias("b"))
     else:

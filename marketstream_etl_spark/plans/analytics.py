@@ -42,8 +42,20 @@ def _valid_trades_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, source_key(sf_dir))
     df = _VALID_TRADES_CACHE.get(key)
     if df is None:
-        for stale in [k for k in list(_VALID_TRADES_CACHE) if k[:2] == key[:2]]:
-            _VALID_TRADES_CACHE.pop(stale).unpersist()
+        # evict superseded generations of THIS (appId, sf_dir) and any
+        # entry from a stopped session (different appId) — those hold
+        # DataFrame handles bound to a dead SparkContext (r4 ADVICE)
+        stale_keys = [
+            k
+            for k in list(_VALID_TRADES_CACHE)
+            if k[:2] == key[:2] or k[0] != key[0]
+        ]
+        for stale in stale_keys:
+            old = _VALID_TRADES_CACHE.pop(stale)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # context already gone; dropping the handle suffices
         valid, _ = split_valid(load_trades(spark, sf_dir, fan_out=True))
         df = valid.persist()
         df.count()  # materialize now: consumers must never race to build it
@@ -78,21 +90,40 @@ SAMPLE_FIXTURE_CSV = """trade_id,order_id,timestamp,symbol,price,volume,side,typ
 """
 
 
+def _ensure_fixture_csv(
+    spark: SparkSession, name: str, sf_dir: str, content: str
+) -> str:
+    """Write-once CSV fixture keyed by CONTENT hash as well as testdata
+    mtime: editing the fixture constant lands at a fresh path instead of
+    being served stale, and the temp-file + atomic-rename write means an
+    interrupted run can never leave a torn file behind (r4 ADVICE)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from marketstream_etl_spark.sources.tables import warehouse_path
+
+    digest = hashlib.md5(content.encode()).hexdigest()[:8]
+    path = warehouse_path(spark, f"{name}_{digest}", sf_dir)
+    csv_file = os.path.join(path, f"{name}.csv")
+    if not os.path.exists(csv_file):
+        os.makedirs(path, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+        os.replace(tmp, csv_file)
+    return csv_file
+
+
 def q_validate_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's sample_data.csv golden (10 valid / 3 rejects with
     first-failing reasons), run through the real CSV source + validator
     (/root/reference/sample_data.csv:12-14, TradeValidator.hpp:109-178)."""
-    import os
-
     from marketstream_etl_spark.sources.csv_trades import read_trades_csv
-    from marketstream_etl_spark.sources.tables import warehouse_path
 
-    path = warehouse_path(spark, "sample_fixture_csv", sf_dir)
-    csv_file = os.path.join(path, "sample_data.csv")
-    if not os.path.exists(csv_file):
-        os.makedirs(path, exist_ok=True)
-        with open(csv_file, "w") as f:
-            f.write(SAMPLE_FIXTURE_CSV)
+    csv_file = _ensure_fixture_csv(
+        spark, "sample_fixture_csv", sf_dir, SAMPLE_FIXTURE_CSV
+    )
     trades = read_trades_csv(spark, csv_file)
     return with_validation(trades).select(
         "trade_id", "symbol", "price", "volume", "is_valid", "reject_reason"
@@ -121,17 +152,11 @@ def q_csv_fixture_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parser's zero/'N'/'M' defaults and first-byte char fields
     (CsvParser.cpp:57-249), then validation — the post-defaults typed rows
     are the output, golden-checked against a VALUES oracle."""
-    import os
-
     from marketstream_etl_spark.sources.csv_trades import read_trades_csv
-    from marketstream_etl_spark.sources.tables import warehouse_path
 
-    path = warehouse_path(spark, "defaults_fixture_csv", sf_dir)
-    csv_file = os.path.join(path, "defaults_data.csv")
-    if not os.path.exists(csv_file):
-        os.makedirs(path, exist_ok=True)
-        with open(csv_file, "w") as f:
-            f.write(DEFAULTS_FIXTURE_CSV)
+    csv_file = _ensure_fixture_csv(
+        spark, "defaults_fixture_csv", sf_dir, DEFAULTS_FIXTURE_CSV
+    )
     trades = read_trades_csv(spark, csv_file)
     return with_validation(trades).select(
         "trade_id",

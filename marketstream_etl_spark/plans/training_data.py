@@ -79,7 +79,13 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+    from marketstream_etl_spark.sources.tables import table_row_count
+
+    # footer row count = free planner hint → no eager counting job
+    return dedup.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"),
+        approx_docs=table_row_count(sf_dir, "documents"),
+    )
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:

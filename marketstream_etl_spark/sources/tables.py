@@ -31,6 +31,19 @@ def source_key(sf_dir: str) -> str:
     return hashlib.md5(f"{sf_dir}@{mtime}".encode()).hexdigest()[:8]
 
 
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count from the parquet footer metadata — driver-side, no
+    Spark job.  Used as a planner hint (e.g. the simhash broadcast-vs-
+    shuffle switch); None when the file is absent or unreadable."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def warehouse_path(spark: SparkSession, name: str, sf_dir: str) -> str:
     """Canonical cache path for a derived dataset: one directory per
     (artifact name, source key) under the session warehouse.  Every
