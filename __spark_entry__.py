@@ -259,12 +259,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # still runs under tools/check_oracle.py locally.
     qs = {
         # --- trade domain (reference parity, SURVEY §2.2-2.5) ---
-        # r4 slot rotation (VERDICT items 1+7): csv_fixture_roundtrip and
-        # parquet_sink_roundtrip give S1/S2 and S11/S12/X11 their driver
-        # rows; cms_heavy_hitters and pii_redaction rotate in from the fold.
-        # Displaced (validate_rejects ⊂ validate_split, vwap_by_symbol ⊂
-        # indicators, ewma_price / observed_metrics = extra surface) moved
-        # after the fold — still check_oracle-verified locally.
+        # r5 slot rotation (r4 VERDICT items 3+4): parallel_jdbc_roundtrip
+        # gives S9 its driver row (the one §2 op that was pytest-only);
+        # ewma_price, streaming_cms, doc_repetition, pattern_similarity
+        # rotate in from the fold.  Displaced — symbol_history (subsumed by
+        # partition_pruning + rsi_signals coverage), trade_count /
+        # dedup_trades (both 1-row COUNT shapes, green r3+r4),
+        # cms_heavy_hitters + pii_redaction (green r4) — move after the
+        # fold, still check_oracle-verified locally every round.
         "trades_view": analytics.q_trades_view,
         "validate_split": analytics.q_validate_split,
         "csv_fixture_roundtrip": analytics.q_csv_fixture_roundtrip,
@@ -272,16 +274,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_counts": analytics.q_validation_counts,
         "indicators": analytics.q_indicators,
         "rsi_wilder": analytics.q_rsi_wilder,
-        "trade_count": analytics.q_trade_count,
         "symbol_leaderboard": analytics.q_symbol_leaderboard,
         "rsi_signals": analytics.q_rsi_signals,
-        "symbol_history": analytics.q_symbol_history,
         "parquet_sink_roundtrip": analytics.q_parquet_sink_roundtrip,
+        "parallel_jdbc_roundtrip": analytics.q_parallel_jdbc_roundtrip,  # S9
         "ohlc_bars": analytics.q_ohlc_bars,
-        "cms_heavy_hitters": training_data.q_cms_heavy_hitters,
-        "pii_redaction": training_data.q_pii_redaction,
-        "dedup_trades": analytics.q_dedup_trades,
-        # --- streaming (real Structured Streaming runs; ST1-ST7) — 11 ---
+        "ewma_price": analytics.q_ewma_price,
+        # --- streaming (real Structured Streaming runs; ST1-ST7) — 12 ---
         "streaming_counts": _stream_counts,
         "streaming_windowed": _stream_windowed,
         "streaming_ohlc": _stream_ohlc,
@@ -293,6 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful": _stream_stateful,
         "streaming_sessions": _stream_sessions,
         "streaming_jdbc_sink": _stream_jdbc_sink,
+        "streaming_cms": _stream_cms,
         # --- one per remaining SURVEY-§2 family — 10 ---
         "asof_enrich": advanced.q_asof_enrich,  # J2
         "rolling_indicators": advanced.q_rolling_indicators,  # W
@@ -304,7 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": advanced.q_scalar_functions,  # X5
         "weighted_sample": training_data.q_weighted_sample,  # X10
         "udaf_vwap": advanced.q_udaf_vwap,  # pandas UDAF surface
-        # --- LLM training-data north star — 7 (rest after the fold) ---
+        # --- LLM training-data north star — 15 (rest after the fold) ---
         "text_analysis": training_data.q_text_analysis,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         "dedup_minhash_lsh": training_data.q_dedup_minhash_lsh,
@@ -318,14 +318,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": training_data.q_ann_ivf,
         "corpus_curation": training_data.q_corpus_curation,
         "contamination": training_data.q_contamination,
+        "doc_repetition": training_data.q_doc_repetition,
+        "pattern_similarity": advanced.q_pattern_similarity,
         # ---------------- fold: slot 51+ ----------------
+        "symbol_history": analytics.q_symbol_history,
+        "trade_count": analytics.q_trade_count,
+        "dedup_trades": analytics.q_dedup_trades,
+        "cms_heavy_hitters": training_data.q_cms_heavy_hitters,
+        "pii_redaction": training_data.q_pii_redaction,
         "validate_rejects": analytics.q_validate_rejects,
         "vwap_by_symbol": analytics.q_vwap_by_symbol,
-        "ewma_price": analytics.q_ewma_price,
         "observed_metrics": analytics.q_observed_metrics,
-        "doc_repetition": training_data.q_doc_repetition,
-        "streaming_cms": _stream_cms,
-        "pattern_similarity": advanced.q_pattern_similarity,
         "gap_fill": analytics.q_gap_fill,
         "pairwise_correlation": analytics.q_pairwise_correlation,
         "symbol_beta": analytics.q_symbol_beta,
@@ -478,6 +481,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(price * volume), 2) AS notional,
                    'trades_20231025_091500.parquet' AS run_file
             FROM trades GROUP BY side ORDER BY side
+        """,
+        # S9: the readback aggregate over the 4-connection Derby load must
+        # equal this direct derivation — same deterministic stream stamp
+        # (h32(trade_id) mod 4), no database involved on the oracle side
+        "parallel_jdbc_roundtrip": f"""
+            WITH trades AS ({TRADES_CTE})
+            SELECT CAST({_h32_sql("CAST(trade_id AS VARCHAR)")} % 4 AS INTEGER)
+                       AS stream_id,
+                   count(*) AS n_rows,
+                   CAST(sum(volume) AS BIGINT) AS stream_volume,
+                   round(sum(price * volume), 2) AS notional
+            FROM trades GROUP BY 1 ORDER BY 1
         """,
         "validation_counts": f"""
             WITH trades AS ({TRADES_CTE})

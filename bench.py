@@ -192,12 +192,23 @@ def main() -> None:
         timings[name] = min(runs)
         all_runs[name] = runs
 
+    # Two sums, published side by side (r4 VERDICT item 2):
+    #   value      = warm headline (best-of-N; cache-bearing queries measure
+    #                steady-state / cache-hit latency — the repeat-consumer
+    #                path the engine optimizes for)
+    #   cold_total = sum of each query's FIRST run at SF_DIR (operator
+    #                caches start empty for this sf_dir — first-touch cost
+    #                included), plus the 1M ETL/stream sections, which are
+    #                cache-free by construction (fresh tempdir pipeline,
+    #                clearCache before streaming) and identical in both sums.
     etl = bench_etl_1m(spark)
     total = sum(timings.values()) + etl["etl_1m_total"]
+    cold_total = sum(r[0] for r in all_runs.values()) + etl["etl_1m_total"]
     timings.update(etl)
     spark.catalog.clearCache()  # streaming section starts from a clean heap
     stream = bench_stream_1m(spark)
     total += stream["stream_1m_total"]
+    cold_total += stream["stream_1m_total"]
     timings.update(stream)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -207,6 +218,7 @@ def main() -> None:
                 "metric": "headline_total",
                 "value": round(total, 4),
                 "unit": "sec",
+                "cold_total": round(cold_total, 4),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_runs": N_RUNS,

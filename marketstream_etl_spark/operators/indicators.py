@@ -103,6 +103,31 @@ def compute_indicators(
     return out
 
 
+def compute_indicators_sums(trades: DataFrame) -> DataFrame:
+    """Whole-history indicator snapshot in PURE codegen sums — the
+    reference-speed lever documented in README's indicators-floor decision
+    note.  One hash aggregate, no window, no second pass: measures at the
+    ~170-213 ms scan floor on 1M rows (tests/test_indicator_floor.py),
+    i.e. at par with the reference's 150 ms single-thread fold.
+
+    SEMANTIC TRADE, stated plainly: `sma` here averages ALL of a symbol's
+    trades (not the last N) and there is NO RSI column — RSI needs ordered
+    price diffs, and any exact ordered-diff mechanism is precisely the
+    ~0.5 s last-N tail cost this variant exists to avoid.  `vwap` is exact
+    (it is whole-history by definition).  NOT the pipeline default; see
+    the decision note for why exact last-N semantics win."""
+    agg = trades.groupBy("symbol").agg(
+        F.count("*").alias("n_trades"),
+        F.avg("price").alias("sma_all"),
+        F.sum(F.col("price") * F.col("volume")).alias("_pv"),
+        F.sum(F.col("volume").cast("double")).alias("_v"),
+    )
+    vwap = F.when(F.col("_v") == 0.0, F.lit(0.0)).otherwise(
+        F.col("_pv") / F.col("_v")
+    )
+    return agg.select("symbol", "n_trades", "sma_all", vwap.alias("vwap"))
+
+
 def rsi_signal(rsi: Column) -> Column:
     """F4: RSI → OVERBOUGHT / OVERSOLD / NEUTRAL label
     (TechnicalIndicators.hpp:157-163, README.md:239-241)."""

@@ -200,6 +200,63 @@ def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parallel_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 end-to-end: N-connection parallel relational load — the
+    reference's ParallelLoader spreads the batch over N worker threads,
+    each owning one COPY stream (ParallelLoader.hpp:71-275); here each
+    trade is assigned a deterministic stream by h32(trade_id) mod 4 and
+    repartitioned on it, so every stream's rows flow through exactly one
+    executor-side JDBC connection into embedded Derby.  The readback
+    aggregates per stream — counts/volumes must match the direct oracle,
+    proving all N connections landed their slice exactly once.
+
+    The stream stamp is an md5-derived hash (functions/hashing.h32), not
+    spark_partition_id(), so the per-stream assignment itself is
+    engine-independent and oracle-checkable."""
+    from marketstream_etl_spark.functions.hashing import h32
+    from marketstream_etl_spark.sources.tables import source_key
+    from marketstream_etl_spark.streaming.jdbc_sink import (
+        DERBY_DRIVER,
+        _derby_url,
+        _drop_if_exists,
+        _read_jdbc,
+    )
+
+    n_streams = 4
+    url = _derby_url(f"parallel_load_{source_key(sf_dir)}")
+    table = "parallel_trades"
+    _drop_if_exists(spark, url, [table])
+    trades = load_trades(spark, sf_dir).select(
+        "trade_id", "symbol", "price", "volume"
+    )
+    stamped = trades.withColumn(
+        "stream_id",
+        F.pmod(h32(F.col("trade_id").cast("string")), F.lit(n_streams)).cast(
+            "int"
+        ),
+    )
+    (
+        stamped.repartition(n_streams, "stream_id")
+        .write.mode("append")
+        .option("batchsize", 10_000)
+        .jdbc(url, table, properties={"driver": DERBY_DRIVER})
+    )
+    # retry-proof readback: trade_id dedups any transiently re-appended
+    # partition (same contract as the streaming JDBC sink)
+    back = _read_jdbc(spark, url, table).dropDuplicates(["trade_id"])
+    return (
+        back.groupBy("stream_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("volume").cast("long").alias("stream_volume"),
+            F.round(F.sum(F.col("price") * F.col("volume")), 2).alias(
+                "notional"
+            ),
+        )
+        .orderBy("stream_id")
+    )
+
+
 def q_validate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 annotate: every trade with is_valid + first-failing reject_reason."""
     # NOTE: no fan_out here — validation must stay a pure map-side pass

@@ -91,3 +91,19 @@ def test_fused_single_full_scan(trades):
     plan = I.compute_indicators_fused(trades, period=5)._jdf.queryExecution(
     ).executedPlan().toString()
     assert plan.count("InMemoryTableScan") == 1
+
+
+def test_sums_variant_is_codegen_only_and_vwap_exact(trades):
+    """The README decision-note lever: compute_indicators_sums must (a)
+    agree exactly with the default variant on VWAP (whole-history on both
+    sides), and (b) plan as a pure hash aggregate — no window sort, which
+    is the entire point of the variant."""
+    full = {r.symbol: r for r in I.compute_indicators(trades, period=5).collect()}
+    sums_df = I.compute_indicators_sums(trades)
+    sums = {r.symbol: r for r in sums_df.collect()}
+    assert set(full) == set(sums)
+    for s in full:
+        assert abs(full[s].vwap - sums[s].vwap) <= 1e-9 * max(1.0, abs(full[s].vwap))
+    plan = sums_df._jdf.queryExecution().executedPlan().toString()
+    own = plan.split("InMemoryTableScan")[0]
+    assert "Window" not in own and "Sort" not in own
