@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": training_data.q_sequence_packing,
         "chunk_documents": training_data.q_chunk_documents,
         "udtf_doc_terms": training_data.q_udtf_doc_terms,
+        "bpe_merge_candidates": training_data.q_bpe_merge_candidates,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -1945,6 +1946,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, cnt, term_rank FROM ranked
             WHERE term_rank <= 3 ORDER BY doc_id, term_rank
+        """,
+        # one BPE-trainer iteration: adjacent-symbol pair counts weighted
+        # by word frequency, top-20 merge candidates (ties broken by pair)
+        "bpe_merge_candidates": f"""
+            WITH words AS (
+                SELECT w AS word, count(*) AS cnt
+                FROM (SELECT unnest({_tokens_sql("text")}) AS w
+                      FROM documents)
+                GROUP BY w
+            ),
+            pos AS (
+                SELECT word, cnt,
+                       unnest(range(1, length(word))) AS i
+                FROM words WHERE length(word) >= 2
+            )
+            SELECT substr(word, CAST(i AS INTEGER), 1) AS left_sym,
+                   substr(word, CAST(i AS INTEGER) + 1, 1) AS right_sym,
+                   CAST(sum(cnt) AS BIGINT) AS pair_count
+            FROM pos GROUP BY 1, 2
+            ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
         """,
         # salting must not change the answer: oracle is the PLAIN join
         "skew_salted_join": """

@@ -136,22 +136,35 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs.repartition(sc.defaultParallelism)
 
 
-def _doc_shingles(
-    docs: DataFrame, caches: list[DataFrame] | None = None
-) -> DataFrame:
-    """(doc_id, shingle) distinct pairs, hot shingles dropped (df > DF_CAP).
-    The internal persisted pairs frame is appended to `caches` when given so
-    callers can rotate it via _rotate_caches."""
+def shingle_pairs_cached(docs: DataFrame) -> DataFrame:
+    """ONE persisted distinct (doc_id, shingle) frame per input generation,
+    shared by every shingle consumer — Jaccard's inverted index, the
+    MinHash signature pass, LSH verification, and the contamination check
+    all derive from it, so the heavy tokenize→shingle→distinct pass runs
+    ONCE per corpus generation instead of once per operator family.
+    Memoized at the Python level (same DataFrame object handed to every
+    consumer) under its own rotation family, keyed by input-data identity
+    like every other generation cache."""
+    key = _cache_key(docs)
+    hit = _CACHE_GENERATIONS.get("shingle_pairs")
+    if hit is not None and hit[0] == key:
+        return hit[1][0]
     pairs = (
         _spread(docs).select(
             "doc_id",
             F.explode(shingles(tokens(F.col("text")), SHINGLE_K)).alias("shingle"),
         )
         .distinct()
-        .persist()  # feeds both the hot-shingle scan and the anti-join
+        .persist()
     )
-    if caches is not None:
-        caches.append(pairs)
+    _rotate_caches("shingle_pairs", key, [pairs])
+    return pairs
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs, hot shingles dropped (df > DF_CAP),
+    derived from the shared persisted pairs frame."""
+    pairs = shingle_pairs_cached(docs)
     hot = (
         pairs.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -181,9 +194,7 @@ def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = JACCARD_THRESHOLD
 ) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold (doc_a < doc_b)."""
-    caches: list[DataFrame] = []
-    kept = _doc_shingles(docs, caches)
-    _rotate_caches("ngram_jaccard", _cache_key(docs), caches)
+    kept = _doc_shingles(docs)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = kept.alias("a")
     b = kept.alias("b")
@@ -230,17 +241,20 @@ def minhash_signatures(docs: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}) minhash signature columns.
 
     Signature j = min over shingles of (a_j * h32(shingle) + b_j) mod P.
-    Shape: explode shingles → hash each ONCE → groupBy(doc_id) with
-    `num_perm` cheap arithmetic mins.  One shuffle; md5 is computed once per
-    (doc, shingle) instead of once per permutation (an array-HOF formulation
-    re-evaluates the hash inside every array_min after projection collapse).
+    Shape: the shared distinct (doc_id, shingle) frame → hash each ONCE →
+    groupBy(doc_id) with `num_perm` cheap arithmetic mins.  One shuffle;
+    md5 is computed once per distinct (doc, shingle) instead of once per
+    permutation (an array-HOF formulation re-evaluates the hash inside
+    every array_min after projection collapse).  min over the distinct
+    shingle SET equals min over the multiset, so reusing the dedup
+    family's shared pairs frame changes no signature — and saves the
+    second full tokenize+shingle pass LSH used to pay.
     Docs with no shingles (< k tokens) drop out, mirroring the oracle where
     empty band keys are filtered.
     """
-    sh = _spread(docs).select(
-        "doc_id",
-        F.explode(shingles(tokens(F.col("text")), SHINGLE_K)).alias("shingle"),
-    ).select("doc_id", h32(F.col("shingle")).alias("h"))
+    sh = shingle_pairs_cached(docs).select(
+        "doc_id", h32(F.col("shingle")).alias("h")
+    )
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE_P)).alias(
             f"mh_{j}"
@@ -319,9 +333,10 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verification restricted to the candidate pairs — the
     # whole point of LSH is to never touch non-candidate pairs, so the
     # intersection join runs over candidate docs only (vs the all-pairs
-    # inverted-index join of ngram_jaccard_pairs).
-    kept = _doc_shingles(docs, caches).persist()
-    caches.append(kept)
+    # inverted-index join of ngram_jaccard_pairs).  `kept` derives from
+    # the shared persisted pairs frame (shingle_pairs_cached); the
+    # hot-shingle anti-join on top is cheap, so it is not re-persisted.
+    kept = _doc_shingles(docs)
     sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         candidates.join(

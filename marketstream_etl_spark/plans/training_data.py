@@ -310,42 +310,39 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast it and the overlap join is map-side (no shuffle of the corpus
     side); per-doc overlap counts then aggregate on doc_id, which is
     uniformly distributed.  This is the n-gram-decontamination pass every
-    eval-safe training pipeline runs."""
-    from marketstream_etl_spark.functions.hashing import h32, shingles, tokens
+    eval-safe training pipeline runs.
+
+    Derives from the dedup family's SHARED persisted (doc_id, shingle)
+    frame (dedup.shingle_pairs_cached — same k, same tokenization, already
+    distinct per doc), so a curation run that already deduped the corpus
+    pays nothing extra to tokenize it again here."""
+    from marketstream_etl_spark.functions.hashing import h32
 
     docs = load_table(spark, sf_dir, "documents")
-    # persist: both branches (benchmark set + corpus) consume this frame, and
-    # without a materialization point each consumer re-runs the expensive
-    # tokenize→shingle→distinct expression per row (measured 7× slower)
-    sh = docs.select(
-        "doc_id",
-        (h32(F.col("doc_id").cast("string")) % 20 == 0).alias("_is_bench"),
-        F.array_distinct(shingles(tokens(F.col("text")), k=3)).alias("_sh"),
-    ).persist()
+    pairs = dedup.shingle_pairs_cached(docs)
+    is_bench = h32(F.col("doc_id").cast("string")) % 20 == 0
     bench_shingles = (
-        sh.filter("_is_bench")
-        .select(F.explode("_sh").alias("sh"))
-        .distinct()
+        pairs.filter(is_bench).select("shingle").distinct()
     )
-    corpus = sh.filter(~F.col("_is_bench")).select(
-        "doc_id",
-        F.size("_sh").alias("n_shingles"),
-        F.explode("_sh").alias("sh"),
+    corpus = pairs.filter(~is_bench)
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    overlap = (
+        corpus.join(F.broadcast(bench_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
     )
-    overlap = corpus.join(F.broadcast(bench_shingles), "sh").groupBy(
-        "doc_id"
-    ).agg(
-        F.first("n_shingles").alias("n_shingles"),
-        F.count("*").alias("n_overlap"),
+    return (
+        sizes.join(overlap, "doc_id")  # inner: only contaminated docs
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.col("n_shingles").cast("double"), 4
+            ).alias("contamination"),
+        )
+        .orderBy("doc_id")
     )
-    return overlap.select(
-        "doc_id",
-        "n_shingles",
-        "n_overlap",
-        F.round(
-            F.col("n_overlap") / F.col("n_shingles").cast("double"), 4
-        ).alias("contamination"),
-    ).orderBy("doc_id")
 
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,6 +466,50 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_kept"),
         )
         .orderBy("source")
+    )
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-trainer iteration over the corpus: count adjacent symbol
+    pairs within words, weighted by word frequency, and rank the top-20
+    merge candidates — the counting step every byte-pair-encoding
+    tokenizer trainer loops on (re-segment with the winning merge, count
+    again; the loop is driver-side and tiny, the COUNT is the corpus-scale
+    work, so that is what the engine distributes).
+
+    Scale shape: corpus → word vocabulary is ONE word-count shuffle whose
+    output is vocab-sized (types, not tokens); pair counting then runs
+    over the vocabulary with frequency weights — for [a-z0-9] symbols the
+    pair space is ≤ 36², so the final aggregate is map-side-combinable
+    into almost nothing.  No stage touches corpus-sized data twice."""
+    from marketstream_etl_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "word",
+            "cnt",
+            F.explode(
+                F.sequence(F.lit(1), F.length("word") - 1)
+            ).alias("i"),
+        )
+        .select(
+            F.expr("substring(word, i, 1)").alias("left_sym"),
+            F.expr("substring(word, i + 1, 1)").alias("right_sym"),
+            "cnt",
+        )
+    )
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(20)
     )
 
 
