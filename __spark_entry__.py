@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": training_data.q_chunk_documents,
         "udtf_doc_terms": training_data.q_udtf_doc_terms,
         "bpe_merge_candidates": training_data.q_bpe_merge_candidates,
+        "sentence_dedup": training_data.q_sentence_dedup,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -1966,6 +1967,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cnt) AS BIGINT) AS pair_count
             FROM pos GROUP BY 1, 2
             ORDER BY pair_count DESC, left_sym, right_sym LIMIT 20
+        """,
+        # sentence-level exact dedup: every sentence seen >= 2 times,
+        # keyed by the normalized-content fingerprint; boilerplate is
+        # injected deterministically (inject→detect, see q_sentence_dedup)
+        "sentence_dedup": f"""
+            WITH injected AS (
+                SELECT doc_id,
+                       text || CASE
+                           WHEN doc_id % 7 = 0
+                               THEN '{training_data.BOILERPLATE_NEWSLETTER}'
+                           WHEN doc_id % 11 = 0
+                               THEN '{training_data.BOILERPLATE_COPYRIGHT}'
+                           ELSE '' END AS text
+                FROM documents
+            ),
+            sents AS (
+                SELECT doc_id, trim(s) AS sent
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(text, '[.!?]+'))
+                                 AS s
+                      FROM injected)
+                WHERE length(trim(s)) >= 20
+            )
+            SELECT {_text.fingerprint_sql("sent")} AS fp,
+                   count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs,
+                   min(sent) AS sample_sentence
+            FROM sents GROUP BY 1
+            HAVING count(*) >= 2
+            ORDER BY n_occurrences DESC, fp LIMIT 50
         """,
         # salting must not change the answer: oracle is the PLAIN join
         "skew_salted_join": """

@@ -469,6 +469,72 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOILERPLATE_NEWSLETTER = (
+    ". subscribe to our newsletter for the latest updates today."
+)
+BOILERPLATE_COPYRIGHT = (
+    ". all rights reserved copyright two thousand twenty four."
+)
+
+
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level exact dedup (the C4/RefinedWeb boilerplate pass):
+    split documents on sentence punctuation, normalize + fingerprint each
+    sentence, and report every sentence appearing in ≥ 2 places — the
+    cookie-banner / nav-chrome detector that document-level dedup cannot
+    see.
+
+    The synthetic docs carry no repeated sentences (and no sentence
+    punctuation), so — same inject→detect contract as pii_redaction —
+    deterministic boilerplate is appended first: doc_id%7==0 docs gain a
+    newsletter banner, doc_id%11==0 a copyright footer (CASE order breaks
+    the %77 overlap identically in both engines).  The detector under
+    test must then find exactly those two fingerprints with the right
+    occurrence/doc counts.
+
+    Scale shape: explode is 1-to-N map-side; the only shuffle is the
+    groupBy on the 128-bit sentence fingerprint (uniformly distributed by
+    construction).  Representative text is min() — a plain re-aggregable
+    partial, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    boiler = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(BOILERPLATE_NEWSLETTER),
+        )
+        .when(
+            F.col("doc_id") % 11 == 0,
+            F.lit(BOILERPLATE_COPYRIGHT),
+        )
+        .otherwise(F.lit(""))
+    )
+    docs = docs.select(
+        "doc_id", F.concat(F.col("text"), boiler).alias("text")
+    )
+    sent = F.trim(F.col("raw_sent"))
+    sents = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), r"[.!?]+")).alias("raw_sent"),
+        )
+        .select("doc_id", sent.alias("sent"))
+        .filter(F.length("sent") >= 20)
+    )
+    return (
+        sents.select("doc_id", text.fingerprint(F.col("sent")).alias("fp"),
+                     "sent")
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("sent").alias("sample_sentence"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .orderBy(F.desc("n_occurrences"), "fp")
+        .limit(50)
+    )
+
+
 def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE-trainer iteration over the corpus: count adjacent symbol
     pairs within words, weighted by word frequency, and rank the top-20
