@@ -1,0 +1,68 @@
+"""Semantics pins for the round-5 training-data ops (BPE merge counting,
+sentence-level dedup).  The DuckDB oracle checks cross-engine agreement;
+these tests pin the intended MATH on constructed inputs, so a shared
+misunderstanding on both engine sides cannot pass silently.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from marketstream_etl_spark.plans import training_data
+
+
+def _write_docs(path: str, texts: dict[int, str]) -> None:
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)]),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["src0"] * len(texts)),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in sorted(texts)], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(path, "documents.parquet"),
+    )
+
+
+def test_bpe_pair_counts_are_frequency_weighted(spark, tmp_path):
+    # vocabulary: "aba" x3 occurrences, "bb" x1
+    # pairs: "aba" -> (a,b) + (b,a) each weighted 3; "bb" -> (b,b) x1
+    _write_docs(
+        str(tmp_path), {1: "aba aba bb", 2: "aba"}
+    )
+    rows = {
+        (r.left_sym, r.right_sym): r.pair_count
+        for r in training_data.q_bpe_merge_candidates(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows == {("a", "b"): 3, ("b", "a"): 3, ("b", "b"): 1}
+
+
+def test_sentence_dedup_finds_injected_boilerplate(spark, tmp_path):
+    # doc_ids 7 and 14 receive the newsletter banner; 11 the copyright
+    # footer; 1 and 2 receive nothing.  Expect exactly two duplicate
+    # fingerprints: newsletter (2 docs) first, nothing for the copyright
+    # footer (one occurrence only).
+    _write_docs(
+        str(tmp_path),
+        {
+            1: "alpha beta gamma delta body text one",
+            2: "epsilon zeta eta theta body text two",
+            7: "first newsletter receiving document body",
+            11: "copyright receiving document body here",
+            14: "second newsletter receiving document body",
+        },
+    )
+    out = training_data.q_sentence_dedup(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_occurrences == 2 and row.n_docs == 2
+    assert "newsletter" in row.sample_sentence
