@@ -163,7 +163,15 @@ def shingle_pairs_cached(docs: DataFrame) -> DataFrame:
 
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct pairs, hot shingles dropped (df > DF_CAP),
-    derived from the shared persisted pairs frame."""
+    derived from the shared persisted pairs frame.  Persisted under its own
+    generation family: every consumer reads it ≥3 times (sizes + both sides
+    of the intersection join), and without a materialization point the
+    hot-shingle aggregate would re-run per consumer (measured ~2.5 s extra
+    on the LSH cold path at sf0.1)."""
+    key = _cache_key(docs)
+    hit = _CACHE_GENERATIONS.get("kept_shingles")
+    if hit is not None and hit[0] == key:
+        return hit[1][0]
     pairs = shingle_pairs_cached(docs)
     hot = (
         pairs.groupBy("shingle")
@@ -171,7 +179,9 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
         .filter(F.col("df") > DF_CAP)
         .select("shingle")
     )
-    return pairs.join(F.broadcast(hot), "shingle", "left_anti")
+    kept = pairs.join(F.broadcast(hot), "shingle", "left_anti").persist()
+    _rotate_caches("kept_shingles", key, [kept])
+    return kept
 
 
 _DOC_SHINGLES_SQL = f"""
