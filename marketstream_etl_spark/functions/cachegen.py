@@ -1,0 +1,132 @@
+"""Generation-scoped persisted-frame caching shared by operator families.
+
+The pattern (grown in operators/dedup.py, generalized here in r5): an
+operator family persists expensive intermediates and memoizes them at the
+Python level so repeat calls and sibling operators over the SAME input
+reuse one materialization.  Each family keeps a tiny LRU of generations
+(capacity 2 — a session alternating between two datasets, e.g. a staging
+and a production corpus or two scale factors, must not thrash); inserting
+a third generation evicts and unpersists the least-recently-used one, so
+storage stays bounded and a stale generation is never served.
+
+The generation key is plan identity (semanticHash) composed with
+input-DATA identity (path, mtime_ns, size of every scan input file),
+because a file rewritten in place leaves the plan hash unchanged — the
+silent-stale-cache hazard this project's testdata has actually exercised
+twice (r4 VERDICT finding 1).  A rewritten input lands on a NEW key —
+and because Spark's CacheManager matches canonicalized plans by PATH, the
+old generation's persisted blocks would still be substituted into the new
+plans if they stayed cached.  rotate() therefore evicts any generation
+whose input paths intersect the incoming one's (measured live: the
+rewrite-in-place regression test fails without this), while generations
+over disjoint paths (two real datasets) coexist in the LRU.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from typing import Callable
+
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame
+
+GENERATIONS_PER_FAMILY = 2
+
+_GENERATIONS: dict[
+    str, OrderedDict[int, tuple[list[DataFrame], frozenset[str]]]
+] = {}
+
+
+def input_paths(df: DataFrame) -> frozenset[str]:
+    """Local paths of the frame's scan input files (empty for in-memory
+    frames) — rotate()'s same-path eviction predicate."""
+    try:
+        return frozenset(urlparse(u).path for u in df.inputFiles())
+    except Exception:
+        return frozenset()
+
+
+def cache_key(df: DataFrame) -> int:
+    """Generation key = plan identity ∘ input-file identity (see module
+    doc).  Frames with no file scan (createDataFrame fixtures) degrade to
+    the plan hash alone."""
+    sig: list[tuple[str, int, int]] = []
+    try:
+        for uri in df.inputFiles():
+            p = urlparse(uri).path
+            if p and os.path.exists(p):
+                st = os.stat(p)
+                sig.append((p, st.st_mtime_ns, st.st_size))
+    except Exception:
+        pass  # listing is best-effort; plan hash still keys the rotation
+    return hash((df.semanticHash(), tuple(sorted(sig))))
+
+
+def _unpersist_all(frames: list[DataFrame]) -> None:
+    for f in frames:
+        try:
+            f.unpersist()
+        except Exception:
+            pass  # session may already be gone
+
+
+def lookup(op: str, key: int) -> list[DataFrame] | None:
+    """Family `op`'s frames for `key`, refreshing its LRU position."""
+    gens = _GENERATIONS.get(op)
+    if gens is not None and key in gens:
+        gens.move_to_end(key)
+        return gens[key][0]
+    return None
+
+
+def rotate(
+    op: str,
+    key: int,
+    frames: list[DataFrame],
+    paths: frozenset[str] = frozenset(),
+) -> None:
+    """Install `frames` as family `op`'s generation for `key`.  A repeat
+    key replaces the handle list WITHOUT unpersisting (the plans are
+    identical, so Spark's CacheManager backs both lists with the same
+    storage).  A new key first evicts any generation sharing an input
+    path (in-place rewrite — its cached blocks would be plan-matched and
+    served stale, see module doc), then evicts + unpersists LRU
+    generations beyond capacity."""
+    gens = _GENERATIONS.setdefault(op, OrderedDict())
+    if key in gens:
+        gens.move_to_end(key)
+        gens[key] = (frames, paths)
+        return
+    if paths:
+        for stale in [k for k, (_, p) in gens.items() if p & paths]:
+            old, _ = gens.pop(stale)
+            _unpersist_all(old)
+    gens[key] = (frames, paths)
+    while len(gens) > GENERATIONS_PER_FAMILY:
+        _, (old, _) = gens.popitem(last=False)
+        _unpersist_all(old)
+
+
+def get_or_build(
+    op: str, keyed_df: DataFrame, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return family `op`'s persisted frame for `keyed_df`'s generation,
+    building (and persisting) it via `build()` on a generation miss."""
+    key = cache_key(keyed_df)
+    hit = lookup(op, key)
+    if hit is not None:
+        return hit[0]
+    frame = build().persist()
+    rotate(op, key, [frame], input_paths(keyed_df))
+    return frame
+
+
+def clear(op: str | None = None) -> None:
+    """Unpersist and drop every generation of `op` (or of ALL families) —
+    test/teardown hook."""
+    ops = [op] if op is not None else list(_GENERATIONS)
+    for o in ops:
+        for frames, _ in _GENERATIONS.pop(o, OrderedDict()).values():
+            _unpersist_all(frames)

@@ -21,9 +21,6 @@ deterministic result.
 
 from __future__ import annotations
 
-import os
-from urllib.parse import urlparse
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -84,47 +81,21 @@ EXACT_DEDUP_SQL = f"""
 # cached plan into any LATER query with the same canonicalized subplan, so
 # a repeat call over the same input (bench loops, curation after dedup)
 # reuses the materialized shingle/band frames instead of recomputing them —
-# unpersisting eagerly measured 2× slower across the bench.  Each call
-# therefore rotates (unpersists) the previous generation ONLY when the
-# input changed (new sf_dir / new source generation): a long-lived session
-# holds at most one generation of caches per operator family, and the warm
-# path stays warm.
-_CACHE_GENERATIONS: dict[str, tuple[int, list[DataFrame]]] = {}
-
-
-def _cache_key(docs: DataFrame) -> int:
-    """Generation key = plan identity (semanticHash) ∘ input-DATA identity
-    (path, mtime_ns, size of every scan input file).
-
-    semanticHash alone cannot see a testdata file regenerated IN PLACE —
-    the plan is unchanged, so rotation would never fire and Spark's
-    CacheManager would keep serving persisted blocks built from the old
-    bytes (this project's testdata has drifted in place between rounds
-    twice).  Folding the input files' mtimes in makes a rewrite rotate the
-    generation exactly like analytics._VALID_TRADES_CACHE's
-    (appId, sf_dir, source mtime) key.  Frames with no file scan
-    (createDataFrame fixtures) degrade to the plan hash alone."""
-    sig: list[tuple[str, int, int]] = []
-    try:
-        for uri in docs.inputFiles():
-            p = urlparse(uri).path
-            if p and os.path.exists(p):
-                st = os.stat(p)
-                sig.append((p, st.st_mtime_ns, st.st_size))
-    except Exception:
-        pass  # listing is best-effort; plan hash still keys the rotation
-    return hash((docs.semanticHash(), tuple(sorted(sig))))
-
-
-def _rotate_caches(op: str, key: int, frames: list[DataFrame]) -> None:
-    prev = _CACHE_GENERATIONS.get(op)
-    if prev is not None and prev[0] != key:
-        for old in prev[1]:
-            try:
-                old.unpersist()
-            except Exception:
-                pass  # session may already be gone
-    _CACHE_GENERATIONS[op] = (key, frames)
+# unpersisting eagerly measured 2× slower across the bench.  Each family
+# keeps a 2-generation LRU keyed by input-data identity: a new input
+# beyond capacity evicts (unpersists) the least-recently-used generation,
+# so a long-lived session alternating between two datasets never
+# thrashes, storage stays bounded, and the warm path stays warm.
+# Generalized in r5 into functions/cachegen.py (the text-analysis family
+# shares the same machinery, and each family now keeps a 2-generation
+# LRU); these aliases keep the dedup-local names earlier rounds'
+# documentation references.
+from marketstream_etl_spark.functions.cachegen import (  # noqa: E402
+    cache_key as _cache_key,
+    input_paths as _input_paths,
+    lookup as _lookup,
+    rotate as _rotate_caches,
+)
 
 
 def _spread(docs: DataFrame) -> DataFrame:
@@ -146,9 +117,9 @@ def shingle_pairs_cached(docs: DataFrame) -> DataFrame:
     consumer) under its own rotation family, keyed by input-data identity
     like every other generation cache."""
     key = _cache_key(docs)
-    hit = _CACHE_GENERATIONS.get("shingle_pairs")
-    if hit is not None and hit[0] == key:
-        return hit[1][0]
+    hit = _lookup("shingle_pairs", key)
+    if hit is not None:
+        return hit[0]
     pairs = (
         _spread(docs).select(
             "doc_id",
@@ -157,7 +128,7 @@ def shingle_pairs_cached(docs: DataFrame) -> DataFrame:
         .distinct()
         .persist()
     )
-    _rotate_caches("shingle_pairs", key, [pairs])
+    _rotate_caches("shingle_pairs", key, [pairs], _input_paths(docs))
     return pairs
 
 
@@ -169,9 +140,9 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     hot-shingle aggregate would re-run per consumer (measured ~2.5 s extra
     on the LSH cold path at sf0.1)."""
     key = _cache_key(docs)
-    hit = _CACHE_GENERATIONS.get("kept_shingles")
-    if hit is not None and hit[0] == key:
-        return hit[1][0]
+    hit = _lookup("kept_shingles", key)
+    if hit is not None:
+        return hit[0]
     pairs = shingle_pairs_cached(docs)
     hot = (
         pairs.groupBy("shingle")
@@ -180,7 +151,7 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
         .select("shingle")
     )
     kept = pairs.join(F.broadcast(hot), "shingle", "left_anti").persist()
-    _rotate_caches("kept_shingles", key, [kept])
+    _rotate_caches("kept_shingles", key, [kept], _input_paths(docs))
     return kept
 
 
@@ -305,6 +276,12 @@ def minhash_lsh_pairs(
     sharing any band key become a candidate pair (one shuffle on the band
     key); candidates are verified against the exact shingle Jaccard.
     """
+    # operator parameters fold into the generation key: a caller with
+    # non-default bands/threshold must never be served the default result
+    gen_key = hash((_cache_key(docs), num_perm, num_bands, threshold))
+    hit = _lookup("minhash_lsh", gen_key)
+    if hit is not None:
+        return hit[-1]  # the persisted result frame
     r = num_perm // num_bands
     sig = minhash_signatures(docs, num_perm)
     bands = sig.select(
@@ -374,7 +351,7 @@ def minhash_lsh_pairs(
         # candidate join + verify
     )
     caches.append(out)
-    _rotate_caches("minhash_lsh", _cache_key(docs), caches)
+    _rotate_caches("minhash_lsh", gen_key, caches, _input_paths(docs))
     return out
 
 
@@ -509,6 +486,12 @@ def simhash_near_pairs(
     scale, but a billion-doc corpus needs wider signatures and chunks
     (64-bit simhash, 16-bit chunks -> 65k buckets) to keep bucket joins
     bounded; both are the `bits` / chunk-width parameters here."""
+    # approx_docs is a planner hint only (never changes results), so it is
+    # deliberately NOT part of the generation key
+    gen_key = hash((_cache_key(docs), bits, max_hamming))
+    hit = _lookup("simhash_pairs", gen_key)
+    if hit is not None:
+        return hit[-1]  # the persisted result frame
     sig = simhash(docs, bits)
     n_chunks = 4
     chunk_bits = bits // n_chunks
@@ -575,7 +558,9 @@ def simhash_near_pairs(
         .orderBy("doc_a", "doc_b")
         .persist()  # tiny result; repeat calls and consumers hit the cache
     )
-    _rotate_caches("simhash_pairs", _cache_key(docs), [cached_chunks, out])
+    _rotate_caches(
+        "simhash_pairs", gen_key, [cached_chunks, out], _input_paths(docs)
+    )
     return out
 
 

@@ -305,6 +305,19 @@ def analyze_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def analyzed_documents_cached(docs: DataFrame) -> DataFrame:
+    """Generation-cached analyze_documents (functions/cachegen.py): the
+    regex-heavy analysis pass runs once per corpus generation and every
+    consumer — the standalone text_analysis query, the curation pipeline's
+    quality gate and dedup keys — reads the persisted frame.  Same
+    contract as dedup.shingle_pairs_cached."""
+    from marketstream_etl_spark.functions.cachegen import get_or_build
+
+    return get_or_build(
+        "analyzed_docs", docs, lambda: analyze_documents(docs)
+    )
+
+
 def analyze_documents_sql() -> str:
     q = quality_features_sql("text")
     tc = token_counts_sql("text")

@@ -20,8 +20,11 @@ from marketstream_etl_spark.sources.tables import load_table
 def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + quality + token counts + fingerprint, one map pass.
     Unordered by design (see analyze_documents) — the driver compare is
-    order-insensitive."""
-    return text.analyze_documents(load_table(spark, sf_dir, "documents"))
+    order-insensitive.  Generation-cached: the curation pipeline reads the
+    same persisted frame."""
+    return text.analyzed_documents_cached(
+        load_table(spark, sf_dir, "documents")
+    )
 
 
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,11 +166,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-dedup → anti-join (LSH pairs) → groupBy report; three shuffles
     total at any scale."""
     docs = load_table(spark, sf_dir, "documents")
-    analyzed = text.analyze_documents(docs)
-    # referenced by keep_exact AND the semi-join back — one analysis pass
-    quality = analyzed.filter(
-        F.col("quality_score") >= QUALITY_MIN
-    ).persist()
+    # generation-cached analysis frame (shared with q_text_analysis);
+    # both quality consumers below filter from the cache, so no extra
+    # call-local persist is needed
+    analyzed = text.analyzed_documents_cached(docs)
+    quality = analyzed.filter(F.col("quality_score") >= QUALITY_MIN)
 
     keep_exact = quality.groupBy("fingerprint").agg(
         F.min("doc_id").alias("doc_id")

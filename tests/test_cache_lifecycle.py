@@ -1,8 +1,9 @@
-"""Cache-lifecycle guarantees added in r4:
+"""Cache-lifecycle guarantees (r4, LRU-generalized in r5):
 
-- dedup operators keep at most ONE generation of persisted intermediates
-  per operator family (keyed rotation — repeat calls over the same input
-  reuse the warm frames, a new input unpersists the old generation);
+- dedup operators keep at most GENERATIONS_PER_FAMILY (2) generations of
+  persisted intermediates per operator family — repeat calls over the
+  same input reuse the warm frames, two alternating inputs coexist
+  without thrash, and a third input evicts + unpersists the LRU one;
 - the analytics valid-trades cache is keyed by source mtime, so a
   regenerated testdata directory is never served stale results.
 """
@@ -15,6 +16,7 @@ import shutil
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from marketstream_etl_spark.functions import cachegen
 from marketstream_etl_spark.operators import dedup
 from marketstream_etl_spark.plans import analytics
 from marketstream_etl_spark.sources.tables import load_table
@@ -24,19 +26,26 @@ def _n_cached(spark) -> int:
     return len(spark.sparkContext._jsc.getPersistentRDDs())
 
 
-def test_lsh_cache_generation_is_bounded(spark):
+def test_lsh_cache_generations_are_lru_bounded(spark, tmp_path):
+    cachegen.clear()
     docs1 = load_table(spark, "/root/testdata/sf0.001", "documents")
     dedup.minhash_lsh_pairs(docs1).count()
     after_first = _n_cached(spark)
     # same input again: cached frames are REUSED, not duplicated
     dedup.minhash_lsh_pairs(docs1).count()
     assert _n_cached(spark) == after_first
-    # different input: the old generation is rotated out, not leaked
+    # second input: coexists (capacity 2), roughly doubling the frames
     docs2 = load_table(spark, "/root/testdata/sf0.01", "documents")
     dedup.minhash_lsh_pairs(docs2).count()
-    assert _n_cached(spark) <= after_first + 1  # transiently ±1 is fine
-    # drain for other tests
-    dedup._rotate_caches("minhash_lsh", -1, [])
+    after_second = _n_cached(spark)
+    assert after_second > after_first
+    # third input: the LRU generation (docs1's) is evicted, not leaked —
+    # total persisted frames must not keep growing
+    _write_docs(str(tmp_path), {1: "tiny third corpus document body", 2: "x y"})
+    docs3 = load_table(spark, str(tmp_path), "documents")
+    dedup.minhash_lsh_pairs(docs3).count()
+    assert _n_cached(spark) <= after_second + 1  # transiently ±1 is fine
+    cachegen.clear()  # drain for other tests
 
 
 def _write_docs(path: str, texts: dict[int, str]) -> None:
@@ -88,7 +97,7 @@ def test_dedup_cache_rotates_on_rewrite_in_place(spark, tmp_path):
     )
     docs2 = load_table(spark, sf_dir, "documents")
     assert dedup.minhash_lsh_pairs(docs2).collect() == []
-    dedup._rotate_caches("minhash_lsh", -1, [])  # drain for other tests
+    cachegen.clear()  # drain for other tests
 
 
 def test_dedup_results_survive_clearcache(spark):
@@ -114,8 +123,7 @@ def test_dedup_results_survive_clearcache(spark):
         map(tuple, training_data.q_contamination(spark, sf).collect())
     )
     assert cont_cold == cont_warm
-    dedup._rotate_caches("minhash_lsh", -1, [])
-    dedup._rotate_caches("simhash_pairs", -1, [])
+    cachegen.clear()
 
 
 def _write_events(path: str, prices: list[float]) -> None:
