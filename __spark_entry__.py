@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udtf_doc_terms": training_data.q_udtf_doc_terms,
         "bpe_merge_candidates": training_data.q_bpe_merge_candidates,
         "sentence_dedup": training_data.q_sentence_dedup,
+        "quality_classifier": training_data.q_quality_classifier,
+        "incremental_dedup": training_data.q_incremental_dedup,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -1997,6 +1999,66 @@ def oracle_sql() -> dict[str, str]:
             FROM sents GROUP BY 1
             HAVING count(*) >= 2
             ORDER BY n_occurrences DESC, fp LIMIT 50
+        """,
+        # fixed linear model + RATIONAL sigmoid z/(1+|z|) — deliberately
+        # no exp/ln, so both engines agree bit-for-bit (see the query doc)
+        "quality_classifier": f"""
+            WITH analyzed AS ({_text.analyze_documents_sql()}),
+            scored AS (
+                SELECT doc_id,
+                       (-1.5 + 4.0 * stop_ratio - 6.0 * punct_ratio
+                        + 0.01 * LEAST(n_tokens, 200)) AS z
+                FROM analyzed
+            )
+            SELECT doc_id,
+                   round(0.5 + 0.5 * z / (1.0 + abs(z)), 6) AS quality_prob,
+                   (0.5 + 0.5 * z / (1.0 + abs(z))) >= 0.5 AS keep
+            FROM scored ORDER BY doc_id
+        """,
+        # delta-shard near-dedup over the LSH pair set: the ~10% "incoming
+        # shard" is h32('shard:'||doc_id)%10 == 9 on both engines
+        "incremental_dedup": f"""
+            WITH lsh AS ({_dedup.minhash_lsh_pairs_sql()}),
+            flagged AS (
+                SELECT doc_a, doc_b,
+                       ({_h32_sql("'shard:' || CAST(doc_a AS VARCHAR)")}
+                            % 10 = 9) AS new_a,
+                       ({_h32_sql("'shard:' || CAST(doc_b AS VARCHAR)")}
+                            % 10 = 9) AS new_b
+                FROM lsh
+            ),
+            dup_corpus AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_a AS doc_id FROM flagged
+                    WHERE new_a AND NOT new_b
+                    UNION ALL
+                    SELECT doc_b FROM flagged WHERE new_b AND NOT new_a
+                )
+            ),
+            dup_shard AS (
+                SELECT DISTINCT doc_b AS doc_id FROM flagged
+                WHERE new_a AND new_b
+                  AND doc_b NOT IN (SELECT doc_id FROM dup_corpus)
+            ),
+            new_docs AS (
+                SELECT doc_id, source FROM documents
+                WHERE {_h32_sql("'shard:' || CAST(doc_id AS VARCHAR)")}
+                      % 10 = 9
+            ),
+            marked AS (
+                SELECT source,
+                       CASE WHEN doc_id IN (SELECT doc_id FROM dup_corpus)
+                            THEN 1 ELSE 0 END AS c_dup,
+                       CASE WHEN doc_id IN (SELECT doc_id FROM dup_shard)
+                            THEN 1 ELSE 0 END AS s_dup
+                FROM new_docs
+            )
+            SELECT source, count(*) AS n_incoming,
+                   CAST(sum(c_dup) AS BIGINT) AS n_dup_corpus,
+                   CAST(sum(s_dup) AS BIGINT) AS n_dup_shard,
+                   CAST(count(*) - sum(c_dup) - sum(s_dup) AS BIGINT)
+                       AS n_survivors
+            FROM marked GROUP BY source ORDER BY source
         """,
         # salting must not change the answer: oracle is the PLAIN join
         "skew_salted_join": """

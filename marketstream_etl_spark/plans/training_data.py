@@ -538,6 +538,102 @@ def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style model-based quality filter: a fixed linear model over
+    the analysis features (stop-word ratio up-weights, punctuation noise
+    down-weights, mild length prior), squashed with the RATIONAL sigmoid
+    z/(1+|z|) — deliberately no exp/ln, so the score is bit-exact across
+    engines (libm transcendentals differ in the last ulp between the JVM
+    and DuckDB; a 6-decimal hash compare would flake).  Weights here are
+    illustrative constants; a production pipeline drops in trained ones.
+
+    Reads the generation-cached analysis frame — scoring a corpus that was
+    already analyzed costs one cheap projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = text.analyzed_documents_cached(docs)
+    z = (
+        F.lit(-1.5)
+        + F.lit(4.0) * F.col("stop_ratio")
+        - F.lit(6.0) * F.col("punct_ratio")
+        + F.lit(0.01) * F.least(F.col("n_tokens"), F.lit(200))
+    )
+    score = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    return a.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_prob"),
+        (score >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-shard near-dedup: the standard "new crawl snapshot vs the
+    corpus we already have" pass.  A deterministic ~10% of docs
+    (h32('shard:'||doc_id) % 10 == 9) plays the incoming shard; a new doc
+    is dropped when it near-duplicates (MinHash-LSH) any EXISTING corpus
+    doc, and new-vs-new duplicates keep their min doc_id.  Output: per
+    source, incoming docs, dropped-as-dup-of-corpus, dropped-as-dup-
+    within-shard, and survivors.
+
+    Scale shape: reuses the generation-cached LSH pair frame — the delta
+    classification is a projection + aggregate over the (tiny) pair set
+    plus one broadcast-sized semi-join; nothing corpus-sized recomputes."""
+    from marketstream_etl_spark.functions.hashing import h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+
+    def is_new(col):
+        return (
+            h32(F.concat(F.lit("shard:"), col.cast("string"))) % 10 == 9
+        )
+
+    flagged = pairs.select(
+        "doc_a", "doc_b", is_new(F.col("doc_a")).alias("new_a"),
+        is_new(F.col("doc_b")).alias("new_b"),
+    )
+    # a new doc that pairs with ANY old doc is a dup-of-corpus; a new doc
+    # pairing only with a smaller new doc_id is a within-shard dup
+    dup_of_corpus = (
+        flagged.filter(F.col("new_a") & ~F.col("new_b"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .union(
+            flagged.filter(F.col("new_b") & ~F.col("new_a")).select(
+                F.col("doc_b").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    dup_in_shard = (
+        flagged.filter(F.col("new_a") & F.col("new_b"))
+        .select(F.col("doc_b").alias("doc_id"))  # keep min id = doc_a
+        .distinct()
+        .join(dup_of_corpus, "doc_id", "left_anti")
+    )
+    new_docs = docs.filter(is_new(F.col("doc_id"))).select(
+        "doc_id", "source"
+    )
+    marked = (
+        new_docs.join(
+            dup_of_corpus.withColumn("_corpus_dup", F.lit(1)), "doc_id", "left"
+        )
+        .join(dup_in_shard.withColumn("_shard_dup", F.lit(1)), "doc_id", "left")
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum(F.coalesce("_corpus_dup", F.lit(0))).alias("n_dup_corpus"),
+            F.sum(F.coalesce("_shard_dup", F.lit(0))).alias("n_dup_shard"),
+            (
+                F.count("*")
+                - F.sum(F.coalesce("_corpus_dup", F.lit(0)))
+                - F.sum(F.coalesce("_shard_dup", F.lit(0)))
+            ).alias("n_survivors"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE-trainer iteration over the corpus: count adjacent symbol
     pairs within words, weighted by word frequency, and rank the top-20
