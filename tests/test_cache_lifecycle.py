@@ -126,6 +126,19 @@ def test_dedup_results_survive_clearcache(spark):
     cachegen.clear()
 
 
+def test_analyzed_documents_memoized_across_loads(spark):
+    """Two independent load_table calls over the same generation must hand
+    every consumer the SAME analyzed frame object (Python-level
+    memoization, not just CacheManager plan matching)."""
+    from marketstream_etl_spark.operators import text
+
+    sf = "/root/testdata/sf0.001"
+    a1 = text.analyzed_documents_cached(load_table(spark, sf, "documents"))
+    a2 = text.analyzed_documents_cached(load_table(spark, sf, "documents"))
+    assert a1 is a2
+    cachegen.clear("analyzed_docs")
+
+
 def _write_events(path: str, prices: list[float]) -> None:
     n = len(prices)
     pq.write_table(
