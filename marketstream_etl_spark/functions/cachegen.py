@@ -34,9 +34,17 @@ from pyspark.sql import DataFrame
 
 GENERATIONS_PER_FAMILY = 2
 
+# op family -> key -> (frames, input paths, owning applicationId)
 _GENERATIONS: dict[
-    str, OrderedDict[int, tuple[list[DataFrame], frozenset[str]]]
+    str, OrderedDict[int, tuple[list[DataFrame], frozenset[str], str]]
 ] = {}
+
+
+def _app_id(df: DataFrame) -> str:
+    try:
+        return df.sparkSession.sparkContext.applicationId
+    except Exception:
+        return ""
 
 
 def input_paths(df: DataFrame) -> frozenset[str]:
@@ -72,13 +80,24 @@ def _unpersist_all(frames: list[DataFrame]) -> None:
             pass  # session may already be gone
 
 
-def lookup(op: str, key: int) -> list[DataFrame] | None:
-    """Family `op`'s frames for `key`, refreshing its LRU position."""
+def lookup(
+    op: str, key: int, current: DataFrame | None = None
+) -> list[DataFrame] | None:
+    """Family `op`'s frames for `key`, refreshing its LRU position.
+
+    When `current` (any frame of the caller's session) is given, a hit
+    from a DIFFERENT applicationId is dropped instead of returned — those
+    handles are bound to a stopped SparkContext (same latent bug class the
+    r4 ADVICE flagged for the valid-trades cache)."""
     gens = _GENERATIONS.get(op)
-    if gens is not None and key in gens:
-        gens.move_to_end(key)
-        return gens[key][0]
-    return None
+    if gens is None or key not in gens:
+        return None
+    frames, _, owner = gens[key]
+    if current is not None and owner and owner != _app_id(current):
+        del gens[key]  # dead-session handles: no unpersist possible
+        return None
+    gens.move_to_end(key)
+    return frames
 
 
 def rotate(
@@ -94,18 +113,19 @@ def rotate(
     path (in-place rewrite — its cached blocks would be plan-matched and
     served stale, see module doc), then evicts + unpersists LRU
     generations beyond capacity."""
+    owner = _app_id(frames[0]) if frames else ""
     gens = _GENERATIONS.setdefault(op, OrderedDict())
     if key in gens:
         gens.move_to_end(key)
-        gens[key] = (frames, paths)
+        gens[key] = (frames, paths, owner)
         return
     if paths:
-        for stale in [k for k, (_, p) in gens.items() if p & paths]:
-            old, _ = gens.pop(stale)
+        for stale in [k for k, (_, p, _o) in gens.items() if p & paths]:
+            old, _, _ = gens.pop(stale)
             _unpersist_all(old)
-    gens[key] = (frames, paths)
+    gens[key] = (frames, paths, owner)
     while len(gens) > GENERATIONS_PER_FAMILY:
-        _, (old, _) = gens.popitem(last=False)
+        _, (old, _, _) = gens.popitem(last=False)
         _unpersist_all(old)
 
 
@@ -115,7 +135,7 @@ def get_or_build(
     """Return family `op`'s persisted frame for `keyed_df`'s generation,
     building (and persisting) it via `build()` on a generation miss."""
     key = cache_key(keyed_df)
-    hit = lookup(op, key)
+    hit = lookup(op, key, current=keyed_df)
     if hit is not None:
         return hit[0]
     frame = build().persist()
@@ -128,5 +148,5 @@ def clear(op: str | None = None) -> None:
     test/teardown hook."""
     ops = [op] if op is not None else list(_GENERATIONS)
     for o in ops:
-        for frames, _ in _GENERATIONS.pop(o, OrderedDict()).values():
+        for frames, _, _ in _GENERATIONS.pop(o, OrderedDict()).values():
             _unpersist_all(frames)

@@ -117,7 +117,7 @@ def shingle_pairs_cached(docs: DataFrame) -> DataFrame:
     consumer) under its own rotation family, keyed by input-data identity
     like every other generation cache."""
     key = _cache_key(docs)
-    hit = _lookup("shingle_pairs", key)
+    hit = _lookup("shingle_pairs", key, current=docs)
     if hit is not None:
         return hit[0]
     pairs = (
@@ -140,7 +140,7 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     hot-shingle aggregate would re-run per consumer (measured ~2.5 s extra
     on the LSH cold path at sf0.1)."""
     key = _cache_key(docs)
-    hit = _lookup("kept_shingles", key)
+    hit = _lookup("kept_shingles", key, current=docs)
     if hit is not None:
         return hit[0]
     pairs = shingle_pairs_cached(docs)
@@ -279,7 +279,7 @@ def minhash_lsh_pairs(
     # operator parameters fold into the generation key: a caller with
     # non-default bands/threshold must never be served the default result
     gen_key = hash((_cache_key(docs), num_perm, num_bands, threshold))
-    hit = _lookup("minhash_lsh", gen_key)
+    hit = _lookup("minhash_lsh", gen_key, current=docs)
     if hit is not None:
         return hit[-1]  # the persisted result frame
     r = num_perm // num_bands
@@ -489,7 +489,7 @@ def simhash_near_pairs(
     # approx_docs is a planner hint only (never changes results), so it is
     # deliberately NOT part of the generation key
     gen_key = hash((_cache_key(docs), bits, max_hamming))
-    hit = _lookup("simhash_pairs", gen_key)
+    hit = _lookup("simhash_pairs", gen_key, current=docs)
     if hit is not None:
         return hit[-1]  # the persisted result frame
     sig = simhash(docs, bits)
