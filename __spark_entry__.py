@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_dedup": training_data.q_sentence_dedup,
         "quality_classifier": training_data.q_quality_classifier,
         "incremental_dedup": training_data.q_incremental_dedup,
+        "source_overlap": training_data.q_source_overlap,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -2059,6 +2060,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) - sum(c_dup) - sum(s_dup) AS BIGINT)
                        AS n_survivors
             FROM marked GROUP BY source ORDER BY source
+        """,
+        # which-crawls-overlap matrix over the LSH near-dup pairs
+        "source_overlap": f"""
+            WITH lsh AS ({_dedup.minhash_lsh_pairs_sql()}),
+            attached AS (
+                SELECT LEAST(sa.source, sb.source) AS source_a,
+                       GREATEST(sa.source, sb.source) AS source_b,
+                       l.jaccard
+                FROM lsh l
+                JOIN documents sa ON sa.doc_id = l.doc_a
+                JOIN documents sb ON sb.doc_id = l.doc_b
+            )
+            SELECT source_a, source_b, count(*) AS n_dup_pairs,
+                   round(avg(jaccard), 6) AS avg_jaccard
+            FROM attached GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # salting must not change the answer: oracle is the PLAIN join
         "skew_salted_join": """

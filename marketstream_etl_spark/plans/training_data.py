@@ -634,6 +634,44 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every unordered source pair,
+    how many near-duplicate doc pairs (MinHash-LSH) span them — the
+    which-crawls-overlap observability view that drives dedup-order and
+    acquisition decisions.  Pure bookkeeping over the cached LSH pair set:
+    two broadcast-sized joins to attach sources, one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    src = docs.select("doc_id", "source")
+    attached = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return (
+        attached.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_dup_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE-trainer iteration over the corpus: count adjacent symbol
     pairs within words, weighted by word frequency, and rank the top-20
