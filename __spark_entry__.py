@@ -159,6 +159,15 @@ def _stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_cms_heavy_hitters(spark, sf_dir)
 
 
+def _stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join axis: corpus docs stream in, the benchmark
+    shingle set is a static broadcast; final snapshot == the batch
+    contamination operator (shared oracle)."""
+    from marketstream_etl_spark.streaming.docs import file_stream_contamination
+
+    return file_stream_contamination(spark, sf_dir)
+
+
 def _stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6: corrupt-frame dead-letter split as a real streaming ingest."""
     from marketstream_etl_spark.streaming.ticks import file_stream_deadletter
@@ -351,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": training_data.q_quality_classifier,
         "incremental_dedup": training_data.q_incremental_dedup,
         "source_overlap": training_data.q_source_overlap,
+        "streaming_contamination": _stream_contamination,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -2272,4 +2282,6 @@ def oracle_sql() -> dict[str, str]:
         sql["streaming_tws"] = sql["streaming_stateful"]
     # the watermarked dedup variant has the identical exact-once contract
     sql["streaming_dedup_watermarked"] = sql["streaming_dedup"]
+    # stream-static contamination must converge to the batch operator
+    sql["streaming_contamination"] = sql["contamination"]
     return sql
