@@ -1288,7 +1288,7 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS (
                 SELECT doc_id,
                     {_h32_sql("CAST(doc_id AS VARCHAR)")} % 20 = 0 AS is_bench,
-                    list_distinct({_shingles_sql(_tokens_sql("text"), 3)}) AS s
+                    list_distinct({_shingles_sql(_tokens_sql("text"), _dedup.SHINGLE_K)}) AS s
                 FROM documents
             ),
             bench AS (

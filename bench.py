@@ -196,9 +196,14 @@ def main() -> None:
     #   value      = warm headline (best-of-N; cache-bearing queries measure
     #                steady-state / cache-hit latency — the repeat-consumer
     #                path the engine optimizes for)
-    #   cold_total = sum of each query's FIRST run at SF_DIR (operator
-    #                caches start empty for this sf_dir — first-touch cost
-    #                included), plus the 1M ETL/stream sections, which are
+    #   cold_total = COLD-SESSION SEQUENTIAL total: sum of each query's
+    #                FIRST run at SF_DIR in headline order.  The session
+    #                starts with empty generation caches, but LATER
+    #                cache-bearing queries legitimately reuse generations
+    #                populated by earlier ones (that cross-query sharing IS
+    #                engine behavior) — so this is the cost of running the
+    #                whole workload once cold, NOT a sum of isolated
+    #                per-query cold times.  The 1M ETL/stream sections are
     #                cache-free by construction (fresh tempdir pipeline,
     #                clearCache before streaming) and identical in both sums.
     etl = bench_etl_1m(spark)

@@ -56,19 +56,36 @@ def input_paths(df: DataFrame) -> frozenset[str]:
         return frozenset()
 
 
+_UNVERIFIABLE = 0
+
+
 def cache_key(df: DataFrame) -> int:
     """Generation key = plan identity ∘ input-file identity (see module
-    doc).  Frames with no file scan (createDataFrame fixtures) degrade to
-    the plan hash alone."""
-    sig: list[tuple[str, int, int]] = []
+    doc).
+
+    Identity layers, strongest available wins per file:
+    - local file → (path, mtime_ns, size): catches even a same-name
+      in-place rewrite;
+    - non-local URI (object store) → the URI string itself: parquet
+      writers emit unique part filenames per job, so any real dataset
+      rewrite changes the listing and therefore the key;
+    - listing itself fails → UNVERIFIABLE: the caller must never reuse a
+      generation it cannot tie to input data (get_or_build and the dedup
+      operators treat this as a forced miss), degrading to
+      correct-but-cold rather than possibly-stale.
+    Frames with no file scan at all (createDataFrame fixtures) key on the
+    plan hash alone — their data is part of the plan."""
+    sig: list[tuple] = []
     try:
         for uri in df.inputFiles():
             p = urlparse(uri).path
             if p and os.path.exists(p):
                 st = os.stat(p)
                 sig.append((p, st.st_mtime_ns, st.st_size))
+            else:
+                sig.append((uri,))
     except Exception:
-        pass  # listing is best-effort; plan hash still keys the rotation
+        return _UNVERIFIABLE
     return hash((df.semanticHash(), tuple(sorted(sig))))
 
 
@@ -89,6 +106,8 @@ def lookup(
     from a DIFFERENT applicationId is dropped instead of returned — those
     handles are bound to a stopped SparkContext (same latent bug class the
     r4 ADVICE flagged for the valid-trades cache)."""
+    if key == _UNVERIFIABLE:
+        return None  # input identity unknown: never serve a cached gen
     gens = _GENERATIONS.get(op)
     if gens is None or key not in gens:
         return None
@@ -116,6 +135,11 @@ def rotate(
     owner = _app_id(frames[0]) if frames else ""
     gens = _GENERATIONS.setdefault(op, OrderedDict())
     if key in gens:
+        if key == _UNVERIFIABLE:
+            # unverifiable generations are never served (lookup refuses),
+            # and their plans may differ call-to-call — unpersist the
+            # previous one instead of assuming shared storage
+            _unpersist_all(gens[key][0])
         gens.move_to_end(key)
         gens[key] = (frames, paths, owner)
         return

@@ -276,10 +276,13 @@ def minhash_lsh_pairs(
     sharing any band key become a candidate pair (one shuffle on the band
     key); candidates are verified against the exact shingle Jaccard.
     """
-    # operator parameters fold into the generation key: a caller with
-    # non-default bands/threshold must never be served the default result
-    gen_key = hash((_cache_key(docs), num_perm, num_bands, threshold))
-    hit = _lookup("minhash_lsh", gen_key, current=docs)
+    # operator parameters select the cache FAMILY (not the key): a caller
+    # with non-default bands/threshold gets its own generation slot, so
+    # param variants coexist instead of path-evicting each other, while
+    # the data-identity key still guards against rewritten inputs
+    family = f"minhash_lsh[{num_perm},{num_bands},{threshold}]"
+    gen_key = _cache_key(docs)
+    hit = _lookup(family, gen_key, current=docs)
     if hit is not None:
         return hit[-1]  # the persisted result frame
     r = num_perm // num_bands
@@ -351,7 +354,7 @@ def minhash_lsh_pairs(
         # candidate join + verify
     )
     caches.append(out)
-    _rotate_caches("minhash_lsh", gen_key, caches, _input_paths(docs))
+    _rotate_caches(family, gen_key, caches, _input_paths(docs))
     return out
 
 
@@ -486,10 +489,11 @@ def simhash_near_pairs(
     scale, but a billion-doc corpus needs wider signatures and chunks
     (64-bit simhash, 16-bit chunks -> 65k buckets) to keep bucket joins
     bounded; both are the `bits` / chunk-width parameters here."""
-    # approx_docs is a planner hint only (never changes results), so it is
-    # deliberately NOT part of the generation key
-    gen_key = hash((_cache_key(docs), bits, max_hamming))
-    hit = _lookup("simhash_pairs", gen_key, current=docs)
+    # parameters select the family (see minhash_lsh_pairs); approx_docs is
+    # a planner hint only (never changes results) and stays out of both
+    family = f"simhash_pairs[{bits},{max_hamming}]"
+    gen_key = _cache_key(docs)
+    hit = _lookup(family, gen_key, current=docs)
     if hit is not None:
         return hit[-1]  # the persisted result frame
     sig = simhash(docs, bits)
@@ -559,7 +563,7 @@ def simhash_near_pairs(
         .persist()  # tiny result; repeat calls and consumers hit the cache
     )
     _rotate_caches(
-        "simhash_pairs", gen_key, [cached_chunks, out], _input_paths(docs)
+        family, gen_key, [cached_chunks, out], _input_paths(docs)
     )
     return out
 

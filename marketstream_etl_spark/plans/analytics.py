@@ -235,8 +235,17 @@ def q_parallel_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
+    # repartition hashes the expression with murmur3 mod n — and for raw
+    # stream_id 0..3 that mapping COLLIDES ({0,1,3} land in one partition,
+    # measured), which would silently run the "4-connection" load on two
+    # connections.  The *14 remap makes murmur3(x*14) mod 4 injective on
+    # 0..3 (fixed Spark hash seed, so stable), pinning exactly one stream
+    # per partition = one JDBC connection per stream, like the reference's
+    # one COPY stream per worker thread.
     (
-        stamped.repartition(n_streams, "stream_id")
+        stamped.repartition(
+            n_streams, (F.col("stream_id") * 14).cast("int")
+        )
         .write.mode("append")
         .option("batchsize", 10_000)
         .jdbc(url, table, properties={"driver": DERBY_DRIVER})

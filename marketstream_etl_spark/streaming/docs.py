@@ -45,7 +45,10 @@ def file_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     would key the aggregation by (crawl batch, doc_id) and expire finished
     batches.
     """
-    from marketstream_etl_spark.operators.dedup import shingle_pairs_cached
+    from marketstream_etl_spark.operators.dedup import (
+        SHINGLE_K,
+        shingle_pairs_cached,
+    )
     from marketstream_etl_spark.sources.tables import load_table
     from marketstream_etl_spark.streaming.replay import drain_to_memory
 
@@ -67,7 +70,7 @@ def file_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.array_distinct(
-                shingles(tokens(F.col("text")), k=3)
+                shingles(tokens(F.col("text")), k=SHINGLE_K)
             ).alias("_sh"),
         )
         .select(

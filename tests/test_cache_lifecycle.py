@@ -16,6 +16,8 @@ import shutil
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from conftest import write_docs_parquet as _write_docs
+
 from marketstream_etl_spark.functions import cachegen
 from marketstream_etl_spark.operators import dedup
 from marketstream_etl_spark.plans import analytics
@@ -48,21 +50,6 @@ def test_lsh_cache_generations_are_lru_bounded(spark, tmp_path):
     cachegen.clear()  # drain for other tests
 
 
-def _write_docs(path: str, texts: dict[int, str]) -> None:
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array(sorted(texts), pa.int64()),
-                "text": pa.array([texts[i] for i in sorted(texts)]),
-                "lang": pa.array(["en"] * len(texts)),
-                "source": pa.array(["src0"] * len(texts)),
-                "n_chars": pa.array(
-                    [len(texts[i]) for i in sorted(texts)], pa.int64()
-                ),
-            }
-        ),
-        os.path.join(path, "documents.parquet"),
-    )
 
 
 def test_dedup_cache_rotates_on_rewrite_in_place(spark, tmp_path):

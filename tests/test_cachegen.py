@@ -95,3 +95,13 @@ def test_same_session_hit_survives_validation():
     cachegen.rotate("fam", 1, [f], frozenset({"/p"}))
     probe = _StubFrame(app_id="app-1")
     assert cachegen.lookup("fam", 1, current=probe) == [f]
+
+
+def test_unverifiable_input_never_serves_cache():
+    # listing failure -> key 0 (UNVERIFIABLE): rotate stores, lookup refuses
+    f1, f2 = _StubFrame(), _StubFrame()
+    cachegen.rotate("fam", cachegen._UNVERIFIABLE, [f1])
+    assert cachegen.lookup("fam", cachegen._UNVERIFIABLE) is None
+    # a repeat rotate under the sentinel unpersists the orphaned frames
+    cachegen.rotate("fam", cachegen._UNVERIFIABLE, [f2])
+    assert f1.unpersisted and not f2.unpersisted

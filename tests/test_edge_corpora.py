@@ -6,10 +6,7 @@ shingle — every operator must return an empty/correct frame, not throw.
 
 from __future__ import annotations
 
-import os
-
-import pyarrow as pa
-import pyarrow.parquet as pq
+from conftest import write_docs_parquet as _write_docs
 
 from marketstream_etl_spark.functions import cachegen
 from marketstream_etl_spark.operators import dedup, text
@@ -17,20 +14,6 @@ from marketstream_etl_spark.plans import training_data
 from marketstream_etl_spark.sources.tables import load_table
 
 
-def _write_docs(path: str, texts: dict[int, str]) -> None:
-    ids = sorted(texts)
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "text": pa.array([texts[i] for i in ids], pa.string()),
-                "lang": pa.array(["en"] * len(ids), pa.string()),
-                "source": pa.array(["src0"] * len(ids), pa.string()),
-                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
-            }
-        ),
-        os.path.join(path, "documents.parquet"),
-    )
 
 
 def test_empty_corpus_all_ops_return_empty(spark, tmp_path):

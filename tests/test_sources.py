@@ -186,3 +186,22 @@ def test_bulk_load_drop_rebuild_index(spark, sf_dir):
     )
     assert idx.count() == 1
     batch.unpersist()
+
+
+def test_parallel_jdbc_stream_partitioning_is_injective(spark):
+    """code-review r5: murmur3(stream_id) mod 4 collides {0,1,3} into one
+    partition, silently degrading the S9 'four-connection' load; the *14
+    remap used by q_parallel_jdbc_roundtrip must map each stream to its
+    own partition (one JDBC connection per stream)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(400).select((F.col("id") % 4).cast("int").alias("stream_id"))
+    placed = (
+        df.repartition(4, (F.col("stream_id") * 14).cast("int"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("stream_id")
+        .agg(F.countDistinct("pid").alias("n_pids"), F.first("pid").alias("pid"))
+        .collect()
+    )
+    assert all(r.n_pids == 1 for r in placed)  # each stream in ONE partition
+    assert len({r.pid for r in placed}) == 4   # and four DISTINCT partitions

@@ -6,29 +6,11 @@ misunderstanding on both engine sides cannot pass silently.
 
 from __future__ import annotations
 
-import os
-
-import pyarrow as pa
-import pyarrow.parquet as pq
+from conftest import write_docs_parquet as _write_docs
 
 from marketstream_etl_spark.plans import training_data
 
 
-def _write_docs(path: str, texts: dict[int, str]) -> None:
-    pq.write_table(
-        pa.table(
-            {
-                "doc_id": pa.array(sorted(texts), pa.int64()),
-                "text": pa.array([texts[i] for i in sorted(texts)]),
-                "lang": pa.array(["en"] * len(texts)),
-                "source": pa.array(["src0"] * len(texts)),
-                "n_chars": pa.array(
-                    [len(texts[i]) for i in sorted(texts)], pa.int64()
-                ),
-            }
-        ),
-        os.path.join(path, "documents.parquet"),
-    )
 
 
 def test_bpe_pair_counts_are_frequency_weighted(spark, tmp_path):
