@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": training_data.q_incremental_dedup,
         "source_overlap": training_data.q_source_overlap,
         "streaming_contamination": _stream_contamination,
+        "embedding_neardup_ivf": training_data.q_embedding_neardup_ivf,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -1163,6 +1164,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": _sim.ann_bruteforce_sql(),
         "ann_ivf": _sim.ann_ivf_sql(),
         "embedding_neardup": _sim.embedding_neardup_pairs_sql(),
+        "embedding_neardup_ivf": _sim.embedding_neardup_ivf_sql(),
         "embedding_stats": _sim.embedding_stats_sql(),
         # multimodal_metadata: payload bytes are the utf-8 text, so DuckDB
         # computes the same metadata from the string directly (strlen = byte

@@ -121,6 +121,38 @@ def ann_bruteforce_sql(n_queries: int = N_QUERIES, k: int = TOP_K) -> str:
     """
 
 
+def _centroids(base: DataFrame, n_centroids: int) -> DataFrame:
+    """Coarse-quantizer codebook: deterministic sample (first C vec_ids) —
+    the stand-in for a k-means codebook trained offline."""
+    return base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+
+
+def _nearest_buckets(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+    out: str,
+) -> DataFrame:
+    """Each row's `n` nearest centroid buckets (map-side scoring vs the
+    broadcast codebook, per-row top-n window over C rows)."""
+    scored = df.join(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("cvec")).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("centroid_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n)
+        .select(id_col, vec_col, F.col("centroid_id").alias(out))
+    )
+
+
 def ann_ivf(
     emb: DataFrame,
     n_queries: int = N_QUERIES,
@@ -133,23 +165,10 @@ def ann_ivf(
     each query.  Same output shape as ann_bruteforce; recall < 1 by design.
     """
     base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
-    centroids = base.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
-    )
+    centroids = _centroids(base, n_centroids)
 
     def nearest(df: DataFrame, id_col: str, vec_col: str, n: int, out: str) -> DataFrame:
-        scored = df.join(F.broadcast(centroids)).select(
-            id_col,
-            vec_col,
-            "centroid_id",
-            cosine(F.col(vec_col), F.col("cvec")).alias("ccos"),
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("centroid_id"))
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .select(id_col, vec_col, F.col("centroid_id").alias(out))
-        )
+        return _nearest_buckets(df, centroids, id_col, vec_col, n, out)
 
     assigned = nearest(base, "vec_id", "vec", 1, "bucket")
     queries = base.filter(F.col("vec_id") < n_queries).select(
@@ -264,6 +283,88 @@ def embedding_neardup_pairs_sql(
         SELECT query_id AS id_a, neighbor_id AS id_b, round(cos, 6) AS cos
         FROM scored
         WHERE query_id < neighbor_id AND round(cos, 6) >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+def embedding_neardup_ivf(
+    emb: DataFrame,
+    threshold: float = NEARDUP_COSINE,
+    n_centroids: int = N_CENTROIDS,
+    nassign: int = 2,
+) -> DataFrame:
+    """CORPUS-WIDE embedding near-dup — the scale path the bounded
+    embedding_neardup_pairs block documents: multi-assign every vector to
+    its `nassign` nearest centroid buckets (multi-probe indexing raises
+    recall across bucket boundaries), generate candidates as WITHIN-BUCKET
+    pairs only, verify with the exact cosine.  The IVF analog of LSH
+    banding: candidate count is bounded by Σ bucket_size², never
+    corpus-quadratic, and every stage is an equi-join / window over the
+    broadcast codebook."""
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    centroids = _centroids(base, n_centroids)
+    assigned = _nearest_buckets(
+        base, centroids, "vec_id", "vec", nassign, "bucket"
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "bucket"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "bucket"
+    )
+    # a pair sharing several buckets scores identically each time, so the
+    # distinct() after scoring dedups without re-joining vectors
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_ivf_sql(
+    threshold: float = NEARDUP_COSINE,
+    n_centroids: int = N_CENTROIDS,
+    nassign: int = 2,
+) -> str:
+    cent = f"(SELECT * FROM embeddings WHERE vec_id < {n_centroids})"
+    a2c = _COSINE_PAIR_SQL.format(q="embeddings", e=cent)
+    return f"""
+        WITH a2c AS ({a2c}),
+        assigned AS (
+            SELECT query_id AS vec_id, neighbor_id AS bucket FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS r FROM a2c
+            ) WHERE r <= {nassign}
+        ),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM assigned x JOIN assigned y
+              ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        ),
+        verify AS (
+            SELECT c.id_a, c.id_b,
+                   sum(ua.v * ub.v)
+                     / (sqrt(sum(ua.v * ua.v)) * sqrt(sum(ub.v * ub.v)))
+                       AS cos
+            FROM cand c
+            JOIN (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                         unnest(range(len(embedding))) AS i
+                  FROM embeddings) ua ON ua.vec_id = c.id_a
+            JOIN (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                         unnest(range(len(embedding))) AS i
+                  FROM embeddings) ub
+              ON ub.vec_id = c.id_b AND ub.i = ua.i
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(cos, 6) AS cos FROM verify
+        WHERE round(cos, 6) >= {threshold}
         ORDER BY id_a, id_b
     """
 

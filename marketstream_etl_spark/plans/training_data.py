@@ -105,6 +105,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide near-dup via IVF buckets (scale path; see operator)."""
+    return similarity.embedding_neardup_ivf(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-based train/test split (the reproducible
     alternative to randomSplit for training corpora): bucket = md5(doc_id)
