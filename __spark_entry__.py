@@ -31,6 +31,7 @@ from marketstream_etl_spark.plans import advanced, analytics, tpch, training_dat
 from marketstream_etl_spark.plans.trades_view import TRADES_CTE
 from marketstream_etl_spark.sources.pyds import N_ROWS_DEFAULT as _tradegen_n
 from marketstream_etl_spark.sources.pyds import tradegen_oracle_cte as _tradegen_cte
+from marketstream_etl_spark.sources.tables import table_row_count as _table_row_count
 
 # ---------------------------------------------------------------------------
 # Shared DuckDB SQL fragments (keep in lockstep with the Spark operators).
@@ -1164,7 +1165,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce": _sim.ann_bruteforce_sql(),
         "ann_ivf": _sim.ann_ivf_sql(),
         "embedding_neardup": _sim.embedding_neardup_pairs_sql(),
-        "embedding_neardup_ivf": _sim.embedding_neardup_ivf_sql(),
+        # codebook size derives from the gate SF's footer row count on
+        # BOTH sides, so Spark and the oracle bucket identically
+        "embedding_neardup_ivf": _sim.embedding_neardup_ivf_sql(
+            approx_rows=_table_row_count(
+                "/root/testdata/sf0.01", "embeddings"
+            )
+        ),
         "embedding_stats": _sim.embedding_stats_sql(),
         # multimodal_metadata: payload bytes are the utf-8 text, so DuckDB
         # computes the same metadata from the string directly (strlen = byte

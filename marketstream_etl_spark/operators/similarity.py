@@ -138,19 +138,25 @@ def _nearest_buckets(
     out: str,
 ) -> DataFrame:
     """Each row's `n` nearest centroid buckets (map-side scoring vs the
-    broadcast codebook, per-row top-n window over C rows)."""
+    broadcast codebook, per-row top-n window over C rows).
+
+    The scored frame is SLIM — (id, centroid_id, ccos) only.  Carrying the
+    input vector through the N×C window shuffle OOMs at scale (measured:
+    Java heap exhaustion at 100k vectors × 3k centroids, two 64-dim arrays
+    per row); the vector is re-attached afterwards by an equi-join on the
+    id, which broadcasts or shuffles only N rows."""
     scored = df.join(F.broadcast(centroids)).select(
         id_col,
-        vec_col,
         "centroid_id",
         cosine(F.col(vec_col), F.col("cvec")).alias("ccos"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("centroid_id"))
-    return (
+    buckets = (
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= n)
-        .select(id_col, vec_col, F.col("centroid_id").alias(out))
+        .select(id_col, F.col("centroid_id").alias(out))
     )
+    return buckets.join(df.select(id_col, vec_col), id_col)
 
 
 def ann_ivf(
@@ -287,20 +293,39 @@ def embedding_neardup_pairs_sql(
     """
 
 
+def neardup_centroid_count(
+    approx_rows: int | None, nassign: int = 2
+) -> int:
+    """Corpus-adaptive codebook size, C = nassign·√rows — the classic IVF
+    balance: assignment costs rows·C cosines and within-bucket verify
+    costs ≈ rows²·nassign²/C, which are EQUAL at C = nassign·√rows, so
+    both stages scale ~rows^1.5 (vs verify going quadratic under a fixed
+    tiny C — measured 84 s at 10k vectors — or assignment going quadratic
+    under a per-bucket-size target, C ∝ rows).  Shared by the DuckDB
+    oracle so both engines bucket identically."""
+    if approx_rows is None:
+        return N_CENTROIDS
+    return max(N_CENTROIDS, int(nassign * approx_rows ** 0.5) + 1)
+
+
 def embedding_neardup_ivf(
     emb: DataFrame,
     threshold: float = NEARDUP_COSINE,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
     nassign: int = 2,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """CORPUS-WIDE embedding near-dup — the scale path the bounded
     embedding_neardup_pairs block documents: multi-assign every vector to
     its `nassign` nearest centroid buckets (multi-probe indexing raises
     recall across bucket boundaries), generate candidates as WITHIN-BUCKET
     pairs only, verify with the exact cosine.  The IVF analog of LSH
-    banding: candidate count is bounded by Σ bucket_size², never
-    corpus-quadratic, and every stage is an equi-join / window over the
-    broadcast codebook."""
+    banding: with the corpus-adaptive codebook (neardup_centroid_count)
+    candidate count stays linear in the corpus, never quadratic, and every
+    stage is an equi-join / window over the broadcast codebook.
+    `approx_rows` is the parquet-footer row count (no Spark job)."""
+    if n_centroids is None:
+        n_centroids = neardup_centroid_count(approx_rows, nassign)
     base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
     centroids = _centroids(base, n_centroids)
     assigned = _nearest_buckets(
@@ -330,9 +355,12 @@ def embedding_neardup_ivf(
 
 def embedding_neardup_ivf_sql(
     threshold: float = NEARDUP_COSINE,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
     nassign: int = 2,
+    approx_rows: int | None = None,
 ) -> str:
+    if n_centroids is None:
+        n_centroids = neardup_centroid_count(approx_rows, nassign)
     cent = f"(SELECT * FROM embeddings WHERE vec_id < {n_centroids})"
     a2c = _COSINE_PAIR_SQL.format(q="embeddings", e=cent)
     return f"""

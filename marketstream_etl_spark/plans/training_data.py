@@ -106,9 +106,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide near-dup via IVF buckets (scale path; see operator)."""
+    """Corpus-wide near-dup via IVF buckets (scale path; see operator).
+    The footer row count sizes the codebook so buckets stay ~constant."""
+    from marketstream_etl_spark.sources.tables import table_row_count
+
     return similarity.embedding_neardup_ivf(
-        load_table(spark, sf_dir, "embeddings")
+        load_table(spark, sf_dir, "embeddings"),
+        approx_rows=table_row_count(sf_dir, "embeddings"),
     )
 
 

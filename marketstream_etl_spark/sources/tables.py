@@ -33,12 +33,19 @@ def source_key(sf_dir: str) -> str:
 
 def table_row_count(sf_dir: str, name: str) -> int | None:
     """Exact row count from the parquet footer metadata — driver-side, no
-    Spark job.  Used as a planner hint (e.g. the simhash broadcast-vs-
-    shuffle switch); None when the file is absent or unreadable."""
+    Spark job.  Handles both a single file and a Spark-written directory
+    of part files.  Used as a planner hint (e.g. the simhash broadcast-vs-
+    shuffle switch, the IVF codebook size); None when absent/unreadable."""
     try:
         import pyarrow.parquet as pq
 
         path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return None
