@@ -363,6 +363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": training_data.q_source_overlap,
         "streaming_contamination": _stream_contamination,
         "embedding_neardup_ivf": training_data.q_embedding_neardup_ivf,
+        "source_mixture": training_data.q_source_mixture,
+        "tokenize_ids": training_data.q_tokenize_ids,
+        "kmeans_embeddings": training_data.q_kmeans_embeddings,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -1293,6 +1296,62 @@ def oracle_sql() -> dict[str, str]:
             FROM toks GROUP BY token
             ORDER BY n_total DESC, token LIMIT 50
         """,
+        "source_mixture": f"""
+            WITH per_source AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len({_tokens_sql("text")})) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY source
+            ), shared AS (
+                SELECT *, n_tokens * 1.0 / sum(n_tokens) OVER () AS share,
+                       sum(n_tokens) OVER () AS tot
+                FROM per_source
+            ), raw AS (
+                SELECT *, pow(share, {training_data.MIX_ALPHA}) AS r
+                FROM shared
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(r / sum(r) OVER (), 6) AS mix_weight,
+                   round(r / sum(r) OVER () * tot / n_tokens, 4) AS epochs
+            FROM raw ORDER BY source
+        """,
+        "tokenize_ids": f"""
+            WITH toks AS (
+                SELECT doc_id, {_tokens_sql("text")} AS tks
+                FROM documents
+            ), vocab AS (
+                SELECT token,
+                       row_number() OVER (ORDER BY n DESC, token) AS id
+                FROM (
+                    SELECT u.token AS token, count(*) AS n
+                    FROM toks, unnest(tks) AS u(token)
+                    GROUP BY 1
+                )
+                ORDER BY n DESC, token LIMIT {training_data.VOCAB_SIZE}
+            ), tok_pos AS (
+                SELECT doc_id, r.pos AS pos, tks[r.pos] AS token
+                FROM toks, unnest(range(1, len(tks) + 1)) AS r(pos)
+            ), idm AS (
+                SELECT tp.doc_id, tp.pos, coalesce(v.id, 0) AS id
+                FROM tok_pos tp LEFT JOIN vocab v USING (token)
+            ), agg AS (
+                SELECT doc_id,
+                       list(CAST(id AS VARCHAR) ORDER BY pos) AS ids_s,
+                       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_oov
+                FROM idm GROUP BY doc_id
+            )
+            SELECT t.doc_id, len(t.tks) AS n_tokens,
+                   coalesce(a.n_oov, 0) AS n_oov,
+                   coalesce(array_to_string(
+                       a.ids_s[1:{training_data.IDS_HEAD}], '-'), '')
+                       AS ids_head,
+                   md5(coalesce(array_to_string(a.ids_s, '-'), ''))
+                       AS ids_md5
+            FROM toks t LEFT JOIN agg a USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        "kmeans_embeddings": _sim.kmeans_sql(),
         "contamination": f"""
             WITH sh AS (
                 SELECT doc_id,

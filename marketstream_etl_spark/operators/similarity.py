@@ -18,6 +18,8 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+from math import sqrt as math_sqrt
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -458,3 +460,166 @@ def embedding_stats_sql() -> str:
         SELECT s.label, s.n_vectors, s.avg_norm, c.centroid_norm
         FROM stats s JOIN cents c USING (label) ORDER BY s.label
     """
+
+
+# ---------------------------------------------------------------------------
+# K-means codebook training (Lloyd's) — the offline trainer the IVF
+# quantizer's docstring assumes.  Reference has no clustering; this is
+# north-star surface (SemDeDup-style semantic bucketing needs it).
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+EMB_DIM = 64  # driver testdata embedding width (all SFs)
+
+
+def _sqdist(vec: Column, centroid: list[float]) -> Column:
+    """Σ (vᵢ-cᵢ)² in double, left-to-right — same accumulation shape as the
+    DuckDB oracle's list_sum(list_transform(...))."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(base: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """Nearest-centroid assignment: map-only vs the broadcast (literal)
+    codebook; argmin via array_min over (dist, cid) structs — struct
+    comparison is lexicographic, so ties break on the lower cid exactly
+    like the oracle's ORDER BY dist, cid."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist(F.col("v"), c).alias("dist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, c in sorted(cents.items())
+            ]
+        )
+    )
+    return base.select(
+        "vec_id", "v", best["cid"].alias("cid"), best["dist"].alias("dist")
+    )
+
+
+def kmeans_train(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding corpus.
+
+    Per iteration: one map-only assignment pass against the broadcast
+    codebook (k×dim literals — bytes, not a join), then one partial-
+    aggregated groupBy(cid) whose shuffle carries k×dim doubles per map
+    partition regardless of corpus size; the k-row result is collected to
+    the driver (bounded — the codebook IS driver-sized by construction,
+    the same contract as the IVF centroids).  Centroid means are rounded
+    to 6 decimals each round so the iteration trajectory is bit-stable
+    across engines (the DuckDB oracle replays the identical rounds).
+
+    Deterministic init: the first k vectors by vec_id.  Output: one row
+    per surviving cluster with member count, within-cluster inertia, and
+    the final centroid L2 norm."""
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    init = (
+        base.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            "v",
+        )
+        .collect()
+    )
+    cents = {r["cid"]: list(r["v"]) for r in init}
+    for _ in range(iters):
+        assigned = _assign(base, cents)
+        new_rows = (
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("v")[d]), 6).alias(f"c{d}")
+                    for d in range(dim)
+                ]
+            )
+            .collect()
+        )
+        cents = {
+            r["cid"]: [r[f"c{d}"] for d in range(dim)] for r in new_rows
+        }
+    final = _assign(base, cents)
+    norm_map = F.create_map(
+        *[
+            F.lit(x)
+            for cid, c in sorted(cents.items())
+            for x in (cid, round(math_sqrt(sum(v * v for v in c)), 4))
+        ]
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum("dist"), 4).alias("inertia"),
+        )
+        .withColumn("centroid_norm", norm_map[F.col("cid")])
+        .orderBy("cid")
+    )
+
+
+def kmeans_sql(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_DIM
+) -> str:
+    """DuckDB replay of kmeans_train: identical init, per-round 6-decimal
+    centroid rounding, and (dist, cid) tie-breaking."""
+    parts = [
+        f"""WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+            FROM e ORDER BY vec_id LIMIT {k}
+        )"""
+    ]
+    for i in range(1, iters + 2):  # iters updates + one final assignment
+        prev = f"c{i - 1}"
+        parts.append(
+            f""", a{i} AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT d.*, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM (
+                    SELECT e.vec_id, c.cid,
+                           list_sum(list_transform(range(1, {dim} + 1),
+                               j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])
+                           )) AS dist
+                    FROM e, {prev} c
+                ) d
+            ) WHERE rn = 1
+        )"""
+        )
+        if i <= iters:
+            parts.append(
+                f""", c{i} AS (
+            SELECT cid, list(cd ORDER BY dm) AS c FROM (
+                SELECT a.cid, u.dm AS dm, round(avg(e.v[u.dm]), 6) AS cd
+                FROM a{i} a JOIN e USING (vec_id),
+                     unnest(range(1, {dim} + 1)) AS u(dm)
+                GROUP BY a.cid, u.dm
+            ) GROUP BY cid
+        )"""
+            )
+    parts.append(
+        f"""
+        SELECT a.cid, count(*) AS n_vectors,
+               round(sum(a.dist), 4) AS inertia,
+               round(sqrt(list_sum(list_transform(c.c, x -> x * x))), 4)
+                   AS centroid_norm
+        FROM a{iters + 1} a JOIN c{iters} c USING (cid)
+        GROUP BY a.cid, c.c ORDER BY a.cid"""
+    )
+    return "".join(parts)

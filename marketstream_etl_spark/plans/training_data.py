@@ -756,3 +756,123 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+MIX_ALPHA = 0.5  # mixture temperature (sqrt-scaling, à la multilingual LMs)
+
+
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning: turn per-source token counts into
+    temperature-scaled sampling weights, w_i ∝ share_i^alpha (alpha=0.5
+    up-weights small sources, the standard anti-head-domination trade),
+    and the implied epochs-per-source for a one-total-epoch token budget.
+
+    Scale shape: one map pass computes token counts (JVM split/filter, no
+    UDF), one partial-aggregated groupBy reduces to #sources rows, and the
+    normalization runs on that tiny aggregated frame (an unpartitioned
+    window over ~20 rows — bounded by the source catalog, never by corpus
+    size).  The reference has no mixture concept; this is north-star
+    surface (SURVEY §2.11)."""
+    from pyspark.sql import Window
+
+    from marketstream_etl_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(tokens(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    everything = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    raw = F.pow(share, F.lit(MIX_ALPHA))
+    weight = raw / F.sum(raw).over(everything)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 6).alias("mix_weight"),
+        # epochs over each source for a budget of one total corpus epoch:
+        # weight_i * total_tokens / tokens_i
+        F.round(
+            weight * F.sum("n_tokens").over(everything) / F.col("n_tokens"),
+            4,
+        ).alias("epochs"),
+    ).orderBy("source")
+
+
+VOCAB_SIZE = 64  # top-V token vocabulary; id 0 is reserved for <unk>
+IDS_HEAD = 12
+
+
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization to integer id sequences — the step between
+    vocab construction (q_vocab_topk) and sequence packing: rank the top-V
+    tokens by frequency (id 1..V, id 0 = <unk>), then encode every
+    document as its id sequence.
+
+    Scale shape: the vocab is a bounded top-V heavy-hitter set (explode →
+    map-side partial agg → TakeOrdered V), collected once and applied as a
+    broadcast-style map literal inside F.transform — so the encode pass is
+    map-only JVM work with ZERO shuffle over the corpus, the same
+    broadcast-small-side discipline as the ANN centroids.  The full id
+    sequence is compared by md5 digest (head shown inline) to keep the
+    oracle row narrow."""
+    from marketstream_etl_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    vocab_rows = (
+        toks.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), "token")
+        .limit(VOCAB_SIZE)
+        .collect()
+    )  # bounded: V rows, the vocab IS driver-sized by construction
+    mapping = F.create_map(
+        *[
+            F.lit(x)
+            for i, r in enumerate(vocab_rows)
+            for x in (r["token"], i + 1)
+        ]
+    )
+    ids = F.transform(
+        F.col("toks"), lambda t: F.coalesce(mapping[t], F.lit(0))
+    )
+    id_str = F.array_join(
+        F.transform(F.col("ids"), lambda i: i.cast("string")), "-"
+    )
+    return (
+        toks.withColumn("ids", ids)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size(F.filter(F.col("ids"), lambda i: i == 0)).alias("n_oov"),
+            F.array_join(
+                F.slice(
+                    F.transform(F.col("ids"), lambda i: i.cast("string")),
+                    1,
+                    IDS_HEAD,
+                ),
+                "-",
+            ).alias("ids_head"),
+            F.md5(id_str).alias("ids_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus (operators/similarity.py
+    ::kmeans_train) — the offline codebook trainer behind the IVF
+    quantizer, run as an iterative DataFrame algorithm: map-only
+    assignment vs broadcast centroid literals, k×dim-bounded partial-agg
+    shuffle, k-row driver collect per round.  The DuckDB oracle replays
+    the identical rounds (same init, same 6-decimal centroid rounding,
+    same tie-breaks), so even this iterative algorithm is value-hash
+    checked, not rows-only."""
+    return similarity.kmeans_train(load_table(spark, sf_dir, "embeddings"))

@@ -1,0 +1,72 @@
+"""Unit tests for the r5-continuation training-data ops: source mixture
+planning, vocab tokenization to id sequences, and k-means codebook
+training (Lloyd's).  Oracle parity is covered by tools/check_oracle.py;
+these tests pin the algebraic invariants the oracle can't express.
+"""
+
+from __future__ import annotations
+
+import math
+
+from marketstream_etl_spark.operators import similarity
+from marketstream_etl_spark.plans import training_data
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_source_mixture_weights_normalize(spark):
+    rows = training_data.q_source_mixture(spark, SF).collect()
+    assert len(rows) == 20  # one per source
+    total_w = sum(r.mix_weight for r in rows)
+    assert math.isclose(total_w, 1.0, abs_tol=1e-4)
+    # temperature alpha<1 up-weights small sources: every source's weight
+    # must sit between its raw token share and the uniform share
+    total_tok = sum(r.n_tokens for r in rows)
+    for r in rows:
+        share = r.n_tokens / total_tok
+        lo, hi = sorted((share, 1 / len(rows)))
+        assert lo - 1e-6 <= r.mix_weight <= hi + 1e-6
+        # epochs * tokens == weight * total budget (one corpus epoch)
+        assert math.isclose(
+            r.epochs * r.n_tokens, r.mix_weight * total_tok, rel_tol=1e-3
+        )
+
+
+def test_tokenize_ids_counts_and_head(spark):
+    out = training_data.q_tokenize_ids(spark, SF).collect()
+    assert len(out) == 500
+    for r in out[:50]:
+        assert 0 <= r.n_oov <= r.n_tokens
+        head_ids = [int(x) for x in r.ids_head.split("-") if x != ""]
+        assert len(head_ids) == min(training_data.IDS_HEAD, r.n_tokens)
+        # ids are vocab ranks: 0 (<unk>) .. VOCAB_SIZE
+        assert all(0 <= i <= training_data.VOCAB_SIZE for i in head_ids)
+    # the digest must be deterministic call-over-call (broadcast vocab map
+    # is rebuilt from scratch the second time)
+    again = training_data.q_tokenize_ids(spark, SF).collect()
+    assert [r.ids_md5 for r in out] == [r.ids_md5 for r in again]
+
+
+def _load_emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_kmeans_partitions_corpus(spark):
+    out = similarity.kmeans_train(_load_emb(spark)).collect()
+    assert sum(r.n_vectors for r in out) == 500
+    assert all(r.inertia >= 0 for r in out)
+    assert all(r.centroid_norm > 0 for r in out)
+    assert len({r.cid for r in out}) == len(out)
+
+
+def test_kmeans_inertia_monotone_in_iterations(spark):
+    emb = _load_emb(spark)
+    one = sum(
+        r.inertia for r in similarity.kmeans_train(emb, iters=1).collect()
+    )
+    three = sum(
+        r.inertia for r in similarity.kmeans_train(emb, iters=3).collect()
+    )
+    # Lloyd's never increases total inertia (6-decimal centroid rounding
+    # perturbs at ~1e-6 per dim — give it epsilon headroom)
+    assert three <= one + 1e-3
