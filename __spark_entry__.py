@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture": training_data.q_source_mixture,
         "tokenize_ids": training_data.q_tokenize_ids,
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
+        "ann_lsh": training_data.q_ann_lsh,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -1352,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY t.doc_id
         """,
         "kmeans_embeddings": _sim.kmeans_sql(),
+        "ann_lsh": _sim.ann_lsh_sql(),
         "contamination": f"""
             WITH sh AS (
                 SELECT doc_id,

@@ -623,3 +623,192 @@ def kmeans_sql(
         GROUP BY a.cid, c.c ORDER BY a.cid"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN: signed-random-projection (cosine) hashing with banded
+# OR-amplification — the second scale path next to IVF.  24 md5-derived ±1
+# Rademacher hyperplanes give each vector a 24-bit sign signature split
+# into 4 bands of 6 bits; candidate pairs share AT LEAST ONE band (the
+# same (band_id, band_key) equi-join shape as MinHash-LSH dedup), and the
+# exact cosine runs on candidates only.  The oracle regenerates the
+# hyperplanes bit-for-bit from the same md5 strings.
+# ---------------------------------------------------------------------------
+
+LSH_BANDS = 4
+LSH_BAND_BITS = 6
+LSH_BITS = LSH_BANDS * LSH_BAND_BITS
+
+
+def lsh_hyperplanes(bits: int = LSH_BITS, dim: int = EMB_DIM) -> list[list[int]]:
+    """±1 hyperplane matrix from md5("lsh{b}:{d}") parity — deterministic,
+    engine-independent, and regenerable inline in oracle SQL."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"lsh{b}:{d}".encode()).hexdigest()[:8], 16
+            )
+            % 2
+            == 0
+            else -1
+            for d in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def lsh_band_keys(vec: Column, hp: list[list[int]], band_bits: int) -> Column:
+    """Array of per-band packed sign keys — one map-only expression, the
+    hyperplanes enter the plan as literals (bytes, not a join)."""
+    keys = []
+    for band_start in range(0, len(hp), band_bits):
+        key = F.lit(0).cast("long")
+        for j, row in enumerate(hp[band_start : band_start + band_bits]):
+            d = dot(vec, F.array(*[F.lit(float(x)) for x in row]))
+            key = key + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        keys.append(key)
+    return F.array(*keys)
+
+
+def ann_lsh(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    bands: int = LSH_BANDS,
+    band_bits: int = LSH_BAND_BITS,
+) -> DataFrame:
+    """Approximate top-k via banded cosine LSH: signature pass (map-only),
+    candidate generation by (band_id, band_key) equi-join — a pair is a
+    candidate iff it agrees on all `band_bits` hyperplane signs of at
+    least one band — then exact cosine verification on candidates only.
+    Output adds n_candidates per query: the measured pruning factor vs
+    the brute-force full scan.
+
+    At 100 TB: the corpus side explodes ×bands into (band_id, band_key)
+    rows joined against the broadcast query bands; no pair of vectors
+    that never collides is ever scored, and the per-bucket population is
+    capped by the 2^band_bits keyspace per band (band_bits tunes the
+    recall/pruning trade exactly like MinHash-LSH's band width)."""
+    hp = lsh_hyperplanes(bands * band_bits)
+    base = emb.select(
+        "vec_id", _dvec(F.col("embedding")).alias("vec")
+    ).withColumn("bkeys", lsh_band_keys(F.col("vec"), hp, band_bits))
+    corpus_bands = base.select(
+        "vec_id",
+        "vec",
+        F.posexplode("bkeys").alias("band_id", "band_key"),
+    )
+    query_bands = corpus_bands.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("band_id").alias("qband_id"),
+        F.col("band_key").alias("qband_key"),
+    )
+    cand = (
+        corpus_bands.join(
+            F.broadcast(query_bands),
+            (F.col("band_id") == F.col("qband_id"))
+            & (F.col("band_key") == F.col("qband_key"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.first("qvec").alias("qvec"),
+            F.first("vec").alias("vec"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("vec")).alias("cos_raw"),
+        )
+    )
+    n_cand = cand.groupBy("query_id").agg(
+        F.count("*").alias("n_candidates")
+    )
+    topk = top_k_per_key(
+        cand,
+        key="query_id",
+        order_by=[F.desc("cos_raw"), F.col("neighbor_id")],
+        k=k,
+        salt_src="neighbor_id",
+    )
+    return (
+        topk.join(F.broadcast(n_cand), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos"),
+            "rank",
+            "n_candidates",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_lsh_sql(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    bands: int = LSH_BANDS,
+    band_bits: int = LSH_BAND_BITS,
+    dim: int = EMB_DIM,
+) -> str:
+    """DuckDB replay: same md5 hyperplanes, banded sign keys, ≥1-shared-
+    band candidates, candidate-only cosine, (cos desc, neighbor_id) rank."""
+    bits = bands * band_bits
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), hp AS (
+            SELECT b.b AS b, d.d AS d,
+                   CASE WHEN CAST(('0x' || substr(
+                            md5('lsh' || b.b || ':' || d.d), 1, 8))
+                        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS r
+            FROM unnest(range(0, {bits})) b(b),
+                 unnest(range(0, {dim})) d(d)
+        ), dots AS (
+            SELECT e.vec_id, hp.b, sum(e.v[hp.d + 1] * hp.r) AS dotv
+            FROM e, hp GROUP BY e.vec_id, hp.b
+        ), bkeys AS (
+            SELECT vec_id, b // {band_bits} AS band_id,
+                   CAST(sum(CASE WHEN dotv >= 0
+                        THEN (1::BIGINT << (b % {band_bits}))
+                        ELSE 0 END) AS BIGINT) AS band_key
+            FROM dots GROUP BY vec_id, b // {band_bits}
+        ), cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, s.vec_id AS neighbor_id
+            FROM bkeys q
+            JOIN bkeys s ON s.band_id = q.band_id
+                        AND s.band_key = q.band_key
+            WHERE q.vec_id < {n_queries} AND s.vec_id <> q.vec_id
+        ), uv AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   unnest(range(len(embedding))) AS i
+            FROM embeddings
+        ), scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   sum(q.v * n.v)
+                     / (sqrt(sum(q.v * q.v)) * sqrt(sum(n.v * n.v))) AS cos
+            FROM cand c
+            JOIN uv q ON q.vec_id = c.query_id
+            JOIN uv n ON n.vec_id = c.neighbor_id AND n.i = q.i
+            GROUP BY 1, 2
+        ), counts AS (
+            SELECT query_id, count(*) AS n_candidates
+            FROM cand GROUP BY query_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT r.query_id, r.neighbor_id, round(r.cos, 6) AS cos,
+               CAST(r.rank AS INTEGER) AS rank, c.n_candidates
+        FROM ranked r JOIN counts c USING (query_id)
+        WHERE r.rank <= {k}
+        ORDER BY r.query_id, r.rank
+    """

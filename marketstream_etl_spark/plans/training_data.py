@@ -876,3 +876,12 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     same tie-breaks), so even this iterative algorithm is value-hash
     checked, not rows-only."""
     return similarity.kmeans_train(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-LSH bucketed ANN (operators/similarity.py::ann_lsh): md5-
+    derived ±1 hyperplanes → 16-bit signatures (map-only), hamming-1
+    multi-probe equi-join for candidates, exact cosine on candidates
+    only.  n_candidates in the output is the measured pruning factor vs
+    the brute-force scan the IVF variant also avoids."""
+    return similarity.ann_lsh(load_table(spark, sf_dir, "embeddings"))

@@ -70,3 +70,25 @@ def test_kmeans_inertia_monotone_in_iterations(spark):
     # Lloyd's never increases total inertia (6-decimal centroid rounding
     # perturbs at ~1e-6 per dim — give it epsilon headroom)
     assert three <= one + 1e-3
+
+
+def test_ann_lsh_prunes_and_recalls(spark):
+    from marketstream_etl_spark.operators.similarity import (
+        ann_bruteforce,
+        ann_lsh,
+    )
+
+    emb = _load_emb(spark)
+    lsh = ann_lsh(emb).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        # candidate set is a strict subset of the corpus: pruning happened
+        assert r.n_candidates < 499
+        assert r.rank >= 1 and r.query_id != r.neighbor_id
+    # banded LSH must beat random candidate selection by a wide margin:
+    # 5-of-499 random recall ≈ 1%; require ≥10% (measured 12.5-25% on the
+    # isotropic testdata — real corpora with genuine near-neighbors sit
+    # far higher, the same caveat as the documented IVF recall)
+    bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce(emb).collect()}
+    hits = {(r.query_id, r.neighbor_id) for r in lsh} & bf
+    assert len(hits) / len(bf) >= 0.10
