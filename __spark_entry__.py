@@ -322,8 +322,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": training_data.q_simhash_pairs,
         "ann_bruteforce": training_data.q_ann_bruteforce,
         "multimodal_features": training_data.q_multimodal_features,
-        "multimodal_metadata": training_data.q_multimodal_metadata,
-        "multimodal_frames": training_data.q_multimodal_frames,
+        # r5 continuation rotation: kmeans_embeddings + ann_lsh (new this
+        # round: iterative-algorithm oracle, second bucketed ANN path)
+        # take the multimodal_metadata/frames slots (both driver-green r4;
+        # multimodal_features keeps the family's mapInPandas row) — the
+        # displaced pair stays check_oracle-verified locally every round.
+        "kmeans_embeddings": training_data.q_kmeans_embeddings,
+        "ann_lsh": training_data.q_ann_lsh,
         "dedup_clusters": training_data.q_dedup_clusters,
         "ann_ivf": training_data.q_ann_ivf,
         "corpus_curation": training_data.q_corpus_curation,
@@ -365,8 +370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_ivf": training_data.q_embedding_neardup_ivf,
         "source_mixture": training_data.q_source_mixture,
         "tokenize_ids": training_data.q_tokenize_ids,
-        "kmeans_embeddings": training_data.q_kmeans_embeddings,
-        "ann_lsh": training_data.q_ann_lsh,
+        "multimodal_metadata": training_data.q_multimodal_metadata,
+        "multimodal_frames": training_data.q_multimodal_frames,
+        "ann_ivf_trained_recall": training_data.q_ann_ivf_trained_recall,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -1354,6 +1360,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_embeddings": _sim.kmeans_sql(),
         "ann_lsh": _sim.ann_lsh_sql(),
+        "ann_ivf_trained_recall": f"""
+            WITH exact AS (
+                SELECT query_id, neighbor_id
+                FROM ({_sim.ann_bruteforce_sql()})
+            ),
+            approx_s AS (
+                SELECT query_id, neighbor_id FROM ({_sim.ann_ivf_sql()})
+            ),
+            approx_t AS (
+                SELECT query_id, neighbor_id FROM ({_sim.ann_ivf_sql(
+                    cent_rel=_sim.kmeans_cent_rel(k=_sim.N_CENTROIDS))})
+            ),
+            totals AS (
+                SELECT query_id, count(*) AS k FROM exact GROUP BY 1
+            ),
+            hs AS (
+                SELECT e.query_id, count(*) AS h FROM exact e
+                JOIN approx_s a ON e.query_id = a.query_id
+                    AND e.neighbor_id = a.neighbor_id GROUP BY 1
+            ),
+            ht AS (
+                SELECT e.query_id, count(*) AS h FROM exact e
+                JOIN approx_t a ON e.query_id = a.query_id
+                    AND e.neighbor_id = a.neighbor_id GROUP BY 1
+            )
+            SELECT t.query_id,
+                   round(coalesce(s.h, 0) / t.k, 6) AS recall_sampled,
+                   round(coalesce(tr.h, 0) / t.k, 6) AS recall_trained
+            FROM totals t
+            LEFT JOIN hs s ON t.query_id = s.query_id
+            LEFT JOIN ht tr ON t.query_id = tr.query_id
+            ORDER BY t.query_id
+        """,
         "contamination": f"""
             WITH sh AS (
                 SELECT doc_id,

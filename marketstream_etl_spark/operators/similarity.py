@@ -167,13 +167,18 @@ def ann_ivf(
     k: int = TOP_K,
     n_centroids: int = N_CENTROIDS,
     nprobe: int = N_PROBE,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: assign vectors to their nearest centroid
     (coarse quantizer), probe only the `nprobe` centroid buckets nearest to
     each query.  Same output shape as ann_bruteforce; recall < 1 by design.
-    """
+
+    `centroids` swaps in an externally trained codebook, (centroid_id,
+    cvec array<double>)-shaped — e.g. kmeans_fit's output — in place of
+    the deterministic sample."""
     base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
-    centroids = _centroids(base, n_centroids)
+    if centroids is None:
+        centroids = _centroids(base, n_centroids)
 
     def nearest(df: DataFrame, id_col: str, vec_col: str, n: int, out: str) -> DataFrame:
         return _nearest_buckets(df, centroids, id_col, vec_col, n, out)
@@ -214,8 +219,11 @@ def ann_ivf_sql(
     k: int = TOP_K,
     n_centroids: int = N_CENTROIDS,
     nprobe: int = N_PROBE,
+    cent_rel: str | None = None,
 ) -> str:
-    cent = f"(SELECT * FROM embeddings WHERE vec_id < {n_centroids})"
+    cent = cent_rel or (
+        f"(SELECT * FROM embeddings WHERE vec_id < {n_centroids})"
+    )
     all_to_cent = _COSINE_PAIR_SQL.format(q="embeddings", e=cent)
     return f"""
         WITH a2c AS ({all_to_cent}),
@@ -526,6 +534,36 @@ def kmeans_train(
     per surviving cluster with member count, within-cluster inertia, and
     the final centroid L2 norm."""
     base = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    cents = kmeans_fit(emb, k=k, iters=iters, dim=dim)
+    final = _assign(base, cents)
+    norm_map = F.create_map(
+        *[
+            F.lit(x)
+            for cid, c in sorted(cents.items())
+            for x in (cid, round(math_sqrt(sum(v * v for v in c)), 4))
+        ]
+    )
+    return (
+        final.groupBy("cid")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum("dist"), 4).alias("inertia"),
+        )
+        .withColumn("centroid_norm", norm_map[F.col("cid")])
+        .orderBy("cid")
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    dim: int = EMB_DIM,
+) -> dict[int, list[float]]:
+    """Run the Lloyd's rounds and return the final codebook as
+    {cid: centroid} — the fitting core shared by kmeans_train (which adds
+    the summary pass) and ann_ivf's trained-codebook path."""
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
     init = (
         base.orderBy("vec_id")
         .limit(k)
@@ -551,23 +589,53 @@ def kmeans_train(
         cents = {
             r["cid"]: [r[f"c{d}"] for d in range(dim)] for r in new_rows
         }
-    final = _assign(base, cents)
-    norm_map = F.create_map(
-        *[
-            F.lit(x)
-            for cid, c in sorted(cents.items())
-            for x in (cid, round(math_sqrt(sum(v * v for v in c)), 4))
-        ]
-    )
-    return (
-        final.groupBy("cid")
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.round(F.sum("dist"), 4).alias("inertia"),
+    return cents
+
+
+def kmeans_cent_rel(
+    k: int = KMEANS_K, iters: int = KMEANS_ITERS, dim: int = EMB_DIM
+) -> str:
+    """Parenthesized DuckDB relation of the TRAINED codebook, shaped
+    (vec_id, embedding) for splicing into ann_ivf_sql's `cent_rel` — the
+    SQL twin of kmeans_fit().  Self-contained (own WITH scope)."""
+    parts = [
+        f"""(WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), c0 AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+            FROM e ORDER BY vec_id LIMIT {k}
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f""", a{i} AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT d.*, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM (
+                    SELECT e.vec_id, c.cid,
+                           list_sum(list_transform(range(1, {dim} + 1),
+                               j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])
+                           )) AS dist
+                    FROM e, {prev} c
+                ) d
+            ) WHERE rn = 1
+        ), c{i} AS (
+            SELECT cid, list(cd ORDER BY dm) AS c FROM (
+                SELECT a.cid, u.dm AS dm, round(avg(e.v[u.dm]), 6) AS cd
+                FROM a{i} a JOIN e USING (vec_id),
+                     unnest(range(1, {dim} + 1)) AS u(dm)
+                GROUP BY a.cid, u.dm
+            ) GROUP BY cid
+        )"""
         )
-        .withColumn("centroid_norm", norm_map[F.col("cid")])
-        .orderBy("cid")
+    parts.append(
+        f" SELECT cid AS vec_id, c AS embedding FROM c{iters})"
     )
+    return "".join(parts)
 
 
 def kmeans_sql(

@@ -885,3 +885,59 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only.  n_candidates in the output is the measured pruning factor vs
     the brute-force scan the IVF variant also avoids."""
     return similarity.ann_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does codebook training pay?  Recall@5 of the IVF index per query,
+    side by side: the deterministic-sample codebook vs a k-means-trained
+    one (kmeans_fit, same C=16, same nprobe).  This is the trained
+    codebook actually plugged into the index — the 'offline k-means'
+    step the IVF docstring assumed now exists and is measured, not
+    assumed.  The DuckDB oracle replays the full composition (training
+    rounds + both index probes + brute-force truth)."""
+    from marketstream_etl_spark.operators.similarity import (
+        N_CENTROIDS,
+        ann_bruteforce,
+        ann_ivf,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (
+        ann_bruteforce(emb)
+        .select("query_id", F.col("neighbor_id").alias("exact_n"))
+        .persist()
+    )
+    cents = kmeans_fit(emb, k=N_CENTROIDS)
+    cent_df = spark.createDataFrame(
+        [(cid, c) for cid, c in sorted(cents.items())],
+        "centroid_id int, cvec array<double>",
+    )
+    variants = {
+        "recall_sampled": ann_ivf(emb),
+        "recall_trained": ann_ivf(emb, centroids=cent_df),
+    }
+    totals = exact.groupBy("query_id").agg(F.count("*").alias("k"))
+    out = totals
+    for name, approx in variants.items():
+        a = approx.select(
+            "query_id", F.col("neighbor_id").alias("approx_n")
+        )
+        hits = (
+            exact.join(
+                a,
+                (exact.query_id == a.query_id)
+                & (exact.exact_n == a.approx_n),
+            )
+            .groupBy(exact.query_id)
+            .agg(F.count("*").alias(f"h_{name}"))
+        )
+        out = out.join(hits, "query_id", "left").withColumn(
+            name,
+            F.round(
+                F.coalesce(F.col(f"h_{name}"), F.lit(0)) / F.col("k"), 6
+            ),
+        )
+    return out.select(
+        "query_id", "recall_sampled", "recall_trained"
+    ).orderBy("query_id")

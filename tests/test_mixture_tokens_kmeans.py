@@ -92,3 +92,22 @@ def test_ann_lsh_prunes_and_recalls(spark):
     bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce(emb).collect()}
     hits = {(r.query_id, r.neighbor_id) for r in lsh} & bf
     assert len(hits) / len(bf) >= 0.10
+
+
+def test_ann_ivf_trained_recall_shape(spark):
+    from marketstream_etl_spark.plans.training_data import (
+        q_ann_ivf_trained_recall,
+    )
+
+    rows = q_ann_ivf_trained_recall(spark, SF).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0.0 <= r.recall_sampled <= 1.0
+        assert 0.0 <= r.recall_trained <= 1.0
+    # both codebooks must retrieve real signal (random-bucket recall would
+    # be ~nprobe/C = 0.25 in expectation; require clearly above that).
+    # NOTE the honest finding: on the isotropic testdata the k-means
+    # codebook does NOT beat the sampled one (no cluster structure to
+    # learn) — the query measures, it does not assume.
+    assert sum(r.recall_sampled for r in rows) / 8 >= 0.5
+    assert sum(r.recall_trained for r in rows) / 8 >= 0.5
