@@ -782,16 +782,18 @@ def ann_lsh(
             & (F.col("band_key") == F.col("qband_key"))
             & (F.col("vec_id") != F.col("query_id")),
         )
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(
-            F.first("qvec").alias("qvec"),
-            F.first("vec").alias("vec"),
-        )
+        # cosine is computed map-side AT the banded match (a pair hitting
+        # 2+ bands re-scores ≤bands-1 extra times — bounded), so the
+        # dedup groupBy shuffles slim (query_id, neighbor_id, cos) rows,
+        # never the two 64-dim vectors — the same carry-nothing-wide rule
+        # the IVF assignment learned the hard way at 100k vectors.
         .select(
             "query_id",
-            "neighbor_id",
-            cosine(F.col("qvec"), F.col("vec")).alias("cos_raw"),
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qvec"), F.col("vec")).alias("cos_pair"),
         )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("cos_pair").alias("cos_raw"))
     )
     n_cand = cand.groupBy("query_id").agg(
         F.count("*").alias("n_candidates")
