@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": training_data.q_multimodal_metadata,
         "multimodal_frames": training_data.q_multimodal_frames,
         "ann_ivf_trained_recall": training_data.q_ann_ivf_trained_recall,
+        "dedup_edit_distance": training_data.q_dedup_edit_distance,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -1360,6 +1361,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans_embeddings": _sim.kmeans_sql(),
         "ann_lsh": _sim.ann_lsh_sql(),
+        "dedup_edit_distance": _dedup.edit_distance_pairs_sql(),
         "ann_ivf_trained_recall": f"""
             WITH exact AS (
                 SELECT query_id, neighbor_id

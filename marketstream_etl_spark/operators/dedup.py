@@ -675,3 +675,119 @@ def cluster_report(pairs: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.max("id").alias("max_doc"))
         .orderBy("cluster_rep")
     )
+
+
+# --- Edit-distance near-dup (character level) ------------------------------
+# The fifth dedup family: catches small in-place edits (typo'd re-posts,
+# template fill-ins) that token-level shingles can blur.  Quadratic-safe
+# by the same inverted-index discipline as Jaccard: candidates must share
+# >= EDIT_MIN_SHARED character 4-grams of the normalized LEAD (bounded
+# 80-char prefix — the title/lede heuristic), hot grams are DF-capped,
+# and the exact levenshtein runs on candidates only, over the bounded
+# lead, so each verification is O(LEAD_LEN^2) constant work.
+
+EDIT_LEAD_LEN = 80
+EDIT_GRAM = 4
+EDIT_DF_CAP = 100
+EDIT_MIN_SHARED = 20
+EDIT_MAX_DIST = 8
+
+
+def _doc_leads(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.lower(F.col("text")), r"\s+", " "),
+            1,
+            EDIT_LEAD_LEN,
+        ).alias("lead"),
+    )
+
+
+def edit_distance_pairs(
+    docs: DataFrame, max_dist: int = EDIT_MAX_DIST
+) -> DataFrame:
+    """All doc pairs whose normalized 80-char leads are within `max_dist`
+    edits (doc_a < doc_b), candidates via the char-4-gram inverted index."""
+    lead = _doc_leads(docs)
+    grams = (
+        lead.filter(F.length("lead") >= EDIT_GRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.length("lead") - (EDIT_GRAM - 1)
+                )
+            ).alias("i"),
+            "lead",
+        )
+        .select(
+            "doc_id",
+            F.substr(
+                F.col("lead"), F.col("i"), F.lit(EDIT_GRAM)
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    hot = (
+        grams.groupBy("g")
+        .count()
+        .filter(F.col("count") > EDIT_DF_CAP)
+        .select("g")
+    )
+    kept = grams.join(F.broadcast(hot), "g", "left_anti")
+    cand = (
+        kept.alias("a")
+        .join(kept.alias("b"), F.col("a.g") == F.col("b.g"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= EDIT_MIN_SHARED)
+    )
+    la = lead.select(F.col("doc_id").alias("doc_a"), F.col("lead").alias("la"))
+    lb = lead.select(F.col("doc_id").alias("doc_b"), F.col("lead").alias("lb"))
+    return (
+        cand.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .withColumn("edit_dist", F.levenshtein("la", "lb"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("doc_a", "doc_b", "edit_dist")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def edit_distance_pairs_sql(max_dist: int = EDIT_MAX_DIST) -> str:
+    """DuckDB twin: same normalization, gram index, cap, and threshold."""
+    return f"""
+        WITH lead AS (
+            SELECT doc_id,
+                   substr(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                          1, {EDIT_LEAD_LEN}) AS lead
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, substr(lead, i.i, {EDIT_GRAM}) AS g
+            FROM lead,
+                 unnest(range(1, len(lead) - {EDIT_GRAM - 1} + 1)) AS i(i)
+            WHERE len(lead) >= {EDIT_GRAM}
+        ), df AS (
+            SELECT g FROM grams GROUP BY g
+            HAVING count(*) <= {EDIT_DF_CAP}
+        ), kept AS (
+            SELECT grams.* FROM grams JOIN df USING (g)
+        ), cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kept a JOIN kept b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= {EDIT_MIN_SHARED}
+        )
+        SELECT c.doc_a, c.doc_b,
+               levenshtein(la.lead, lb.lead) AS edit_dist
+        FROM cand c
+        JOIN lead la ON la.doc_id = c.doc_a
+        JOIN lead lb ON lb.doc_id = c.doc_b
+        WHERE levenshtein(la.lead, lb.lead) <= {max_dist}
+        ORDER BY c.doc_a, c.doc_b
+    """

@@ -941,3 +941,12 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "recall_sampled", "recall_trained"
     ).orderBy("query_id")
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs within 8 edits over the normalized
+    80-char lead (operators/dedup.py::edit_distance_pairs) — the fifth
+    dedup family, quadratic-safe via the char-4-gram inverted index with
+    DF cap and shared-gram count prefilter; exact levenshtein on
+    candidates only, each O(80^2) bounded."""
+    return dedup.edit_distance_pairs(load_table(spark, sf_dir, "documents"))

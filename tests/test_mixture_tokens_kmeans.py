@@ -111,3 +111,59 @@ def test_ann_ivf_trained_recall_shape(spark):
     # learn) — the query measures, it does not assume.
     assert sum(r.recall_sampled for r in rows) / 8 >= 0.5
     assert sum(r.recall_trained for r in rows) / 8 >= 0.5
+
+
+def test_ann_lsh_finds_injected_near_duplicates(spark):
+    """The recall claim that matters in production: a TRUE near-duplicate
+    (same vector + tiny perturbation) agrees with its source on almost
+    every hyperplane sign, so it collides in some band with near-1
+    probability and must surface as the top-1 neighbor."""
+    import pyspark.sql.functions as F
+
+    from marketstream_etl_spark.operators.similarity import ann_lsh
+
+    emb = _load_emb(spark)
+    # clone each query vector (vec_id < 8) as vec_id+1000 with +0.001 on
+    # the first component — cosine ≈ 1 vs its source
+    clones = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.concat(
+                F.array((F.col("embedding")[0] + F.lit(0.001)).cast("float")),
+                F.slice(F.col("embedding"), 2, 63),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    out = ann_lsh(emb.unionByName(clones)).collect()
+    top1 = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    found = sum(1 for q, n in top1.items() if n == q + 1000)
+    # sign-LSH collision prob for cos≈1 pairs is ~(1-eps)^24 per full
+    # signature and ≥1-band agreement is near-certain; allow 1 miss of 8
+    assert found >= 7
+
+
+def test_edit_distance_dedup_finds_typo_pair(spark, tmp_path):
+    from conftest import write_docs_parquet
+
+    from marketstream_etl_spark.plans.training_data import (
+        q_dedup_edit_distance,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "every single morning"
+    )
+    write_docs_parquet(
+        str(tmp_path),
+        {
+            1: base,
+            2: base.replace("quick", "quibk"),  # 1-substitution typo re-post
+            3: "completely different text about spark shuffle partitions "
+            "and broadcast joins at scale",
+        },
+    )
+    rows = q_dedup_edit_distance(spark, str(tmp_path)).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    assert rows[0].edit_dist == 1

@@ -206,3 +206,49 @@ def test_cms_sketch_single_bounded_shuffle(spark, sf_dir):
     # partial aggregation both sides of the exchange (map-side combine)
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
     assert sketch.count() <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_ann_lsh_broadcasts_queries_no_cartesian(spark, sf_dir):
+    """LSH candidate generation must be a BROADCAST equi-join on the band
+    keys (query side is tiny), never a cartesian/sort-merge over the
+    corpus, and the signature pass must not shuffle the corpus."""
+    from marketstream_etl_spark.plans.training_data import q_ann_lsh
+
+    plan = plan_of(q_ann_lsh(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tokenize_ids_encode_is_map_only(spark, sf_dir):
+    """The encode pass applies the vocab as a map literal: apart from the
+    deterministic output sort, the per-document plan must contain no
+    joins at all (vocab enters as bytes, not a relation)."""
+    from marketstream_etl_spark.plans.training_data import q_tokenize_ids
+
+    plan = plan_of(q_tokenize_ids(spark, sf_dir))
+    assert "Join" not in plan
+    # the only exchange is the output sort's range partitioning — no
+    # hash shuffle of the corpus anywhere
+    assert "hashpartitioning" not in plan
+    assert plan.count("rangepartitioning") == 1
+
+
+def test_kmeans_assignment_no_join_no_udf(spark, sf_dir):
+    """Assignment scores against centroid LITERALS — the plan must be
+    join-free and UDF-free; the only exchanges are the groupBy(cid)
+    partial-agg pair plus the bounded output sort."""
+    from marketstream_etl_spark.operators.similarity import (
+        _assign,
+        _dvec,
+        kmeans_fit,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(emb, iters=1)
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    plan = plan_of(_assign(base, cents))
+    assert "Join" not in plan
+    assert "Exchange" not in plan  # pure map-side projection
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
