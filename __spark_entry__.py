@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": analytics.q_max_drawdown,
         "realized_volatility": analytics.q_realized_volatility,
         "order_imbalance": analytics.q_order_imbalance,
+        "price_outliers": analytics.q_price_outliers,
         "ann_ivf_recall": training_data.q_ann_ivf_recall,
         "embedding_neardup": training_data.q_embedding_neardup,
         "embedding_stats": training_data.q_embedding_stats,
@@ -754,6 +755,21 @@ def oracle_sql() -> dict[str, str]:
                                + sum(CASE WHEN side = 'S' THEN volume ELSE 0 END),
                                1) AS DOUBLE), 6) AS imbalance
             FROM trades GROUP BY symbol ORDER BY symbol
+        """,
+        "price_outliers": f"""
+            WITH trades AS ({TRADES_CTE}),
+            stats AS (
+                SELECT symbol, avg(price) AS mu,
+                       stddev_samp(price) AS sd
+                FROM trades GROUP BY symbol
+            )
+            SELECT t.symbol, count(*) AS n_trades,
+                   CAST(sum(CASE WHEN abs((t.price - s.mu) / s.sd)
+                        > {analytics.OUTLIER_Z} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_outliers,
+                   round(max(abs((t.price - s.mu) / s.sd)), 4) AS max_abs_z
+            FROM trades t JOIN stats s USING (symbol)
+            GROUP BY t.symbol ORDER BY t.symbol
         """,
         # running-peak drawdown over the same minute closes
         "max_drawdown": f"""

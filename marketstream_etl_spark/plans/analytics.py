@@ -679,3 +679,36 @@ def q_dedup_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trades.dropDuplicates(["trade_id"]).agg(
         F.count("*").alias("n_unique_trades")
     )
+
+
+OUTLIER_Z = 2.0  # flag threshold; random-walk prices rarely exceed |z|>3
+
+
+def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol price anomaly detection: z-score each trade against its
+    symbol's mean/stddev and count |z| > 2 flags plus the worst excursion
+    — the data-quality tripwire a feed pipeline runs continuously.
+
+    Shape: one hash aggregate produces the 10-row stats frame, which
+    broadcasts back onto the scan (map-side z), and a second hash
+    aggregate reduces to per-symbol counters — no window over the fact
+    table, so nothing ever sorts the corpus."""
+    t = load_trades(spark, sf_dir, fan_out=True)
+    stats = t.groupBy("symbol").agg(
+        F.avg("price").alias("mu"),
+        F.stddev_samp("price").alias("sd"),
+    )
+    z = (F.col("price") - F.col("mu")) / F.col("sd")
+    return (
+        t.join(F.broadcast(stats), "symbol")
+        .withColumn("abs_z", F.abs(z))
+        .groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.sum(
+                F.when(F.col("abs_z") > OUTLIER_Z, 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.round(F.max("abs_z"), 4).alias("max_abs_z"),
+        )
+        .orderBy("symbol")
+    )

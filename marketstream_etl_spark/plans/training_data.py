@@ -64,24 +64,29 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: normalized-content md5 fingerprint groupBy."""
     return dedup.exact_dedup_groups(
         load_table(spark, sf_dir, "documents")
     ).orderBy("fingerprint")
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-Jaccard near-dup pairs via the DF-capped inverted index."""
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs; exact-Jaccard verify on candidates only."""
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash signatures (weighted token signs)."""
     return dedup.simhash(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs: pigeonhole byte-chunk equi-join on the 32-bit signature."""
     from marketstream_etl_spark.sources.tables import table_row_count
 
     # footer row count = free planner hint → no eager counting job
@@ -92,14 +97,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k per query vector (the ANN correctness baseline)."""
     return similarity.ann_bruteforce(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: broadcast centroids, nprobe bucket probe."""
     return similarity.ann_ivf(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over the bounded demo block."""
     return similarity.embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings")
     )
