@@ -43,6 +43,19 @@ HEADLINE = [
 ]
 
 
+# Measured but NOT in the headline sum (keeps `value`/`cold_total`
+# comparable round-over-round): ops added after the headline set froze.
+EXTRAS = [
+    "kmeans_embeddings",
+    "ann_lsh",
+    "ann_ivf_trained_recall",
+    "dedup_edit_distance",
+    "tokenize_ids",
+    "source_mixture",
+    "price_outliers",
+]
+
+
 ETL_ROWS = 1_000_000  # the reference's published workload (BASELINE.md)
 ETL_CSV_DIR = "/tmp/marketstream_bench_csv_1m"
 ETL_WARM_DIR = "/tmp/marketstream_bench_csv_10k"
@@ -216,6 +229,24 @@ def main() -> None:
     cold_total += stream["stream_1m_total"]
     timings.update(stream)
 
+    # extras run LAST: measured per-round but outside both sums, and after
+    # the 1M baseline-comparable sections so their cached frames and heap
+    # churn cannot perturb those numbers (measured: running them first
+    # inflated etl_1m/stream_1m ~2x)
+    extras: dict[str, float] = {}
+    for name in (n for n in EXTRAS if n in qs):
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.perf_counter() - t0, 4))
+        extras[name] = min(runs)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -228,6 +259,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_runs": N_RUNS,
                 "all_runs": all_runs,
+                "extras": extras,
             }
         )
     )
