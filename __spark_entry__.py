@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": training_data.q_multimodal_frames,
         "ann_ivf_trained_recall": training_data.q_ann_ivf_trained_recall,
         "dedup_edit_distance": training_data.q_dedup_edit_distance,
+        "ann_pq": training_data.q_ann_pq,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -1378,6 +1379,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _sim.kmeans_sql(),
         "ann_lsh": _sim.ann_lsh_sql(),
         "dedup_edit_distance": _dedup.edit_distance_pairs_sql(),
+        "ann_pq": _sim.ann_pq_sql(),
         "ann_ivf_trained_recall": f"""
             WITH exact AS (
                 SELECT query_id, neighbor_id

@@ -50,6 +50,7 @@ EXTRAS = [
     "ann_lsh",
     "ann_ivf_trained_recall",
     "dedup_edit_distance",
+    "ann_pq",
     "tokenize_ids",
     "source_mixture",
     "price_outliers",

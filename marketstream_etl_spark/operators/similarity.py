@@ -882,3 +882,201 @@ def ann_lsh_sql(
         WHERE r.rank <= {k}
         ORDER BY r.query_id, r.rank
     """
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (asymmetric distance computation) — the
+# memory-compression scale path next to IVF (partition pruning) and LSH
+# (candidate pruning).  A 64-dim float vector (256 B) compresses to M=8
+# sub-space code ids (8 B at K≤256): the corpus side of the index stores
+# ONLY (vec_id, m, code), so a 100M-vector index shrinks from ~26 GB of
+# floats to ~1 GB of codes — the difference between "fits in executor
+# memory" and "re-scans parquet per query batch" at the 100 TB posture.
+#
+# Shape per Jégou et al. (2011, public IVF-PQ literature), Spark-first:
+#   1. codebook   — sub-space m's K centroids are the m-th slices of the
+#                   first K vec_ids (the same deterministic-sample stand-in
+#                   for offline k-means that ann_ivf uses; kmeans_fit can
+#                   swap in trained sub-codebooks identically).  M×K tiny
+#                   rows → F.broadcast.
+#   2. encode     — argmin over the broadcast codebook per (vector,
+#                   sub-space): one map-side join + one partial-aggregated
+#                   groupBy(vec_id, m) of min(struct(dist, code)) — slim
+#                   rows, combinable, one shuffle.
+#   3. ADC tables — each query's distance to every (m, code) centroid:
+#                   Q×M×K rows, computed map-side and broadcast.
+#   4. scan       — encoded corpus ⋈ broadcast tables on (m, code), then
+#                   groupBy(query, vec) sums the M partial distances.
+#                   All rows of one vector sit in one input partition, so
+#                   map-side combine collapses the shuffle to ~|Q|×|N|
+#                   slim rows; the raw vectors never move.
+# Distances are rounded (9 dp at encode, 6 dp at rank) in BOTH engines so
+# accumulation-order float noise can never flip an argmin or a rank.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                       # sub-spaces
+PQ_SUB_DIM = EMB_DIM // PQ_M   # 8 dims per sub-space
+PQ_K = 16                      # codes per sub-space codebook
+
+
+def _subvectors(base: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, m, sub) — posexplode the M contiguous sub-space slices."""
+    return base.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.col(vec_col), m * PQ_SUB_DIM + 1, PQ_SUB_DIM
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "sub"),
+    )
+
+
+def _subdist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ-bᵢ)² over one sub-space, left-to-right, rounded to 9 dp (the
+    oracle rounds identically, so argmin ties break the same way)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+
+
+def pq_encode(emb: DataFrame, n_codes: int = PQ_K) -> DataFrame:
+    """(vec_id, m, code) PQ codes vs the deterministic-sample codebook —
+    the compressed index a 100 TB deployment persists instead of floats."""
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    subs = _subvectors(base, "vec_id", "vec")
+    cb = subs.filter(F.col("vec_id") < n_codes).select(
+        F.col("m"),
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("sub").alias("csub"),
+    )
+    best = F.min(
+        F.struct(
+            _subdist(F.col("sub"), F.col("csub")).alias("dist"),
+            F.col("code").alias("code"),
+        )
+    )
+    return (
+        subs.join(F.broadcast(cb), "m")
+        .groupBy("vec_id", "m")
+        .agg(best.alias("best"))
+        .select("vec_id", "m", F.col("best.code").alias("code"))
+    )
+
+
+def ann_pq(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """Approximate top-k by PQ/ADC distance: rank corpus vectors for each
+    query by the sum of query→centroid sub-distances of their codes.
+
+    Output: (query_id, neighbor_id, adc_dist, rank) — rank by adc_dist
+    asc (closest first), neighbor_id asc tie-break; self excluded."""
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    subs = _subvectors(base, "vec_id", "vec")
+    cb = subs.filter(F.col("vec_id") < n_codes).select(
+        F.col("m"),
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("sub").alias("csub"),
+    )
+    enc = pq_encode(emb, n_codes)
+    qd = (
+        _subvectors(
+            base.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("query_id"), "vec"
+            ),
+            "query_id",
+            "vec",
+        )
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "code",
+            _subdist(F.col("sub"), F.col("csub")).alias("qdist"),
+        )
+    )
+    scored = (
+        enc.join(F.broadcast(qd), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("qdist"), 6).alias("adc_dist"))
+    )
+    topk = top_k_per_key(
+        scored,
+        key="query_id",
+        order_by=[F.asc("adc_dist"), F.col("neighbor_id")],
+        k=k,
+        salt_src="neighbor_id",
+    )
+    return topk.select(
+        "query_id", "neighbor_id", "adc_dist", "rank"
+    ).orderBy("query_id", "rank")
+
+
+def ann_pq_sql(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_codes: int = PQ_K,
+    m_subs: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
+) -> str:
+    """DuckDB replay: same slices, same deterministic codebook, same 9/6 dp
+    rounding, same (adc_dist, neighbor_id) rank order."""
+    sq = (
+        f"round(list_sum(list_transform(range(1, {sub_dim} + 1), "
+        f"j -> (s.sub[j] - c.csub[j]) * (s.sub[j] - c.csub[j]))), 9)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), subs AS (
+            SELECT vec_id, m.m AS m,
+                   list_slice(v, m.m * {sub_dim} + 1,
+                              m.m * {sub_dim} + {sub_dim}) AS sub
+            FROM e, unnest(range(0, {m_subs})) AS m(m)
+        ), cb AS (
+            SELECT m, CAST(vec_id AS INTEGER) AS code, sub AS csub
+            FROM subs WHERE vec_id < {n_codes}
+        ), enc AS (
+            SELECT vec_id, m, code FROM (
+                SELECT s.vec_id, s.m, c.code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY {sq}, c.code) AS rn
+                FROM subs s JOIN cb c USING (m)
+            ) WHERE rn = 1
+        ), qd AS (
+            SELECT s.vec_id AS query_id, s.m, c.code, {sq} AS qdist
+            FROM subs s JOIN cb c USING (m)
+            WHERE s.vec_id < {n_queries}
+        ), scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(sum(q.qdist), 6) AS adc_dist
+            FROM enc e JOIN qd q ON q.m = e.m AND q.code = e.code
+            WHERE e.vec_id <> q.query_id
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT query_id, neighbor_id, adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """

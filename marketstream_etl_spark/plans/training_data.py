@@ -958,3 +958,11 @@ def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     DF cap and shared-gram count prefilter; exact levenshtein on
     candidates only, each O(80^2) bounded."""
     return dedup.edit_distance_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py::ann_pq):
+    the memory-compression scale path — the corpus index is M=8 one-byte
+    codes per vector (32× smaller than the float rows), queries scan it
+    via broadcast distance tables; the raw vectors never shuffle."""
+    return similarity.ann_pq(load_table(spark, sf_dir, "embeddings"))

@@ -82,3 +82,59 @@ def test_embedding_stats_known_values(spark):
     assert abs(out["a"]["centroid_norm"]) < 1e-9
     assert abs(out["b"]["avg_norm"] - 2.0) < 1e-9
     assert abs(out["b"]["centroid_norm"] - 2.0) < 1e-9
+
+
+def test_pq_encode_codes_bounded_and_complete(spark, sf_dir):
+    from marketstream_etl_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    codes = pq_encode(emb).collect()
+    # every vector gets exactly M codes, each within the codebook range
+    assert len(codes) == n * PQ_M
+    assert all(0 <= r["code"] < PQ_K for r in codes)
+    assert all(0 <= r["m"] < PQ_M for r in codes)
+
+
+def test_pq_clone_shares_codes_and_ranks_first(spark, sf_dir):
+    """An exact clone quantizes to identical codes, so its ADC distance
+    equals the query's own reconstruction distance — the minimum any
+    corpus vector can achieve — and it must rank 1."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.similarity import ann_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clone_id = 100_000
+    clones = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(clone_id).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    out = ann_pq(emb.unionByName(clones), n_queries=1, k=3).collect()
+    assert out[0]["query_id"] == 0
+    assert out[0]["rank"] == 1
+    assert out[0]["neighbor_id"] == clone_id
+
+
+def test_pq_recall_against_bruteforce(spark, sf_dir):
+    """Quantization is lossy but must stay useful: PQ top-5 recovers a
+    reasonable share of the exact top-5 on the test corpus."""
+    from marketstream_etl_spark.operators.similarity import (
+        ann_bruteforce,
+        ann_pq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce(emb).collect()
+    }
+    approx = ann_pq(emb).collect()
+    assert len(approx) > 0
+    hits = sum(
+        1 for r in approx if (r["query_id"], r["neighbor_id"]) in exact
+    )
+    assert hits >= len(approx) * 0.2
