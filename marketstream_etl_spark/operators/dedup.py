@@ -120,12 +120,18 @@ def shingle_pairs_cached(docs: DataFrame) -> DataFrame:
     hit = _lookup("shingle_pairs", key, current=docs)
     if hit is not None:
         return hit[0]
+    # distinct-per-doc via array_distinct BEFORE the explode: rows from
+    # different docs can never collide on (doc_id, shingle), so in-array
+    # dedup is exactly equivalent to a global .distinct() — minus the
+    # full corpus-wide shuffle the global form pays (at 100 TB that
+    # shuffle moves every (doc_id, shingle) pair; this shape moves none).
     pairs = (
         _spread(docs).select(
             "doc_id",
-            F.explode(shingles(tokens(F.col("text")), SHINGLE_K)).alias("shingle"),
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_K))
+            ).alias("shingle"),
         )
-        .distinct()
         .persist()
     )
     _rotate_caches("shingle_pairs", key, [pairs], _input_paths(docs))
@@ -710,24 +716,25 @@ def edit_distance_pairs(
     """All doc pairs whose normalized 80-char leads are within `max_dist`
     edits (doc_a < doc_b), candidates via the char-4-gram inverted index."""
     lead = _doc_leads(docs)
-    grams = (
-        lead.filter(F.length("lead") >= EDIT_GRAM)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.length("lead") - (EDIT_GRAM - 1)
+    # build the doc's distinct gram SET in-array (transform over the
+    # position sequence + array_distinct), then explode: same rows as the
+    # old explode-positions → substr → global .distinct(), with the
+    # corpus-wide dedup shuffle deleted (grams from different docs can't
+    # collide on (doc_id, g), so per-doc dedup is exact)
+    grams = lead.filter(F.length("lead") >= EDIT_GRAM).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.length("lead") - (EDIT_GRAM - 1)
+                    ),
+                    lambda i: F.substr(
+                        F.col("lead"), i, F.lit(EDIT_GRAM)
+                    ),
                 )
-            ).alias("i"),
-            "lead",
-        )
-        .select(
-            "doc_id",
-            F.substr(
-                F.col("lead"), F.col("i"), F.lit(EDIT_GRAM)
-            ).alias("g"),
-        )
-        .distinct()
+            )
+        ).alias("g"),
     )
     hot = (
         grams.groupBy("g")
