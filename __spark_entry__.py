@@ -24,6 +24,7 @@ from marketstream_etl_spark.functions.hashing import (
 )
 from marketstream_etl_spark.operators import dedup as _dedup
 from marketstream_etl_spark.operators import similarity as _sim
+from marketstream_etl_spark.operators import graph as _graph
 from marketstream_etl_spark.operators import patterns as _patterns
 from marketstream_etl_spark.operators import sketch as _sketch
 from marketstream_etl_spark.operators import text as _text
@@ -376,6 +377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_recall": training_data.q_ann_ivf_trained_recall,
         "dedup_edit_distance": training_data.q_dedup_edit_distance,
         "ann_pq": training_data.q_ann_pq,
+        "source_pagerank": training_data.q_source_pagerank,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
         "tpch_q3": tpch.q3_shipping_priority,
@@ -1380,6 +1382,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _sim.ann_lsh_sql(),
         "dedup_edit_distance": _dedup.edit_distance_pairs_sql(),
         "ann_pq": _sim.ann_pq_sql(),
+        "source_pagerank": _graph.source_pagerank_sql(),
         "ann_ivf_trained_recall": f"""
             WITH exact AS (
                 SELECT query_id, neighbor_id

@@ -51,6 +51,7 @@ EXTRAS = [
     "ann_ivf_trained_recall",
     "dedup_edit_distance",
     "ann_pq",
+    "source_pagerank",
     "tokenize_ids",
     "source_mixture",
     "price_outliers",

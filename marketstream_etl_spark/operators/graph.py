@@ -1,0 +1,232 @@
+"""Graph analytics over corpus-derived graphs: weighted PageRank.
+
+The training-data use case (reference has no graph surface; this extends
+the north-star suite): propagate a quality/centrality signal over the
+cross-source duplication graph — sources that share near-duplicate
+content with many other sources concentrate rank, the "which crawls are
+derivative" signal a curation pipeline uses to order dedup and weight
+acquisition.  Complements duplicate_clusters (operators/dedup.py), the
+other iterative graph algorithm, which does unweighted min-label
+propagation.
+
+Scale design (100 TB posture):
+- Each iteration is ONE equi-join of the edge list against the current
+  rank vector plus ONE groupBy(dst) partial-aggregated sum — the classic
+  scalable PageRank shape; edges are normalized once up front and
+  persisted, ranks stay slim (node, rank) rows.
+- localCheckpoint per iteration truncates lineage (the duplicate_clusters
+  lesson) so the plan does not grow with iteration count.
+
+Determinism design — FIXED-POINT integer arithmetic, not doubles: ranks
+are BIGINTs in units of 1e-9, every division is integer division, so the
+trajectory is bit-exact in any engine.  The float formulation was built
+first and FAILED cross-engine verification: dup-graph edge probabilities
+are dyadic rationals (1/4, 1/2 ...), so iteration values land on exact
+decimal halves at the rounding precision (e.g. 0.0678765625), where
+Spark's round() is HALF_UP and DuckDB's is HALF_EVEN — a structural
+1-ulp divergence, not a rare boundary.  Integer div sidesteps rounding
+modes entirely; the tiny floor-leak per iteration is part of the
+operator's defined semantics and identical in both engines.
+
+The DuckDB oracle replays the identical rounds as an unrolled r0..rN CTE
+chain, the same technique kmeans_sql uses for Lloyd's iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marketstream_etl_spark.operators.dedup import minhash_lsh_pairs_sql
+
+PR_SCALE = 1_000_000_000  # rank unit = 1e-9 (fixed point)
+PR_DAMP_NUM = 85  # damping = 85/100
+PR_DAMP_DEN = 100
+PR_ITERS = 5
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    damp_num: int = PR_DAMP_NUM,
+    damp_den: int = PR_DAMP_DEN,
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """Weighted PageRank in 1e-9 fixed point: `edges` is (src, dst,
+    weight) directed with integer-valued weights, `nodes` is (node,) and
+    must cover every src/dst.  Returns (node, rank double, rank_fp long).
+
+    r_{t+1}(v) = (den-num)·S/(den·N)  +  num/den · Σ_{u→v} r_t(u)·w(u,v)/outw(u)
+
+    with every division an integer div on S=1e9-scaled ranks.  Dangling
+    nodes (no out-edges) contribute nothing — their mass leaks, as does
+    sub-1e-9 floor dust; both are part of the defined semantics and
+    reproduce exactly in any engine.  The driver-side `nodes.count()` is
+    a bounded scalar (the node count), the same contract as kmeans'
+    driver-sized codebook."""
+    nodes = nodes.persist()  # joined every iteration; count materializes
+    n = nodes.count()
+    teleport = ((damp_den - damp_num) * PR_SCALE) // (damp_den * n)
+    outw = edges.groupBy("src").agg(
+        F.sum(F.col("weight").cast("long")).alias("outw")
+    )
+    ew = (
+        edges.join(outw, "src")
+        .select("src", "dst", F.col("weight").cast("long").alias("w"), "outw")
+        .persist()
+    )
+    ranks = nodes.select(
+        "node", F.lit(PR_SCALE // n).cast("long").alias("rank_fp")
+    )
+    for _ in range(iters):
+        # share(u→v) = r(u)·w div outw(u): exact long arithmetic; the
+        # groupBy(dst) sum is a plain partial-aggregable long sum
+        contrib = (
+            ew.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                # SQL `div`: exact integer division on longs (a double
+                # round-trip would lose bits past 2^53 at scale)
+                F.expr("(rank_fp * w) div outw").alias("share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("share").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"cast({teleport} as bigint)"
+                    f" + ({damp_num} * coalesce(c, 0L)) div {damp_den}"
+                ).cast("long").alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    ew.unpersist()
+    nodes.unpersist()
+    return ranks.select(
+        "node",
+        (F.col("rank_fp") / F.lit(float(PR_SCALE))).alias("rank"),
+        "rank_fp",
+    )
+
+
+def source_dup_edges(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Directed weighted edges between sources from near-dup doc pairs:
+    both directions of every cross-source pair, weight = pair count.
+    Self-loops (within-source duplication) are excluded — PageRank here
+    measures BETWEEN-source content flow."""
+    src = docs.select("doc_id", "source")
+    e0 = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    sym = e0.select(
+        F.col("sa").alias("src"), F.col("sb").alias("dst")
+    ).unionAll(e0.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+    return sym.groupBy("src", "dst").agg(F.count("*").alias("weight"))
+
+
+def source_pagerank(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(source, pagerank, n_dup_edges) over the cross-source duplication
+    graph, ordered by rank desc then source — the derivative-content
+    leaderboard."""
+    nodes = docs.select(F.col("source").alias("node")).distinct()
+    edges = source_dup_edges(docs, pairs)
+    ranks = pagerank(edges, nodes)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("n_dup_edges")
+    )
+    return (
+        ranks.join(deg, "node", "left")
+        .select(
+            F.col("node").alias("source"),
+            F.col("rank").alias("pagerank"),
+            F.coalesce("n_dup_edges", F.lit(0)).cast("int").alias(
+                "n_dup_edges"
+            ),
+        )
+        .orderBy(F.desc("pagerank"), "source")
+    )
+
+
+def source_pagerank_sql(
+    damp_num: int = PR_DAMP_NUM,
+    damp_den: int = PR_DAMP_DEN,
+    iters: int = PR_ITERS,
+) -> str:
+    """DuckDB replay: same LSH pair set, same edge symmetrization, same
+    unrolled fixed-point rounds (// is DuckDB integer division; all
+    operands are BIGINT and positive, matching Spark's truncating div)."""
+    s = PR_SCALE
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference, so the
+    # unrolled rounds would re-run the whole LSH pipeline 5+ times
+    # (measured 40 s -> ~2 s with the hints)
+    parts = [
+        f"""WITH prs AS MATERIALIZED ({minhash_lsh_pairs_sql()}),
+        nodes AS MATERIALIZED (SELECT DISTINCT source AS node FROM documents),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        e0 AS (
+            SELECT la.source AS sa, lb.source AS sb
+            FROM prs p
+            JOIN documents la ON la.doc_id = p.doc_a
+            JOIN documents lb ON lb.doc_id = p.doc_b
+            WHERE la.source <> lb.source
+        ),
+        edges AS MATERIALIZED (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+                SELECT sa AS src, sb AS dst FROM e0
+                UNION ALL
+                SELECT sb AS src, sa AS dst FROM e0
+            ) GROUP BY 1, 2
+        ),
+        outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+        ew AS MATERIALIZED (
+            SELECT e.src, e.dst, e.w, o.ow
+            FROM edges e JOIN outw o USING (src)
+        ),
+        r0 AS (
+            SELECT node,
+                   CAST({s} // (SELECT n FROM nn) AS BIGINT) AS rank_fp
+            FROM nodes
+        )"""
+    ]
+    tele = (
+        f"CAST(({damp_den - damp_num} * {s}::BIGINT)"
+        f" // ({damp_den} * (SELECT n FROM nn)) AS BIGINT)"
+    )
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", r{i} AS (
+            SELECT nd.node,
+                   CAST({tele}
+                        + ({damp_num} * coalesce(c.c, 0)) // {damp_den}
+                        AS BIGINT) AS rank_fp
+            FROM nodes nd LEFT JOIN (
+                SELECT ew.dst AS node,
+                       sum((r.rank_fp * ew.w) // ew.ow) AS c
+                FROM ew JOIN r{i - 1} r ON r.node = ew.src
+                GROUP BY 1
+            ) c USING (node)
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT r.node AS source,
+               CAST(r.rank_fp AS DOUBLE) / {s} AS pagerank,
+               CAST(coalesce(g.n_dup_edges, 0) AS INTEGER) AS n_dup_edges
+        FROM r{iters} r LEFT JOIN (
+            SELECT src AS node, count(*) AS n_dup_edges
+            FROM edges GROUP BY 1
+        ) g USING (node)
+        ORDER BY pagerank DESC, r.node"""
+    )
+    return "".join(parts)

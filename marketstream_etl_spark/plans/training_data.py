@@ -966,3 +966,16 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes per vector (32× smaller than the float rows), queries scan it
     via broadcast distance tables; the raw vectors never shuffle."""
     return similarity.ann_pq(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the cross-source duplication graph
+    (operators/graph.py::source_pagerank): sources sharing near-dup
+    content with many others concentrate rank — the derivative-content
+    leaderboard that orders dedup and weights acquisition.  Runs in 1e-9
+    fixed point so the iterative trajectory is bit-exact across engines
+    (float rounding modes diverge on this graph's dyadic rationals)."""
+    from marketstream_etl_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    return graph.source_pagerank(docs, dedup.minhash_lsh_pairs(docs))
