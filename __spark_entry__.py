@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_recall": training_data.q_ann_ivf_trained_recall,
         "dedup_edit_distance": training_data.q_dedup_edit_distance,
         "ann_ivf": training_data.q_ann_ivf,
+        "ann_ivfpq": training_data.q_ann_ivfpq,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1387,6 +1388,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_edit_distance": _dedup.edit_distance_pairs_sql(),
         "ann_pq": _sim.ann_pq_sql(),
         "source_pagerank": _graph.source_pagerank_sql(),
+        "ann_ivfpq": _sim.ann_ivfpq_sql(),
         "ann_ivf_trained_recall": f"""
             WITH exact AS (
                 SELECT query_id, neighbor_id

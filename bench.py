@@ -52,6 +52,7 @@ EXTRAS = [
     "dedup_edit_distance",
     "ann_pq",
     "source_pagerank",
+    "ann_ivfpq",
     "tokenize_ids",
     "source_mixture",
     "price_outliers",

@@ -1080,3 +1080,170 @@ def ann_pq_sql(
         FROM ranked WHERE rank <= {k}
         ORDER BY query_id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the two scale levers composed, as in production vector indexes
+# (FAISS-style IVF+ADC, public literature) — IVF prunes WHICH vectors are
+# scanned (nprobe/C of the corpus), PQ compresses WHAT is scanned (codes,
+# not floats).  At 100M+ vectors this is the only shape that both bounds
+# scan cost and keeps the scanned index in memory.  Simplification vs the
+# textbook: codes quantize the raw vectors, not per-bucket residuals —
+# residual encoding needs per-bucket codebooks that complicate the oracle
+# for no semantic coverage gain here; the plumbing (bucket-pruned scan of
+# a code index via broadcast ADC tables) is identical.
+# ---------------------------------------------------------------------------
+
+def ann_ivfpq(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = N_PROBE,
+    n_codes: int = PQ_K,
+) -> DataFrame:
+    """Approximate top-k: IVF coarse quantizer restricts each query to its
+    `nprobe` nearest centroid buckets; within them, neighbors are ranked
+    by PQ/ADC distance over the code index.  Output shape = ann_pq.
+
+    Plan: the code index (vec_id, bucket, m, code) is the ONLY corpus-
+    sized frame after encode; probes and ADC tables are broadcast, so the
+    scan is one map-side join chain + one partial-aggregated groupBy."""
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    centroids = _centroids(base, n_centroids)
+    assigned = _nearest_buckets(
+        base, centroids, "vec_id", "vec", 1, "bucket"
+    ).select("vec_id", "bucket")
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    probes = _nearest_buckets(
+        queries, centroids, "query_id", "qvec", nprobe, "bucket"
+    ).select("query_id", "bucket")
+
+    subs = _subvectors(base, "vec_id", "vec")
+    cb = subs.filter(F.col("vec_id") < n_codes).select(
+        F.col("m"),
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("sub").alias("csub"),
+    )
+    enc = pq_encode(emb, n_codes)
+    qd = (
+        _subvectors(
+            base.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("query_id"), "vec"
+            ),
+            "query_id",
+            "vec",
+        )
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "code",
+            _subdist(F.col("sub"), F.col("csub")).alias("qdist"),
+        )
+    )
+    # every vector lives in exactly one bucket and probe buckets are
+    # distinct, so (query, vec) candidates are already unique — no
+    # dedup shuffle needed (unlike multi-band LSH)
+    cand = assigned.join(F.broadcast(probes), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id")
+    scored = (
+        cand.join(enc, "vec_id")
+        .join(F.broadcast(qd), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("qdist"), 6).alias("adc_dist"))
+    )
+    topk = top_k_per_key(
+        scored,
+        key="query_id",
+        order_by=[F.asc("adc_dist"), F.col("neighbor_id")],
+        k=k,
+        salt_src="neighbor_id",
+    )
+    return topk.select(
+        "query_id", "neighbor_id", "adc_dist", "rank"
+    ).orderBy("query_id", "rank")
+
+
+def ann_ivfpq_sql(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    n_centroids: int = N_CENTROIDS,
+    nprobe: int = N_PROBE,
+    n_codes: int = PQ_K,
+    m_subs: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
+) -> str:
+    """DuckDB replay: ann_ivf's coarse assignment/probe CTEs composed with
+    ann_pq's encode/ADC CTEs (MATERIALIZED — both are referenced more
+    than once across the unquoted CTE graph)."""
+    cent = f"(SELECT * FROM embeddings WHERE vec_id < {n_centroids})"
+    a2c = _COSINE_PAIR_SQL.format(q="embeddings", e=cent)
+    sq = (
+        f"round(list_sum(list_transform(range(1, {sub_dim} + 1), "
+        f"j -> (s.sub[j] - c.csub[j]) * (s.sub[j] - c.csub[j]))), 9)"
+    )
+    return f"""
+        WITH a2c AS MATERIALIZED ({a2c}),
+        assigned AS (
+            SELECT query_id AS vec_id, neighbor_id AS bucket FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS r FROM a2c
+            ) WHERE r = 1
+        ),
+        probes AS (
+            SELECT query_id, neighbor_id AS bucket FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS r FROM a2c
+                WHERE query_id < {n_queries}
+            ) WHERE r <= {nprobe}
+        ),
+        e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), subs AS MATERIALIZED (
+            SELECT vec_id, m.m AS m,
+                   list_slice(v, m.m * {sub_dim} + 1,
+                              m.m * {sub_dim} + {sub_dim}) AS sub
+            FROM e, unnest(range(0, {m_subs})) AS m(m)
+        ), cb AS (
+            SELECT m, CAST(vec_id AS INTEGER) AS code, sub AS csub
+            FROM subs WHERE vec_id < {n_codes}
+        ), enc AS MATERIALIZED (
+            SELECT vec_id, m, code FROM (
+                SELECT s.vec_id, s.m, c.code,
+                       row_number() OVER (
+                           PARTITION BY s.vec_id, s.m
+                           ORDER BY {sq}, c.code) AS rn
+                FROM subs s JOIN cb c USING (m)
+            ) WHERE rn = 1
+        ), qd AS MATERIALIZED (
+            SELECT s.vec_id AS query_id, s.m, c.code, {sq} AS qdist
+            FROM subs s JOIN cb c USING (m)
+            WHERE s.vec_id < {n_queries}
+        ), cand AS (
+            SELECT p.query_id, a.vec_id
+            FROM probes p JOIN assigned a USING (bucket)
+            WHERE a.vec_id <> p.query_id
+        ), scored AS (
+            SELECT c.query_id, c.vec_id AS neighbor_id,
+                   round(sum(q.qdist), 6) AS adc_dist
+            FROM cand c
+            JOIN enc e2 ON e2.vec_id = c.vec_id
+            JOIN qd q ON q.query_id = c.query_id
+                     AND q.m = e2.m AND q.code = e2.code
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT query_id, neighbor_id, adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """

@@ -979,3 +979,11 @@ def q_source_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return graph.source_pagerank(docs, dedup.minhash_lsh_pairs(docs))
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (operators/similarity.py::ann_ivfpq): IVF
+    buckets bound WHICH vectors each query scans (nprobe/C of the
+    corpus), PQ codes compress WHAT is scanned (8 bytes vs 256) — the
+    production vector-index shape at 100M+ vectors."""
+    return similarity.ann_ivfpq(load_table(spark, sf_dir, "embeddings"))

@@ -138,3 +138,41 @@ def test_pq_recall_against_bruteforce(spark, sf_dir):
         1 for r in approx if (r["query_id"], r["neighbor_id"]) in exact
     )
     assert hits >= len(approx) * 0.2
+
+
+def test_ivfpq_scans_only_probed_buckets(spark, sf_dir):
+    """IVF-PQ candidates must be a subset of the probed buckets' members
+    (the pruning contract), and its ranking must stay PQ-consistent: any
+    neighbor IVF-PQ returns that ann_pq also ranks gets the identical
+    ADC distance (same codes, same tables)."""
+    from marketstream_etl_spark.operators.similarity import ann_ivfpq, ann_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in ann_pq(emb, k=10_000).collect()
+    }
+    out = ann_ivfpq(emb).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        key = (r["query_id"], r["neighbor_id"])
+        assert full[key] == r["adc_dist"]
+
+
+def test_ivfpq_recall_against_bruteforce(spark, sf_dir):
+    """Both approximations stacked still recover a useful share of the
+    exact top-5 on the test corpus."""
+    from marketstream_etl_spark.operators.similarity import (
+        ann_bruteforce,
+        ann_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_bruteforce(emb).collect()
+    }
+    approx = ann_ivfpq(emb).collect()
+    hits = sum(1 for r in approx if (r["query_id"], r["neighbor_id"]) in exact)
+    assert hits >= len(approx) * 0.15
