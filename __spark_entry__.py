@@ -25,6 +25,7 @@ from marketstream_etl_spark.functions.hashing import (
 from marketstream_etl_spark.operators import dedup as _dedup
 from marketstream_etl_spark.operators import similarity as _sim
 from marketstream_etl_spark.operators import graph as _graph
+from marketstream_etl_spark.operators import relevance as _relevance
 from marketstream_etl_spark.operators import patterns as _patterns
 from marketstream_etl_spark.operators import sketch as _sketch
 from marketstream_etl_spark.operators import text as _text
@@ -382,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": training_data.q_dedup_edit_distance,
         "ann_ivf": training_data.q_ann_ivf,
         "ann_ivfpq": training_data.q_ann_ivfpq,
+        "bm25_search": training_data.q_bm25_search,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1389,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _sim.ann_pq_sql(),
         "source_pagerank": _graph.source_pagerank_sql(),
         "ann_ivfpq": _sim.ann_ivfpq_sql(),
+        "bm25_search": _relevance.bm25_search_sql(),
         "ann_ivf_trained_recall": f"""
             WITH exact AS (
                 SELECT query_id, neighbor_id

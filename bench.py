@@ -53,6 +53,7 @@ EXTRAS = [
     "ann_pq",
     "source_pagerank",
     "ann_ivfpq",
+    "bm25_search",
     "tokenize_ids",
     "source_mixture",
     "price_outliers",

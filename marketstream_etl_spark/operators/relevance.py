@@ -1,0 +1,159 @@
+"""Text relevance scoring: BM25 search over the document corpus.
+
+North-star surface extension (the reference has no text-retrieval
+operator): BM25 is the standard lexical ranking function a training-data
+pipeline uses for corpus search, retrieval-based decontamination, and
+hard-negative mining.  Queries here are the token sets of the first
+`N_QUERIES` documents (self excluded) — the deterministic stand-in for a
+user query set, the same convention the ANN operators use for their
+query vectors.
+
+Scale design (100 TB posture):
+- The scoring join is an INVERTED-INDEX equi-join on term: query terms
+  (tiny — broadcast) against the (doc, term, tf) postings frame, so no
+  document is touched unless it shares a term with the query.  The same
+  DF-cap discipline as n-gram Jaccard applies upstream at real scale
+  (stop terms carry ~zero idf anyway, so dropping them changes little).
+- Corpus statistics (N, avgdl) are a 1-row broadcast; document length
+  and document frequency are plain partial-aggregated groupBys.
+- Scores are ranked after rounding to 6 dp with a doc_id tie-break, the
+  repo-wide convention that keeps cross-engine float noise out of
+  orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marketstream_etl_spark.functions.hashing import tokens, tokens_sql
+from marketstream_etl_spark.functions.topk import top_k_per_key
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+N_QUERIES = 3
+TOP_K = 10
+
+
+def _postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) postings list — one explode + one groupBy."""
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents per query document by BM25.
+
+    score(q, d) = Σ_{t ∈ q∩d} idf(t) · tf(t,d)·(k1+1)
+                                / (tf(t,d) + k1·(1 − b + b·dl(d)/avgdl))
+    with idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5)).
+
+    Output: (query_id, doc_id, bm25, rank) — rank by score desc, doc_id
+    asc tie-break; the query document itself is excluded."""
+    post = _postings(docs).persist()  # postings feed df, dl, both join sides
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = post.groupBy("term").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = (
+        post.filter(F.col("doc_id") < n_queries)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df_.join(stats)), "term")
+        .join(dl, "doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+    out = top_k_per_key(
+        scored,
+        key="query_id",
+        order_by=[F.desc("bm25"), F.col("doc_id")],
+        k=k,
+        salt_src="doc_id",
+    ).select("query_id", "doc_id", "bm25", "rank").orderBy(
+        "query_id", "rank"
+    )
+    return out
+
+
+def bm25_search_sql(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB replay: identical postings, statistics, idf/tf formulas, and
+    (rounded score, doc_id) ranking."""
+    return f"""
+        WITH post AS MATERIALIZED (
+            SELECT doc_id, t AS term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({tokens_sql("text")}) AS t
+                  FROM documents)
+            GROUP BY doc_id, t
+        ),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+        dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+            FROM dl
+        ),
+        qterms AS (
+            SELECT doc_id AS query_id, term FROM post
+            WHERE doc_id < {n_queries}
+        ),
+        scored AS (
+            SELECT q.query_id, p.doc_id,
+                   -- every literal CAST AS DOUBLE: DuckDB parses bare
+                   -- decimals as exact DECIMAL, which diverges from the
+                   -- Spark side's IEEE doubles (e.g. DECIMAL 1.2 != double 1.2)
+                   round(sum(
+                       ln(CAST(1.0 AS DOUBLE)
+                          + (s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+                            / (f.df + CAST(0.5 AS DOUBLE)))
+                       * (p.tf * CAST({k1 + 1.0} AS DOUBLE))
+                         / (p.tf + CAST({k1} AS DOUBLE)
+                            * (CAST({1.0 - b} AS DOUBLE)
+                               + CAST({b} AS DOUBLE) * d.dl / s.avgdl))
+                   ), 6) AS bm25
+            FROM post p
+            JOIN qterms q USING (term)
+            JOIN dfreq f USING (term)
+            JOIN dl d ON d.doc_id = p.doc_id
+            CROSS JOIN stats s
+            WHERE p.doc_id <> q.query_id
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT query_id, doc_id, bm25,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, doc_id, bm25, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """

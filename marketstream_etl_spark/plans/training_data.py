@@ -987,3 +987,13 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), PQ codes compress WHAT is scanned (8 bytes vs 256) — the
     production vector-index shape at 100M+ vectors."""
     return similarity.ann_ivfpq(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical search (operators/relevance.py::bm25_search): corpus
+    retrieval / decontamination / hard-negative mining ranking.  Scoring
+    is an inverted-index equi-join of broadcast query terms against the
+    postings frame — no document is touched unless it shares a term."""
+    from marketstream_etl_spark.operators import relevance
+
+    return relevance.bm25_search(load_table(spark, sf_dir, "documents"))
