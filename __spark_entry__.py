@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": training_data.q_ann_ivf,
         "ann_ivfpq": training_data.q_ann_ivfpq,
         "bm25_search": training_data.q_bm25_search,
+        "dedup_collapse_weighted": training_data.q_dedup_collapse_weighted,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1392,6 +1393,7 @@ def oracle_sql() -> dict[str, str]:
         "source_pagerank": _graph.source_pagerank_sql(),
         "ann_ivfpq": _sim.ann_ivfpq_sql(),
         "bm25_search": _relevance.bm25_search_sql(),
+        "dedup_collapse_weighted": _dedup.collapse_weighted_sql(),
         "ann_ivf_trained_recall": f"""
             WITH exact AS (
                 SELECT query_id, neighbor_id

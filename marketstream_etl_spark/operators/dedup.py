@@ -798,3 +798,69 @@ def edit_distance_pairs_sql(max_dist: int = EDIT_MAX_DIST) -> str:
         WHERE levenshtein(la.lead, lb.lead) <= {max_dist}
         ORDER BY c.doc_a, c.doc_b
     """
+
+
+# --- cluster-collapsed corpus with multiplicity weights ----------------------
+
+def collapse_weighted(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Dedup-collapse with mass preserved: every near-dup cluster keeps
+    exactly one representative (the min doc_id), carrying the cluster
+    size as `dup_weight` — the keep-one-upweight shape training
+    pipelines use so dedup does not silently shift the source mixture.
+    Docs outside any cluster pass through with weight 1.
+
+    Scale: one components run over the sparse pair graph (see
+    duplicate_clusters), then two slim joins against (doc_id, source);
+    the full text column is never carried through the graph machinery."""
+    comp = duplicate_clusters(pairs)
+    sizes = comp.groupBy("cluster_rep").agg(F.count("*").alias("w"))
+    return (
+        docs.select("doc_id", "source")
+        .join(
+            comp.select(F.col("id").alias("doc_id"), "cluster_rep"),
+            "doc_id",
+            "left",
+        )
+        .withColumn("rep", F.coalesce("cluster_rep", "doc_id"))
+        .filter(F.col("doc_id") == F.col("rep"))
+        .join(
+            sizes.select(F.col("cluster_rep").alias("rep"), "w"),
+            "rep",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("w", F.lit(1)).cast("int").alias("dup_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def collapse_weighted_sql() -> str:
+    """DuckDB replay: recursive transitive closure for components (the
+    pair graph is tiny oracle-side), then the same rep/weight joins."""
+    return f"""
+        WITH RECURSIVE prs AS MATERIALIZED ({minhash_lsh_pairs_sql()}),
+        edges AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst FROM prs
+            UNION SELECT doc_b, doc_a FROM prs
+        ),
+        reach(id, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id
+        ),
+        comp AS (SELECT id, min(lab) AS cluster_rep FROM reach GROUP BY id),
+        sizes AS (
+            SELECT cluster_rep, count(*) AS w FROM comp GROUP BY cluster_rep
+        )
+        SELECT d.doc_id, d.source,
+               CAST(coalesce(s.w, 1) AS INTEGER) AS dup_weight
+        FROM documents d
+        LEFT JOIN comp c ON c.id = d.doc_id
+        LEFT JOIN sizes s
+          ON s.cluster_rep = coalesce(c.cluster_rep, d.doc_id)
+        WHERE d.doc_id = coalesce(c.cluster_rep, d.doc_id)
+        ORDER BY d.doc_id
+    """

@@ -997,3 +997,12 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators import relevance
 
     return relevance.bm25_search(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_collapse_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-collapsed corpus with multiplicity weights
+    (operators/dedup.py::collapse_weighted): one representative per
+    near-dup cluster, upweighted by cluster size, so dedup preserves the
+    source mixture's mass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.collapse_weighted(docs, dedup.minhash_lsh_pairs(docs))

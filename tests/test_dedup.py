@@ -134,3 +134,22 @@ def test_duplicate_clusters_random_graphs_match_union_find(spark):
             for r in duplicate_clusters(pairs).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_collapse_weighted_preserves_mass_and_reps(spark):
+    """Hand graph: {1,2,3} one cluster, {5,6} another, 4 isolated →
+    representatives are cluster minima, weights are cluster sizes, and
+    total weight equals the corpus size (mass preserved)."""
+    from pyspark.sql import Row
+
+    from marketstream_etl_spark.operators.dedup import collapse_weighted
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}", source=f"s{i % 2}") for i in range(1, 7)]
+    )
+    pairs = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=5, doc_b=6)]
+    )
+    out = {r["doc_id"]: r["dup_weight"] for r in collapse_weighted(docs, pairs).collect()}
+    assert out == {1: 3, 4: 1, 5: 2}
+    assert sum(out.values()) == 6
