@@ -43,3 +43,33 @@ for n in (1_000, 10_000, 100_000):
         f"ann_lsh={t_lsh:6.2f}s  total_candidates={ncand}"
     )
     emb.unpersist()
+
+
+# --- PQ / IVF-PQ extension (late r5): same synthetic corpus sizes --------
+from marketstream_etl_spark.operators.similarity import ann_ivfpq, ann_pq  # noqa: E402
+
+print("\nPQ paths (same sizes, cold per size):")
+for n in (1_000, 10_000, 100_000):
+    emb = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (F.rand(seed=d) * 2 - 1).cast("float")
+                    for d in range(64)
+                ]
+            ).alias("embedding"),
+        )
+        .repartition(32)
+        .persist()
+    )
+    emb.count()
+    t0 = time.perf_counter()
+    ann_pq(emb).collect()
+    t_pq = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ann_ivfpq(emb).collect()
+    t_ivfpq = time.perf_counter() - t0
+    print(f"n={n:>7}  ann_pq={t_pq:6.2f}s  ann_ivfpq={t_ivfpq:6.2f}s")
+    emb.unpersist()
