@@ -68,3 +68,19 @@ def test_total_mass_bounded_and_near_one(spark):
     total = sum(r["rank_fp"] for r in out)
     assert total <= PR_SCALE
     assert total >= PR_SCALE - 1000  # ≤ iters × nodes × 1-unit floor dust
+
+
+def test_pagerank_invariant_to_edge_input_order(spark):
+    """Distributed reproducibility: the fixed-point trajectory must not
+    depend on edge row order or partitioning — integer arithmetic makes
+    this exact, not approximate."""
+    edges = [("a", "b", 2), ("b", "c", 1), ("c", "a", 3), ("b", "a", 1),
+             ("c", "b", 2), ("a", "c", 1)]
+    nodes = _nodes(spark, list("abc"))
+    fwd = pagerank(_edges(spark, edges), nodes).collect()
+    rev = pagerank(
+        _edges(spark, list(reversed(edges))).repartition(7), nodes
+    ).collect()
+    assert {r["node"]: r["rank_fp"] for r in fwd} == {
+        r["node"]: r["rank_fp"] for r in rev
+    }
