@@ -26,6 +26,7 @@ from marketstream_etl_spark.operators import dedup as _dedup
 from marketstream_etl_spark.operators import similarity as _sim
 from marketstream_etl_spark.operators import graph as _graph
 from marketstream_etl_spark.operators import relevance as _relevance
+from marketstream_etl_spark.streaming import docs as _stream_docs
 from marketstream_etl_spark.operators import patterns as _patterns
 from marketstream_etl_spark.operators import sketch as _sketch
 from marketstream_etl_spark.operators import text as _text
@@ -385,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": training_data.q_ann_ivfpq,
         "bm25_search": training_data.q_bm25_search,
         "dedup_collapse_weighted": training_data.q_dedup_collapse_weighted,
+        "streaming_ivf_assign": training_data.q_streaming_ivf_assign,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1394,6 +1396,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq": _sim.ann_ivfpq_sql(),
         "bm25_search": _relevance.bm25_search_sql(),
         "dedup_collapse_weighted": _dedup.collapse_weighted_sql(),
+        "streaming_ivf_assign": _stream_docs.stream_ivf_assign_sql(),
         "ann_ivf_trained_recall": f"""
             WITH exact AS (
                 SELECT query_id, neighbor_id

@@ -1006,3 +1006,13 @@ def q_dedup_collapse_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     source mixture's mass."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.collapse_weighted(docs, dedup.minhash_lsh_pairs(docs))
+
+
+def q_streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online vector indexing (streaming/docs.py::file_stream_ivf_assign):
+    embeddings stream through a literal-codebook argmin (map-only, no
+    join) into a live bucket-occupancy aggregate — the ingest-skew
+    monitor of a production IVF index."""
+    from marketstream_etl_spark.streaming.docs import file_stream_ivf_assign
+
+    return file_stream_ivf_assign(spark, sf_dir)

@@ -102,3 +102,94 @@ def file_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet as a bounded file-source stream."""
+    from marketstream_etl_spark.sources.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def file_stream_ivf_assign(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 16
+) -> DataFrame:
+    """Online vector indexing — the streaming half of the IVF story:
+    embeddings STREAM in and are assigned to their nearest coarse-codebook
+    bucket map-side; one streaming aggregate keeps the index's bucket
+    occupancy (count, min id, inertia) live.  This is how a 100 TB
+    deployment watches ingest skew: a bucket running hot means the
+    codebook has drifted and retraining is due.
+
+    The codebook is the deterministic sample (first C vec_ids, the
+    ann_ivf convention), collected batch-side ONCE — driver-sized by the
+    same contract as kmeans — and entering the streaming plan as
+    literals, so per-row assignment needs no join at all (Euclidean
+    argmin, the kmeans _assign expression; batch IVF search uses cosine —
+    both are standard coarse quantizers).
+    """
+    from marketstream_etl_spark.operators.similarity import _assign, _dvec
+    from marketstream_etl_spark.sources.tables import load_table
+    from marketstream_etl_spark.streaming.replay import drain_to_memory
+
+    static = load_table(spark, sf_dir, "embeddings")
+    cents = {
+        int(r["vec_id"]): list(r["v"])
+        for r in static.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", _dvec(F.col("embedding")).alias("v"))
+        .collect()
+    }
+
+    base = stream_embeddings(spark, sf_dir).select(
+        "vec_id", _dvec(F.col("embedding")).alias("v")
+    )
+    occ = (
+        _assign(base, cents)
+        .groupBy(F.col("cid").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            # same rounding contract as kmeans_train's inertia
+            F.round(F.sum("dist"), 4).alias("inertia"),
+        )
+    )
+    final = drain_to_memory(
+        occ, "stream_ivf_assign", sf_dir, output_mode="complete"
+    )
+    return final.orderBy("bucket")
+
+
+def stream_ivf_assign_sql(n_centroids: int = 16, dim: int = 64) -> str:
+    """Batch replay of the final streaming state: same deterministic
+    codebook, same (dist, cid) argmin tie-break, same inertia rounding."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), c AS (
+            SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {n_centroids}
+        ), a AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT d.*, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM (
+                    SELECT e.vec_id, c.cid,
+                           list_sum(list_transform(range(1, {dim} + 1),
+                               j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])
+                           )) AS dist
+                    FROM e, c
+                ) d
+            ) WHERE rn = 1
+        )
+        SELECT cid AS bucket, count(*) AS n_vectors,
+               min(vec_id) AS min_vec_id,
+               round(sum(dist), 4) AS inertia
+        FROM a GROUP BY cid ORDER BY bucket
+    """

@@ -18,3 +18,38 @@ def test_streaming_contamination_equals_batch(spark, sf_dir):
     assert streamed == batch
     assert streamed  # content-bearing at sf0.001
     cachegen.clear()
+
+
+def test_stream_ivf_assign_matches_batch_final_state(spark, sf_dir):
+    """The streaming bucket-occupancy final state must equal the same
+    aggregation computed batch-side with the identical literal codebook."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.similarity import _assign, _dvec
+    from marketstream_etl_spark.sources.tables import load_table
+    from marketstream_etl_spark.streaming.docs import file_stream_ivf_assign
+
+    streamed = file_stream_ivf_assign(spark, sf_dir).collect()
+
+    static = load_table(spark, sf_dir, "embeddings")
+    cents = {
+        int(r["vec_id"]): list(r["v"])
+        for r in static.filter(F.col("vec_id") < 16)
+        .select("vec_id", _dvec(F.col("embedding")).alias("v"))
+        .collect()
+    }
+    batch = (
+        _assign(
+            static.select("vec_id", _dvec(F.col("embedding")).alias("v")),
+            cents,
+        )
+        .groupBy(F.col("cid").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.round(F.sum("dist"), 4).alias("inertia"),
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
