@@ -66,6 +66,13 @@ def pagerank(
     driver-sized codebook."""
     nodes = nodes.persist()  # joined every iteration; count materializes
     n = nodes.count()
+    if n == 0:  # empty graph: empty result, not a division by zero
+        nodes.unpersist()
+        return nodes.select(
+            "node",
+            F.lit(0.0).alias("rank"),
+            F.lit(0).cast("long").alias("rank_fp"),
+        )
     teleport = ((damp_den - damp_num) * PR_SCALE) // (damp_den * n)
     outw = edges.groupBy("src").agg(
         F.sum(F.col("weight").cast("long")).alias("outw")

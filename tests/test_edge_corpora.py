@@ -63,3 +63,32 @@ def test_single_and_short_docs(spark, tmp_path):
     # clusters of an empty pair set: no rows, no crash
     assert dedup.duplicate_clusters(dedup.minhash_lsh_pairs(docs)).count() == 0
     cachegen.clear()
+
+
+def test_new_ops_survive_empty_and_tiny_corpora(spark):
+    """Late-r5 ops on degenerate inputs: empty corpus/graph → empty
+    result (never a crash); single-doc corpus → empty pair/score sets."""
+    from pyspark.sql import Row
+
+    from marketstream_etl_spark.operators.graph import pagerank
+    from marketstream_etl_spark.operators.relevance import bm25_search
+    from marketstream_etl_spark.operators.similarity import ann_ivfpq, ann_pq
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_search(empty_docs).collect() == []
+
+    empty_edges = spark.createDataFrame(
+        [], "src string, dst string, weight long"
+    )
+    empty_nodes = spark.createDataFrame([], "node string")
+    assert pagerank(empty_edges, empty_nodes).collect() == []
+
+    one_vec = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0] * 64)]
+    )
+    # the only vector is both codebook and query; self is excluded
+    assert ann_pq(one_vec).collect() == []
+    assert ann_ivfpq(one_vec).collect() == []
+
+    one_doc = spark.createDataFrame([Row(doc_id=0, text="alpha beta")])
+    assert bm25_search(one_doc).collect() == []
