@@ -1,0 +1,118 @@
+"""Statistical language-model quality scoring: corpus bigram model →
+per-document perplexity.
+
+The north-star use case (public CCNet/C4-style pipelines): score every
+document by how well a cheap n-gram model of the corpus predicts it —
+gibberish, boilerplate, and wrong-language text land in the high-
+perplexity tail, which the curation step then drops or downweights.
+This is the statistical stand-in for the neural-perplexity filter; the
+plumbing (train counts corpus-wide, score per doc, threshold on the
+tail) is identical.
+
+Model: add-one-smoothed bigram conditionals over whitespace tokens,
+p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V).  Per doc: mean ln p over its
+bigrams (docs with < 2 tokens have no bigrams and are excluded, mirrored
+in the oracle); perplexity = exp(−mean), computed from the ROUNDED mean
+so both engines exponentiate the identical double.
+
+Scale design (100 TB posture):
+- Training is two partial-aggregated groupBys (unigram + bigram counts)
+  — the same shuffle profile as vocab_topk, nothing quadratic.
+- Scoring joins each doc bigram against the count tables on (w1, w2) /
+  (w1): plain equi-joins on uniformly-distributed token keys; the vocab
+  size V is a 1-row broadcast.
+- Bigrams are built in-array (zip_with over two slices) before ONE
+  explode — no window functions, no self-join, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from marketstream_etl_spark.functions.hashing import tokens, tokens_sql
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per bigram occurrence."""
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("tk"), 1, F.size("tk") - 1),
+        F.slice(F.col("tk"), 2, F.size("tk") - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return tk.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", "bg.w1", "bg.w2"
+    )
+
+
+def lm_perplexity(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob, perplexity) under the corpus's
+    add-one bigram model, ordered by doc_id."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    uni = toks.groupBy(F.col("w").alias("w1")).agg(
+        F.count("*").alias("cu")
+    )
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    bi = _doc_bigrams(docs)
+    bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    lp = F.log(
+        (F.col("cb") + F.lit(1)).cast("double")
+        / (F.col("cu") + F.col("v")).cast("double")
+    )
+    scored = (
+        bi.join(bic, ["w1", "w2"])
+        .join(uni, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 4).alias("perplexity"),
+    ).orderBy("doc_id")
+
+
+def lm_perplexity_sql() -> str:
+    """DuckDB replay: same token stream, counts, smoothing, and the same
+    round-then-exponentiate contract."""
+    tk = tokens_sql("text")
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest({tk}) AS w FROM documents
+        ),
+        uni AS (SELECT w AS w1, count(*) AS cu FROM toks GROUP BY w),
+        vocab AS (SELECT count(DISTINCT w) AS v FROM toks),
+        tkarr AS (
+            SELECT doc_id, {tk} AS tk FROM documents
+            WHERE len({tk}) >= 2
+        ),
+        bi AS MATERIALIZED (
+            SELECT doc_id, tk[i.i] AS w1, tk[i.i + 1] AS w2
+            FROM tkarr, unnest(range(1, len(tk))) AS i(i)
+        ),
+        bic AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+        scored AS (
+            SELECT b.doc_id, count(*) AS n_bigrams,
+                   round(avg(ln(
+                       CAST(c.cb + 1 AS DOUBLE)
+                       / CAST(u.cu + (SELECT v FROM vocab) AS DOUBLE)
+                   )), 6) AS avg_logprob
+            FROM bi b
+            JOIN bic c USING (w1, w2)
+            JOIN uni u USING (w1)
+            GROUP BY b.doc_id
+        )
+        SELECT doc_id, n_bigrams, avg_logprob,
+               round(exp(-avg_logprob), 4) AS perplexity
+        FROM scored ORDER BY doc_id
+    """

@@ -1016,3 +1016,13 @@ def q_streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.streaming.docs import file_stream_ivf_assign
 
     return file_stream_ivf_assign(spark, sf_dir)
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (operators/lm.py::lm_perplexity):
+    per-doc perplexity under the corpus's add-one bigram model — the
+    CCNet-style filter whose high-perplexity tail is gibberish and
+    boilerplate.  Two count groupBys to train, equi-joins to score."""
+    from marketstream_etl_spark.operators import lm
+
+    return lm.lm_perplexity(load_table(spark, sf_dir, "documents"))
