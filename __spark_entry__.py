@@ -28,6 +28,7 @@ from marketstream_etl_spark.operators import graph as _graph
 from marketstream_etl_spark.operators import relevance as _relevance
 from marketstream_etl_spark.streaming import docs as _stream_docs
 from marketstream_etl_spark.operators import lm as _lm
+from marketstream_etl_spark.sources import binary_assets as _binassets
 from marketstream_etl_spark.operators import patterns as _patterns
 from marketstream_etl_spark.operators import sketch as _sketch
 from marketstream_etl_spark.operators import text as _text
@@ -389,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_collapse_weighted": training_data.q_dedup_collapse_weighted,
         "streaming_ivf_assign": training_data.q_streaming_ivf_assign,
         "lm_perplexity": training_data.q_lm_perplexity,
+        "binary_ingest": training_data.q_binary_ingest,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1400,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_collapse_weighted": _dedup.collapse_weighted_sql(),
         "streaming_ivf_assign": _stream_docs.stream_ivf_assign_sql(),
         "lm_perplexity": _lm.lm_perplexity_sql(),
+        "binary_ingest": _binassets.binary_ingest_sql(),
         "ann_ivf_trained_recall": f"""
             WITH exact AS (
                 SELECT query_id, neighbor_id

@@ -1026,3 +1026,13 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators import lm
 
     return lm.lm_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw binary-asset ingestion (sources/binary_assets.py): Spark's
+    native binaryFile source scans the asset directory into (file,
+    n_bytes, checksum, magic8) rows — the multimodal pipeline's front
+    door, value-checked against spec-derived literals."""
+    from marketstream_etl_spark.sources.binary_assets import binary_ingest
+
+    return binary_ingest(spark, sf_dir)

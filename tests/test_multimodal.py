@@ -110,3 +110,24 @@ def test_corpus_is_ascii(spark, sf_dir):
         F.length("text") != F.octet_length(F.encode("text", "utf-8"))
     ).count()
     assert non_ascii == 0
+
+
+def test_binary_ingest_bytes_roundtrip_exact(spark, sf_dir, tmp_path):
+    """binaryFile scan must deliver content byte-exact: checksums match
+    Python-side md5 of the spec payloads, and lengths are exact."""
+    import hashlib
+
+    from marketstream_etl_spark.sources.binary_assets import (
+        BINARY_FIXTURE_SPEC,
+        binary_ingest,
+        payload,
+    )
+
+    rows = {r["file"]: r for r in binary_ingest(spark, sf_dir).collect()}
+    assert len(rows) == len(BINARY_FIXTURE_SPEC)
+    for seed, length in BINARY_FIXTURE_SPEC:
+        r = rows[f"asset_{seed:03d}.bin"]
+        data = payload(seed, length)
+        assert r["n_bytes"] == length
+        assert r["checksum"] == hashlib.md5(data).hexdigest()
+        assert r["magic8"] == data[:8].hex().upper()
