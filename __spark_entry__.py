@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_ivf_assign": training_data.q_streaming_ivf_assign,
         "lm_perplexity": training_data.q_lm_perplexity,
         "binary_ingest": training_data.q_binary_ingest,
+        "embedding_quantize": training_data.q_embedding_quantize,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1403,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ivf_assign": _stream_docs.stream_ivf_assign_sql(),
         "lm_perplexity": _lm.lm_perplexity_sql(),
         "binary_ingest": _binassets.binary_ingest_sql(),
+        "embedding_quantize": _sim.embedding_quantize_error_sql(),
         "ann_ivf_trained_recall": f"""
             WITH exact AS (
                 SELECT query_id, neighbor_id

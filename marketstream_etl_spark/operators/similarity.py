@@ -1247,3 +1247,84 @@ def ann_ivfpq_sql(
         FROM ranked WHERE rank <= {k}
         ORDER BY query_id, rank
     """
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization — the STORAGE lever next to PQ's index
+# lever: per-dimension affine quantization to one byte (4× smaller than
+# float32) keeps a rerank-fidelity copy of the corpus in memory where the
+# floats would not fit; the operator audits what that costs, per label,
+# as reconstruction-error statistics.  Quantization uses an explicit
+# floor(v + 0.5) in BOTH engines (Spark round() is HALF_UP, DuckDB's is
+# HALF_EVEN — spelling out the floor removes the mode from the contract).
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 255
+
+
+def embedding_quantize_error(emb: DataFrame) -> DataFrame:
+    """(label, n_vectors, max_abs_err, mse) of the int8 round-trip under
+    per-dimension corpus min/max scaling, ordered by label.
+
+    Plan: one posexplode pass feeds the per-dim min/max (64-row
+    broadcast) and the element stream; quantize/dequantize/error is
+    map-side arithmetic; one groupBy(label) aggregates the audit."""
+    elems = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    )
+    dims = elems.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    scaled = elems.join(F.broadcast(dims), "pos")
+    span = F.col("mx") - F.col("mn")
+    q = F.when(
+        span > 0,
+        F.floor(
+            (F.col("x") - F.col("mn")) / span * F.lit(QUANT_LEVELS)
+            + F.lit(0.5)
+        ),
+    ).otherwise(F.lit(0))
+    deq = F.when(
+        span > 0, F.col("mn") + q / F.lit(QUANT_LEVELS) * span
+    ).otherwise(F.col("mn"))
+    err = F.abs(F.col("x") - deq)
+    return (
+        scaled.select("label", err.alias("err"))
+        .groupBy("label")
+        .agg(
+            (F.count("*") / 64).cast("long").alias("n_vectors"),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+            F.round(F.avg(F.col("err") * F.col("err")), 9).alias("mse"),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_quantize_error_sql(levels: int = QUANT_LEVELS) -> str:
+    """DuckDB replay: same per-dim min/max, same explicit floor(v+0.5)
+    quantizer, same error aggregation and rounding."""
+    return f"""
+        WITH elems AS MATERIALIZED (
+            SELECT label, u.i AS pos, CAST(embedding[u.i + 1] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+        ),
+        dims AS (
+            SELECT pos, min(x) AS mn, max(x) AS mx FROM elems GROUP BY pos
+        ),
+        errs AS (
+            SELECT e.label,
+                   abs(e.x - CASE WHEN d.mx > d.mn
+                       THEN d.mn + floor((e.x - d.mn) / (d.mx - d.mn)
+                                         * {levels} + CAST(0.5 AS DOUBLE))
+                            / {levels} * (d.mx - d.mn)
+                       ELSE d.mn END) AS err
+            FROM elems e JOIN dims d USING (pos)
+        )
+        SELECT label, CAST(count(*) / 64 AS BIGINT) AS n_vectors,
+               round(max(err), 6) AS max_abs_err,
+               round(avg(err * err), 9) AS mse
+        FROM errs GROUP BY label ORDER BY label
+    """

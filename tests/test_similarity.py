@@ -176,3 +176,38 @@ def test_ivfpq_recall_against_bruteforce(spark, sf_dir):
     approx = ann_ivfpq(emb).collect()
     hits = sum(1 for r in approx if (r["query_id"], r["neighbor_id"]) in exact)
     assert hits >= len(approx) * 0.15
+
+
+def test_quantize_error_bounded_by_half_step(spark, sf_dir):
+    """Affine int8 quantization error is bounded by span/(2·255) per
+    dimension; the audit's max_abs_err must respect the corpus-wide
+    worst-dimension bound, and a constant dimension contributes zero."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.similarity import (
+        embedding_quantize_error,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    spans = (
+        emb.select(
+            F.posexplode(
+                F.transform(F.col("embedding"), lambda x: x.cast("double"))
+            ).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg((F.max("x") - F.min("x")).alias("span"))
+        .agg(F.max("span").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    bound = spans / (2 * 255) + 1e-12
+    out = embedding_quantize_error(emb).collect()
+    assert len(out) > 0
+    assert all(r["max_abs_err"] <= bound for r in out)
+
+    const = spark.createDataFrame(
+        [(i, [0.5] * 64, 0) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = embedding_quantize_error(const).collect()[0]
+    assert r["max_abs_err"] == 0.0 and r["mse"] == 0.0
