@@ -26,6 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from marketstream_etl_spark.functions.cachegen import (
+    cache_key as _cache_key,
+    input_paths as _input_paths,
+    lookup as _lookup,
+    rotate as _rotate_caches,
+)
 from marketstream_etl_spark.functions.hashing import tokens, tokens_sql
 from marketstream_etl_spark.functions.topk import top_k_per_key
 
@@ -59,7 +65,17 @@ def bm25_search(
 
     Output: (query_id, doc_id, bm25, rank) — rank by score desc, doc_id
     asc tie-break; the query document itself is excluded."""
-    post = _postings(docs).persist()  # postings feed df, dl, both join sides
+    # postings feed df, dl, and both scoring-join sides: persist ONE
+    # materialization per input generation under the repo's shared
+    # rotation registry (bounded LRU, stale-proof keying) instead of
+    # leaking an unmanaged cache per call
+    key = _cache_key(docs)
+    hit = _lookup("bm25_postings", key, current=docs)
+    if hit is not None:
+        post = hit[0]
+    else:
+        post = _postings(docs).persist()
+        _rotate_caches("bm25_postings", key, [post], _input_paths(docs))
     dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_ = post.groupBy("term").agg(F.count("*").alias("df"))
     stats = dl.agg(
@@ -69,6 +85,13 @@ def bm25_search(
     qterms = (
         post.filter(F.col("doc_id") < n_queries)
         .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    # only the QUERY terms' df rows ride the broadcast (the full corpus
+    # vocabulary would be a multi-GB broadcast at the 100 TB posture);
+    # df counts are computed corpus-wide first, the semi-join just
+    # selects rows — scored rows are already restricted to query terms
+    df_ = df_.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
     )
     idf = F.log(
         F.lit(1.0)

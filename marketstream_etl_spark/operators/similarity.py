@@ -949,16 +949,53 @@ def _subdist(a: Column, b: Column) -> Column:
     )
 
 
-def pq_encode(emb: DataFrame, n_codes: int = PQ_K) -> DataFrame:
-    """(vec_id, m, code) PQ codes vs the deterministic-sample codebook —
-    the compressed index a 100 TB deployment persists instead of floats."""
-    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
-    subs = _subvectors(base, "vec_id", "vec")
-    cb = subs.filter(F.col("vec_id") < n_codes).select(
+def _pq_codebook(subs: DataFrame, n_codes: int) -> DataFrame:
+    """(m, code, csub) sub-space codebook — the m-th slices of the first
+    `n_codes` vec_ids (the deterministic-sample stand-in; kmeans_fit
+    sub-codebooks can be swapped in here and every consumer follows)."""
+    return subs.filter(F.col("vec_id") < n_codes).select(
         F.col("m"),
         F.col("vec_id").cast("int").alias("code"),
         F.col("sub").alias("csub"),
     )
+
+
+def _adc_tables(base: DataFrame, cb: DataFrame, n_queries: int) -> DataFrame:
+    """(query_id, m, code, qdist) — each query's distance to every
+    codebook centroid; Q×M×K rows, built map-side for broadcasting."""
+    return (
+        _subvectors(
+            base.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("query_id"), "vec"
+            ),
+            "query_id",
+            "vec",
+        )
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "code",
+            _subdist(F.col("sub"), F.col("csub")).alias("qdist"),
+        )
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    n_codes: int = PQ_K,
+    subs: DataFrame | None = None,
+    cb: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, m, code) PQ codes vs the deterministic-sample codebook —
+    the compressed index a 100 TB deployment persists instead of floats.
+    Callers that already built `subs`/`cb` pass them in so the sub-vector
+    explode and codebook are constructed once per query, not per stage."""
+    if subs is None:
+        base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+        subs = _subvectors(base, "vec_id", "vec")
+    if cb is None:
+        cb = _pq_codebook(subs, n_codes)
     best = F.min(
         F.struct(
             _subdist(F.col("sub"), F.col("csub")).alias("dist"),
@@ -986,28 +1023,9 @@ def ann_pq(
     asc (closest first), neighbor_id asc tie-break; self excluded."""
     base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
     subs = _subvectors(base, "vec_id", "vec")
-    cb = subs.filter(F.col("vec_id") < n_codes).select(
-        F.col("m"),
-        F.col("vec_id").cast("int").alias("code"),
-        F.col("sub").alias("csub"),
-    )
-    enc = pq_encode(emb, n_codes)
-    qd = (
-        _subvectors(
-            base.filter(F.col("vec_id") < n_queries).select(
-                F.col("vec_id").alias("query_id"), "vec"
-            ),
-            "query_id",
-            "vec",
-        )
-        .join(F.broadcast(cb), "m")
-        .select(
-            "query_id",
-            "m",
-            "code",
-            _subdist(F.col("sub"), F.col("csub")).alias("qdist"),
-        )
-    )
+    cb = _pq_codebook(subs, n_codes)
+    enc = pq_encode(emb, n_codes, subs=subs, cb=cb)
+    qd = _adc_tables(base, cb, n_queries)
     scored = (
         enc.join(F.broadcast(qd), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1122,28 +1140,9 @@ def ann_ivfpq(
     ).select("query_id", "bucket")
 
     subs = _subvectors(base, "vec_id", "vec")
-    cb = subs.filter(F.col("vec_id") < n_codes).select(
-        F.col("m"),
-        F.col("vec_id").cast("int").alias("code"),
-        F.col("sub").alias("csub"),
-    )
-    enc = pq_encode(emb, n_codes)
-    qd = (
-        _subvectors(
-            base.filter(F.col("vec_id") < n_queries).select(
-                F.col("vec_id").alias("query_id"), "vec"
-            ),
-            "query_id",
-            "vec",
-        )
-        .join(F.broadcast(cb), "m")
-        .select(
-            "query_id",
-            "m",
-            "code",
-            _subdist(F.col("sub"), F.col("csub")).alias("qdist"),
-        )
-    )
+    cb = _pq_codebook(subs, n_codes)
+    enc = pq_encode(emb, n_codes, subs=subs, cb=cb)
+    qd = _adc_tables(base, cb, n_queries)
     # every vector lives in exactly one bucket and probe buckets are
     # distinct, so (query, vec) candidates are already unique — no
     # dedup shuffle needed (unlike multi-band LSH)
@@ -1262,7 +1261,7 @@ def ann_ivfpq_sql(
 QUANT_LEVELS = 255
 
 
-def embedding_quantize_error(emb: DataFrame) -> DataFrame:
+def embedding_quantize_error(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     """(label, n_vectors, max_abs_err, mse) of the int8 round-trip under
     per-dimension corpus min/max scaling, ordered by label.
 
@@ -1295,7 +1294,9 @@ def embedding_quantize_error(emb: DataFrame) -> DataFrame:
         scaled.select("label", err.alias("err"))
         .groupBy("label")
         .agg(
-            (F.count("*") / 64).cast("long").alias("n_vectors"),
+            # integer `div`, exact and identical to the oracle's `//`
+            # (a double divide + cast would truncate vs round half-even)
+            F.expr(f"count(*) div {dim}").alias("n_vectors"),
             F.round(F.max("err"), 6).alias("max_abs_err"),
             F.round(F.avg(F.col("err") * F.col("err")), 9).alias("mse"),
         )
@@ -1303,7 +1304,9 @@ def embedding_quantize_error(emb: DataFrame) -> DataFrame:
     )
 
 
-def embedding_quantize_error_sql(levels: int = QUANT_LEVELS) -> str:
+def embedding_quantize_error_sql(
+    levels: int = QUANT_LEVELS, dim: int = EMB_DIM
+) -> str:
     """DuckDB replay: same per-dim min/max, same explicit floor(v+0.5)
     quantizer, same error aggregation and rounding."""
     return f"""
@@ -1323,7 +1326,7 @@ def embedding_quantize_error_sql(levels: int = QUANT_LEVELS) -> str:
                        ELSE d.mn END) AS err
             FROM elems e JOIN dims d USING (pos)
         )
-        SELECT label, CAST(count(*) / 64 AS BIGINT) AS n_vectors,
+        SELECT label, CAST(count(*) // {dim} AS BIGINT) AS n_vectors,
                round(max(err), 6) AS max_abs_err,
                round(avg(err * err), 9) AS mse
         FROM errs GROUP BY label ORDER BY label

@@ -64,7 +64,13 @@ def binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     length/checksum/magic computed engine-side from the binary content,
     proving the binaryFile scan delivers the bytes intact."""
     d = ensure_binary_fixture(spark, sf_dir)
-    raw = spark.read.format("binaryFile").load(d)
+    # pathGlobFilter: a crashed run can leave a mkstemp *.tmp behind;
+    # only the committed .bin assets are part of the contract
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
     return (
         raw.select(
             F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("file"),
