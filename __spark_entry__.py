@@ -325,8 +325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # class) and ann_pq (PQ/ADC compression path) take the
         # dedup_exact_docs / ann_ivf slots — both displaced queries are
         # driver-green r3+r4 and stay check_oracle-verified locally.
-        "source_pagerank": training_data.q_source_pagerank,
         "dedup_minhash_lsh": training_data.q_dedup_minhash_lsh,
+        # runs after minhash_lsh so the gate attributes the shared LSH
+        # cache population to the dedup row, not the graph row
+        "source_pagerank": training_data.q_source_pagerank,
         "dedup_ngram_jaccard": training_data.q_dedup_ngram_jaccard,
         "simhash_pairs": training_data.q_simhash_pairs,
         "ann_bruteforce": training_data.q_ann_bruteforce,
