@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "realized_volatility": analytics.q_realized_volatility,
         "order_imbalance": analytics.q_order_imbalance,
         "price_outliers": analytics.q_price_outliers,
+        "return_autocorr": analytics.q_return_autocorr,
         "ann_ivf_recall": training_data.q_ann_ivf_recall,
         "embedding_neardup": training_data.q_embedding_neardup,
         "embedding_stats": training_data.q_embedding_stats,
@@ -758,6 +759,39 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(log_ret), 6) AS volatility,
                    round(avg(log_ret), 6) AS mean_return
             FROM rets WHERE log_ret IS NOT NULL
+            GROUP BY symbol ORDER BY symbol
+        """,
+        "return_autocorr": f"""
+            WITH trades AS ({TRADES_CTE}),
+            r AS (
+                SELECT symbol, timestamp // 60000000000 AS bar, price,
+                       row_number() OVER (PARTITION BY symbol,
+                                              timestamp // 60000000000
+                                          ORDER BY timestamp DESC,
+                                              trade_id DESC) AS rn_d
+                FROM trades
+            ),
+            closes AS (
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+            ),
+            rets AS (
+                SELECT symbol, bar,
+                       ln(close / lag(close) OVER (PARTITION BY symbol
+                                                   ORDER BY bar)) AS log_ret
+                FROM closes
+            ),
+            lagged AS (
+                SELECT symbol, log_ret,
+                       lag(log_ret, 1) OVER (PARTITION BY symbol
+                                             ORDER BY bar) AS lag1,
+                       lag(log_ret, 2) OVER (PARTITION BY symbol
+                                             ORDER BY bar) AS lag2
+                FROM rets WHERE log_ret IS NOT NULL
+            )
+            SELECT symbol, count(*) AS n_returns,
+                   round(corr(log_ret, lag1), 6) AS autocorr_lag1,
+                   round(corr(log_ret, lag2), 6) AS autocorr_lag2
+            FROM lagged
             GROUP BY symbol ORDER BY symbol
         """,
         # conditional aggregation on side; greatest() guards zero volume

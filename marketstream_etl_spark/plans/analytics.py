@@ -712,3 +712,32 @@ def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def q_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol serial dependence of minute returns: Pearson
+    autocorrelation at lags 1 and 2 over the shared minute-close log
+    returns — the mean-reversion/momentum diagnostic next to
+    realized_volatility.  Two lag columns from one window pass, then a
+    single hash aggregate of corr() pairs; nothing beyond the per-symbol
+    sort the return series already needs."""
+    from pyspark.sql import Window
+
+    closes = _minute_closes(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar")
+    rets = closes.withColumn(
+        "log_ret", F.log(F.col("close") / F.lag("close").over(w))
+    ).filter(F.col("log_ret").isNotNull())
+    lagged = (
+        rets.withColumn("lag1", F.lag("log_ret", 1).over(w))
+        .withColumn("lag2", F.lag("log_ret", 2).over(w))
+    )
+    return (
+        lagged.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_returns"),
+            F.round(F.corr("log_ret", "lag1"), 6).alias("autocorr_lag1"),
+            F.round(F.corr("log_ret", "lag2"), 6).alias("autocorr_lag2"),
+        )
+        .orderBy("symbol")
+    )
