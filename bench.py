@@ -54,6 +54,9 @@ EXTRAS = [
     "source_pagerank",
     "ann_ivfpq",
     "bm25_search",
+    "lm_perplexity",
+    "embedding_quantize",
+    "return_autocorr",
     "tokenize_ids",
     "source_mixture",
     "price_outliers",
