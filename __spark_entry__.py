@@ -29,6 +29,7 @@ from marketstream_etl_spark.operators import relevance as _relevance
 from marketstream_etl_spark.streaming import docs as _stream_docs
 from marketstream_etl_spark.operators import lm as _lm
 from marketstream_etl_spark.sources import binary_assets as _binassets
+from marketstream_etl_spark.sources import formats as _formats
 from marketstream_etl_spark.operators import patterns as _patterns
 from marketstream_etl_spark.operators import sketch as _sketch
 from marketstream_etl_spark.operators import text as _text
@@ -395,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": training_data.q_lm_perplexity,
         "binary_ingest": training_data.q_binary_ingest,
         "embedding_quantize": training_data.q_embedding_quantize,
+        "json_corrupt_records": training_data.q_json_corrupt_records,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1441,6 +1443,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": _lm.lm_perplexity_sql(),
         "binary_ingest": _binassets.binary_ingest_sql(),
         "embedding_quantize": _sim.embedding_quantize_error_sql(),
+        "json_corrupt_records": _formats.json_corrupt_records_sql(),
         "ann_ivf_trained_recall": f"""
             WITH exact AS (
                 SELECT query_id, neighbor_id

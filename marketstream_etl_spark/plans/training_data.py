@@ -1046,3 +1046,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_quantize_error(
         load_table(spark, sf_dir, "embeddings")
     )
+
+
+def q_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch bad-record quarantine (sources/formats.py::
+    json_corrupt_records): PERMISSIVE JSON parsing with a corrupt-record
+    column — malformed lines are surfaced, partial parses keep their
+    good fields, nothing fails or silently drops."""
+    from marketstream_etl_spark.sources.formats import json_corrupt_records
+
+    return json_corrupt_records(spark, sf_dir)

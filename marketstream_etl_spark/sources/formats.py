@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from marketstream_etl_spark.sources.bucketed import _clear_table
 from marketstream_etl_spark.sources.tables import load_table, source_key, warehouse_path
@@ -111,3 +112,84 @@ def evolving_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(
         f"{path}/v1", f"{path}/v2"
     )
+
+
+# --- corrupt-record quarantine (PERMISSIVE JSON) -----------------------------
+
+# Every PERMISSIVE outcome class trips at least once: clean parse,
+# non-JSON garbage, wrong-typed field (partial parse + flagged),
+# truncated JSON (all-null + flagged), missing field (null, NOT flagged).
+CORRUPT_JSONL_FIXTURE = "\n".join([
+    '{"id": 1, "sym": "AAA", "px": 10.5}',
+    "not json at all",
+    '{"id": 2, "sym": "BBB", "px": "oops"}',
+    '{"id": 3, "sym": "CCC"',
+    '{"id": 4, "px": 7.25}',
+    '{"id": 6, "sym": "FFF", "px": -0.5}',
+]) + "\n"
+
+
+def ensure_corrupt_jsonl(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once corrupt-lines fixture, content-hash keyed + atomic
+    rename (same torn-write-proof contract as the CSV fixtures)."""
+    import hashlib
+    import os
+    import tempfile
+
+    digest = hashlib.md5(CORRUPT_JSONL_FIXTURE.encode()).hexdigest()[:8]
+    path = warehouse_path(spark, f"corrupt_jsonl_{digest}", sf_dir)
+    dest = os.path.join(path, "data.jsonl")
+    if not os.path.exists(dest):
+        os.makedirs(path, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(CORRUPT_JSONL_FIXTURE)
+        os.replace(tmp, dest)
+    return dest
+
+
+def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-side bad-record quarantine — the batch twin of the streaming
+    dead-letter path (F2): PERMISSIVE JSON parsing surfaces every
+    malformed line in a corrupt-record column instead of failing the job
+    or silently dropping rows.  The semantics the golden pins: non-JSON
+    and truncated lines come back all-null + flagged; a wrong-typed
+    FIELD nulls just that field, keeps the rest, and still flags the raw
+    line; a merely missing field is null and NOT flagged.  At 100 TB
+    this is how a crawl ingest keeps one writer-side error from
+    poisoning a partition."""
+    path = ensure_corrupt_jsonl(spark, sf_dir)
+    df = (
+        spark.read.schema("id bigint, sym string, px double, _bad string")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return df.select(
+        "id",
+        "sym",
+        "px",
+        F.col("_bad").alias("bad_payload"),
+        F.col("_bad").isNotNull().alias("quarantined"),
+    ).orderBy(
+        F.coalesce(F.col("id"), F.lit(-1)),
+        F.coalesce(F.col("bad_payload"), F.lit("")),
+    )
+
+
+def json_corrupt_records_sql() -> str:
+    """Golden oracle: the fixture is a constant, so the expected
+    PERMISSIVE outcomes are stated as literals (pinned empirically and by
+    tests)."""
+    return """
+        SELECT CAST(id AS BIGINT) AS id, sym,
+               CAST(px AS DOUBLE) AS px, bad_payload, quarantined
+        FROM (VALUES
+            (NULL, NULL, NULL, 'not json at all', true),
+            (NULL, NULL, NULL, '{"id": 3, "sym": "CCC"', true),
+            (1, 'AAA', 10.5, NULL, false),
+            (2, 'BBB', NULL, '{"id": 2, "sym": "BBB", "px": "oops"}', true),
+            (4, NULL, 7.25, NULL, false),
+            (6, 'FFF', -0.5, NULL, false)
+        ) AS t(id, sym, px, bad_payload, quarantined)
+        ORDER BY coalesce(id, -1), coalesce(bad_payload, '')
+    """

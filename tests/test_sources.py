@@ -205,3 +205,20 @@ def test_parallel_jdbc_stream_partitioning_is_injective(spark):
     )
     assert all(r.n_pids == 1 for r in placed)  # each stream in ONE partition
     assert len({r.pid for r in placed}) == 4   # and four DISTINCT partitions
+
+
+def test_json_corrupt_records_quarantine_semantics(spark, sf_dir):
+    """PERMISSIVE quarantine contract: garbage and truncated lines are
+    all-null + flagged; a wrong-typed field keeps its siblings and is
+    flagged; a missing field is null but NOT flagged."""
+    from marketstream_etl_spark.sources.formats import json_corrupt_records
+
+    rows = json_corrupt_records(spark, sf_dir).collect()
+    by_payload = {r["bad_payload"]: r for r in rows if r["quarantined"]}
+    assert "not json at all" in by_payload
+    partial = by_payload['{"id": 2, "sym": "BBB", "px": "oops"}']
+    assert partial["id"] == 2 and partial["sym"] == "BBB"
+    assert partial["px"] is None
+    ok = {r["id"]: r for r in rows if not r["quarantined"]}
+    assert ok[4]["sym"] is None and ok[4]["px"] == 7.25
+    assert len(rows) == 6
