@@ -665,7 +665,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM trades
             ),
             closes AS (
-                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1 AND price > 0
             )
             SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
                    count(*) AS n_bars,
@@ -686,7 +686,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM trades
             ),
             closes AS (
-                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1 AND price > 0
             ),
             idx AS (
                 SELECT bar, avg(close) AS index_close
@@ -721,7 +721,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM trades
             ),
             closes AS (
-                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1 AND price > 0
             ),
             ann AS (
                 SELECT symbol, close,
@@ -749,7 +749,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM trades
             ),
             closes AS (
-                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1 AND price > 0
             ),
             rets AS (
                 SELECT symbol,
@@ -774,7 +774,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM trades
             ),
             closes AS (
-                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1 AND price > 0
             ),
             rets AS (
                 SELECT symbol, bar,
@@ -839,7 +839,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM trades
             ),
             closes AS (
-                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1
+                SELECT symbol, bar, price AS close FROM r WHERE rn_d = 1 AND price > 0
             ),
             dd AS (
                 SELECT symbol, close,

@@ -464,7 +464,14 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minute_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(symbol, minute-bar) close — shared input of the co-movement
     statistics below.  Same struct-max trick as q_ohlc_bars: one shuffle,
-    no window sort."""
+    no window sort.
+
+    Nonpositive closes are excluded: they are parser-default artifacts
+    (rejected rows carry price 0.0), meaningless in a return/drawdown
+    series, and under ANSI mode a 0 close reaching lag-ratio or
+    running-peak division aborts the job (hit at sf0.1, where 6 of 80k
+    bars close at the 0.0 default).  Every consumer's oracle applies the
+    identical price > 0 filter."""
     t = load_trades(spark, sf_dir, fan_out=True)
     bar = F.expr("timestamp DIV 60000000000")
     key = F.struct("timestamp", "trade_id", "price")
@@ -472,6 +479,7 @@ def _minute_closes(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.withColumn("bar", bar)
         .groupBy("symbol", "bar")
         .agg(F.max(key).getField("price").alias("close"))
+        .filter(F.col("close") > 0)
     )
 
 
