@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_ingest": training_data.q_binary_ingest,
         "embedding_quantize": training_data.q_embedding_quantize,
         "json_corrupt_records": training_data.q_json_corrupt_records,
+        "streaming_python_datasource": advanced.q_streaming_python_datasource,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1444,6 +1445,12 @@ def oracle_sql() -> dict[str, str]:
         "binary_ingest": _binassets.binary_ingest_sql(),
         "embedding_quantize": _sim.embedding_quantize_error_sql(),
         "json_corrupt_records": _formats.json_corrupt_records_sql(),
+        "streaming_python_datasource": f"""
+            WITH gen AS ({_tradegen_cte(10000)})
+            SELECT symbol, count(*) AS n_trades,
+                   CAST(sum(volume) AS BIGINT) AS total_volume
+            FROM gen GROUP BY symbol ORDER BY symbol
+        """,
         "ann_ivf_trained_recall": f"""
             WITH exact AS (
                 SELECT query_id, neighbor_id

@@ -987,3 +987,37 @@ def q_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.ancestor ORDER BY a.ancestor
         """
     )
+
+
+def q_streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME custom Python source as a Structured Streaming source
+    (sources/pyds.py::TradeGenStreamReader): offsets are row indexes,
+    the engine schedules partitions(start, end) per micro-batch, and the
+    md5-derived rows make any offset range exactly-once replayable with
+    no state.  A real availableNow run into a memory sink; the final
+    per-symbol counts must equal the batch scan's (and the oracle's)."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.sources import pyds
+
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("tradegen")
+        .option("n", 10_000)
+        .option("partitions", 8)
+        .load()
+    )
+    counts = stream.groupBy("symbol").agg(
+        F.count("*").alias("n_trades"),
+        F.sum("volume").alias("total_volume"),
+    )
+    name = f"pyds_stream_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("symbol")

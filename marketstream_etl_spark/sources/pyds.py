@@ -122,3 +122,52 @@ def tradegen_oracle_cte(n: int) -> str:
                {EPOCH_NS} + i * {GAP_NS} AS ts_ns
         FROM generate_series(0, {n - 1}) AS t(i)
     """
+
+
+# --- streaming reader: the same plugin, as a Structured Streaming source ----
+# Spark 4's DataSourceStreamReader contract: offsets are JSON dicts, the
+# engine asks for latestOffset() per micro-batch and schedules
+# partitions(start, end) like any other scan.  The md5-derived rows make
+# replay trivially exactly-once: any offset range regenerates identical
+# rows on any worker, with no state to snapshot (the property a real
+# replayable source gets from a log; here it falls out of determinism).
+
+from pyspark.sql.datasource import DataSourceStreamReader  # noqa: E402
+
+
+class TradeGenStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 10_000))
+        self.num_partitions = int(options.get("partitions", 8))
+
+    def initialOffset(self) -> dict:  # noqa: D102 - stream contract
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:  # noqa: D102
+        # the full row range is available immediately; availableNow
+        # captures this once and drains it in a single micro-batch (an
+        # unbounded deployment would return its ingest watermark here)
+        return {"i": self.n}
+
+    def partitions(self, start: dict, end: dict):  # noqa: D102
+        s, e = int(start["i"]), int(end["i"])
+        if e <= s:
+            return [RangePartition(0, 0)]
+        step = -(-(e - s) // self.num_partitions)
+        return [
+            RangePartition(p, min(p + step, e)) for p in range(s, e, step)
+        ]
+
+    def read(self, partition: RangePartition):  # noqa: D102
+        for i in range(partition.start, partition.end):
+            yield row_of(i)
+
+    def commit(self, end: dict) -> None:  # noqa: D102
+        pass  # nothing to clean up: rows regenerate from the offset alone
+
+
+def _stream_reader(self, schema):  # noqa: D103
+    return TradeGenStreamReader(self.options)
+
+
+TradeGenDataSource.streamReader = _stream_reader

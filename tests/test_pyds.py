@@ -43,3 +43,25 @@ def test_source_scans_partition_parallel(spark):
     assert df.select("trade_id").distinct().count() == 1000
     got = df.filter(F.col("trade_id") == 1_000_000).collect()[0]
     assert tuple(got) == pyds.row_of(0)
+
+
+def test_stream_reader_replays_offset_ranges_identically(spark):
+    """Exactly-once contract: any (start, end) offset range regenerates
+    identical rows — partitions() + read() are pure functions of the
+    offsets, so checkpoint replay after a crash reproduces the batch."""
+    from marketstream_etl_spark.sources.pyds import (
+        TradeGenStreamReader,
+        row_of,
+    )
+
+    r = TradeGenStreamReader({"n": "100", "partitions": "4"})
+    assert r.initialOffset() == {"i": 0}
+    assert r.latestOffset() == {"i": 100}
+    parts = r.partitions({"i": 20}, {"i": 60})
+    got = sorted(row for p in parts for row in r.read(p))
+    assert got == sorted(row_of(i) for i in range(20, 60))
+    # replay of the same range is bit-identical
+    parts2 = r.partitions({"i": 20}, {"i": 60})
+    assert sorted(row for p in parts2 for row in r.read(p)) == got
+    # empty range degrades to a no-op partition
+    assert [tuple(r.read(p)) for p in r.partitions({"i": 5}, {"i": 5})] == [()]
