@@ -398,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": training_data.q_embedding_quantize,
         "json_corrupt_records": training_data.q_json_corrupt_records,
         "streaming_python_datasource": advanced.q_streaming_python_datasource,
+        "weighted_reservoir": training_data.q_weighted_reservoir,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1445,6 +1446,18 @@ def oracle_sql() -> dict[str, str]:
         "binary_ingest": _binassets.binary_ingest_sql(),
         "embedding_quantize": _sim.embedding_quantize_error_sql(),
         "json_corrupt_records": _formats.json_corrupt_records_sql(),
+        "weighted_reservoir": f"""
+            WITH keyed AS (
+                SELECT doc_id, source, n_chars,
+                       round(pow(
+                           ({_h32_sql("'res' || doc_id")} + 1)
+                               / CAST({2**32 + 1} AS DOUBLE),
+                           CAST(1.0 AS DOUBLE) / n_chars), 12) AS res_key
+                FROM documents
+            )
+            SELECT doc_id, source, n_chars, round(res_key, 9) AS res_key
+            FROM keyed ORDER BY res_key DESC, doc_id LIMIT 20
+        """,
         "streaming_python_datasource": f"""
             WITH gen AS ({_tradegen_cte(10000)})
             SELECT symbol, count(*) AS n_trades,

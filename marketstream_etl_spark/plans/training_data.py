@@ -1056,3 +1056,35 @@ def q_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.sources.formats import json_corrupt_records
 
     return json_corrupt_records(spark, sf_dir)
+
+
+def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res): each doc draws a deterministic uniform u from md5(doc_id) and
+    competes with key u^(1/w), w = n_chars — longer docs proportionally
+    likelier, yet the draw is a pure function of the row, so it is
+    partition-independent, replayable, and needs no RNG state to
+    coordinate across 1000 executors (the scale property threshold-hash
+    `weighted_sample` has, extended to EXACT-k).  Keys are rounded to 12
+    dp before ranking so cross-engine pow() noise can never flip an
+    order; top-k compiles to TakeOrderedAndProject, no global sort."""
+    from marketstream_etl_spark.functions.hashing import h32
+
+    k = 20
+    docs = load_table(spark, sf_dir, "documents")
+    u = (h32(F.concat(F.lit("res"), F.col("doc_id").cast("string")))
+         + F.lit(1)).cast("double") / F.lit(float(2**32 + 1))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 12
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("res_key"))
+        .orderBy(F.desc("res_key"), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round("res_key", 9).alias("res_key"),
+        )
+    )

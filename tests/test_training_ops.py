@@ -48,3 +48,27 @@ def test_sentence_dedup_finds_injected_boilerplate(spark, tmp_path):
     row = out[0]
     assert row.n_occurrences == 2 and row.n_docs == 2
     assert "newsletter" in row.sample_sentence
+
+
+def test_weighted_reservoir_favors_heavy_docs(spark, sf_dir):
+    """A-Res sanity: the exact-k sample is deterministic across calls,
+    keys are valid probabilities, and the selected docs' mean weight
+    exceeds the corpus mean (heavier docs proportionally likelier)."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.plans.training_data import (
+        q_weighted_reservoir,
+    )
+    from marketstream_etl_spark.sources.tables import load_table
+
+    a = [tuple(r) for r in q_weighted_reservoir(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q_weighted_reservoir(spark, sf_dir).collect()]
+    assert a == b and len(a) == 20
+    assert all(0.0 < r[3] <= 1.0 for r in a)
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg("n_chars"))
+        .collect()[0][0]
+    )
+    sample_mean = sum(r[2] for r in a) / len(a)
+    assert sample_mean > corpus_mean
