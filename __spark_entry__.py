@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_corrupt_records": training_data.q_json_corrupt_records,
         "streaming_python_datasource": advanced.q_streaming_python_datasource,
         "weighted_reservoir": training_data.q_weighted_reservoir,
+        "quality_percentile_filter": training_data.q_quality_percentile_filter,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1457,6 +1458,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars, round(res_key, 9) AS res_key
             FROM keyed ORDER BY res_key DESC, doc_id LIMIT 20
+        """,
+        "quality_percentile_filter": f"""
+            WITH scored AS (
+                SELECT doc_id, source,
+                       round({_text.quality_features_sql("text")["quality_score"]}, 9) AS q
+                FROM documents
+            ),
+            ranked AS (
+                SELECT *, percent_rank() OVER (
+                    PARTITION BY source ORDER BY q, doc_id) AS pr
+                FROM scored
+            )
+            SELECT source, count(*) AS n_kept,
+                   round(min(q), 6) AS min_kept_score,
+                   round(avg(q), 6) AS avg_kept_score
+            FROM ranked WHERE pr >= 0.4
+            GROUP BY source ORDER BY source
         """,
         "streaming_python_datasource": f"""
             WITH gen AS ({_tradegen_cte(10000)})

@@ -1088,3 +1088,34 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("res_key", 9).alias("res_key"),
         )
     )
+
+
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE quality gating: within each source, keep the top 60% of
+    docs by quality score (percent_rank >= 0.4) — the per-source quantile
+    threshold real pipelines use instead of one absolute cutoff, because
+    score distributions differ by crawl and an absolute bar would empty
+    some sources and let others through wholesale.  Scores are rounded
+    to 9 dp before ranking (cross-engine float identity) and the window
+    orders by (score, doc_id) so every rank is unique; the partition key
+    is the source, so the sort parallelizes across sources at scale."""
+    from pyspark.sql import Window
+
+    from marketstream_etl_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.round(quality_features(F.col("text"))["quality_score"], 9)
+    scored = docs.select("doc_id", "source", q.alias("q"))
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    kept = scored.withColumn("pr", F.percent_rank().over(w)).filter(
+        F.col("pr") >= 0.4
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.min("q"), 6).alias("min_kept_score"),
+            F.round(F.avg("q"), 6).alias("avg_kept_score"),
+        )
+        .orderBy("source")
+    )

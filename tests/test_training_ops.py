@@ -72,3 +72,28 @@ def test_weighted_reservoir_favors_heavy_docs(spark, sf_dir):
     )
     sample_mean = sum(r[2] for r in a) / len(a)
     assert sample_mean > corpus_mean
+
+
+def test_quality_percentile_filter_keeps_top_share_per_source(spark, sf_dir):
+    """Relative gating contract: each source keeps ~60% of its docs
+    (percent_rank >= 0.4 over unique ranks), and kept minima respect the
+    per-source threshold (every dropped doc scores <= every kept doc)."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.text import quality_features
+    from marketstream_etl_spark.plans.training_data import (
+        q_quality_percentile_filter,
+    )
+    from marketstream_etl_spark.sources.tables import load_table
+
+    out = {r["source"]: r for r in
+           q_quality_percentile_filter(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(out) == set(totals)
+    for src, row in out.items():
+        n = totals[src]
+        # percent_rank >= 0.4 keeps the top ceil(0.6*(n-1))+1-ish share
+        assert 0.55 * n <= row["n_kept"] <= 0.65 * n + 1
+        assert 0.0 <= row["min_kept_score"] <= row["avg_kept_score"] <= 1.0
