@@ -134,6 +134,15 @@ FROM agg
 """
 
 
+def _stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming z-score tripwire: batch-trained per-symbol stats broadcast
+    into a real streaming run; final anomaly counters equal the batch
+    z-score pass (the oracle)."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_anomaly
+
+    return file_stream_anomaly(spark, sf_dir)
+
+
 def _stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming/batch parity probe: an actual availableNow streaming query
     whose final state must hash-match the batch oracle (ST3/ST5)."""
@@ -400,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_python_datasource": advanced.q_streaming_python_datasource,
         "weighted_reservoir": training_data.q_weighted_reservoir,
         "quality_percentile_filter": training_data.q_quality_percentile_filter,
+        "streaming_anomaly": _stream_anomaly,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -2337,6 +2347,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(volume) AS BIGINT) AS total_volume
             FROM trades WHERE price > 0 AND volume > 0
             GROUP BY symbol ORDER BY symbol
+        """,
+        "streaming_anomaly": f"""
+            WITH trades AS ({TRADES_CTE}),
+            hot AS (SELECT * FROM trades WHERE price > 0 AND volume > 0),
+            stats AS (
+                SELECT symbol, avg(price) AS mu, stddev_samp(price) AS sd
+                FROM hot GROUP BY symbol
+            ),
+            z AS (
+                SELECT h.symbol,
+                       CASE WHEN s.sd > 0
+                            THEN abs((h.price - s.mu) / s.sd)
+                            ELSE 0.0 END AS abs_z
+                FROM hot h JOIN stats s USING (symbol)
+            )
+            SELECT symbol, count(*) AS n_ticks,
+                   CAST(sum(CASE WHEN abs_z > 2.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_anomalies,
+                   round(max(abs_z), 4) AS max_abs_z
+            FROM z GROUP BY symbol ORDER BY symbol
         """,
         # windowed streaming on bounded replay == batch 1-minute bucketing
         "streaming_windowed": f"""

@@ -612,3 +612,51 @@ def file_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("n_trades"))
         .orderBy("symbol")
     )
+
+
+def file_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming z-score tripwire — the stream twin of q_price_outliers:
+    per-symbol mean/stddev are trained BATCH-side (the model), broadcast
+    into the stream, and every incoming tick is z-scored map-side; one
+    streaming aggregate keeps the per-symbol anomaly counters live.
+    The stream-static broadcast join is the standard model-serving shape:
+    at 100 TB the stats frame stays symbol-sized however large the feed.
+
+    Guarded for sd == 0 (a constant-price symbol must count zero
+    anomalies, not abort the query under ANSI division)."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.plans.trades_view import (
+        load_trades,
+        trades_from_events,
+    )
+
+    batch = hot_path_filter(load_trades(spark, sf_dir, fan_out=True))
+    stats = batch.groupBy("symbol").agg(
+        F.avg("price").alias("mu"),
+        F.stddev_samp("price").alias("sd"),
+    )
+    stream = hot_path_filter(trades_from_events(stream_events(spark, sf_dir)))
+    abs_z = F.when(
+        F.col("sd") > 0, F.abs((F.col("price") - F.col("mu")) / F.col("sd"))
+    ).otherwise(F.lit(0.0))
+    flagged = stream.join(F.broadcast(stats), "symbol").withColumn(
+        "abs_z", abs_z
+    )
+    out = flagged.groupBy("symbol").agg(
+        F.count("*").alias("n_ticks"),
+        F.sum(F.when(F.col("abs_z") > 2.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_anomalies"),
+        F.round(F.max("abs_z"), 4).alias("max_abs_z"),
+    )
+    name = f"stream_anomaly_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("symbol")

@@ -246,3 +246,40 @@ def test_socket_emitter_cap_fails_loudly(spark, monkeypatch):
     monkeypatch.setattr(ticksmod, "SOCKET_EMITTER_MAX_ROWS", 5)
     with pytest.raises(RuntimeError, match="emitter cap"):
         ticksmod.socket_stream_deadletter(spark, "/root/testdata/sf0.001")
+
+
+def test_stream_anomaly_matches_batch_zscore(spark, sf_dir):
+    """The streaming tripwire's final state equals the batch z-score pass
+    over the same hot-filtered trades."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.plans.trades_view import load_trades
+    from marketstream_etl_spark.streaming.ticks import (
+        file_stream_anomaly,
+        hot_path_filter,
+    )
+
+    streamed = [tuple(r) for r in file_stream_anomaly(spark, sf_dir).collect()]
+    hot = hot_path_filter(load_trades(spark, sf_dir, fan_out=True))
+    stats = hot.groupBy("symbol").agg(
+        F.avg("price").alias("mu"), F.stddev_samp("price").alias("sd")
+    )
+    abs_z = F.when(
+        F.col("sd") > 0, F.abs((F.col("price") - F.col("mu")) / F.col("sd"))
+    ).otherwise(F.lit(0.0))
+    batch = [
+        tuple(r)
+        for r in hot.join(F.broadcast(stats), "symbol")
+        .withColumn("abs_z", abs_z)
+        .groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.sum(F.when(F.col("abs_z") > 2.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies"),
+            F.round(F.max("abs_z"), 4).alias("max_abs_z"),
+        )
+        .orderBy("symbol")
+        .collect()
+    ]
+    assert streamed == batch
