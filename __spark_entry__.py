@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_reservoir": training_data.q_weighted_reservoir,
         "quality_percentile_filter": training_data.q_quality_percentile_filter,
         "streaming_anomaly": _stream_anomaly,
+        "top_pmi_bigrams": training_data.q_top_pmi_bigrams,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1454,6 +1455,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_collapse_weighted": _dedup.collapse_weighted_sql(),
         "streaming_ivf_assign": _stream_docs.stream_ivf_assign_sql(),
         "lm_perplexity": _lm.lm_perplexity_sql(),
+        "top_pmi_bigrams": _lm.top_pmi_bigrams_sql(),
         "binary_ingest": _binassets.binary_ingest_sql(),
         "embedding_quantize": _sim.embedding_quantize_error_sql(),
         "json_corrupt_records": _formats.json_corrupt_records_sql(),

@@ -54,14 +54,12 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
-def lm_perplexity(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_bigrams, avg_logprob, perplexity) under the corpus's
-    add-one bigram model, ordered by doc_id."""
-    # toks feeds unigram counts + vocab size; bi feeds bigram counts +
-    # the scoring join: without a materialization point the regexp
-    # tokenize pass runs once per consumer (~4× the corpus scan — the
-    # DuckDB oracle MATERIALIZEs the same two CTEs for the same reason).
-    # Persisted under the shared rotation registry, stale-proof keyed.
+def _token_streams(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(toks, bi) — the corpus token and bigram streams, materialized ONCE
+    per input generation under the shared rotation registry: every
+    consumer reads both ≥2 times, and without a persistence point the
+    regexp tokenize pass re-runs per subtree (the DuckDB oracles
+    MATERIALIZE the same two CTEs for the same reason)."""
     key = _cache_key(docs)
     hit = _lookup("lm_token_streams", key, current=docs)
     if hit is not None:
@@ -74,6 +72,13 @@ def lm_perplexity(docs: DataFrame) -> DataFrame:
         _rotate_caches(
             "lm_token_streams", key, [toks, bi], _input_paths(docs)
         )
+    return toks, bi
+
+
+def lm_perplexity(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob, perplexity) under the corpus's
+    add-one bigram model, ordered by doc_id."""
+    toks, bi = _token_streams(docs)
     uni = toks.groupBy(F.col("w").alias("w1")).agg(
         F.count("*").alias("cu")
     )
@@ -134,4 +139,91 @@ def lm_perplexity_sql() -> str:
         SELECT doc_id, n_bigrams, avg_logprob,
                round(exp(-avg_logprob), 4) AS perplexity
         FROM scored ORDER BY doc_id
+    """
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def top_pmi_bigrams(
+    docs: DataFrame, min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K
+) -> DataFrame:
+    """Collocation discovery: the k bigrams with the highest pointwise
+    mutual information, PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with
+    p(w1,w2) = c(w1,w2)/N_bigrams and p(w) = c(w)/N_tokens — the
+    word2vec-era statistic that surfaces multi-word units ("new york")
+    a tokenizer or phrase-merger should treat as one symbol.
+
+    Same two count groupBys as lm_perplexity (the token streams share
+    its generation cache); the probability ratio is computed on rounded
+    inputs only at the final 6-dp rounding, and ranking uses the rounded
+    PMI with a (w1, w2) tie-break so both engines order identically.
+    Low-count bigrams are floored out (min_count) — classic PMI blows up
+    on hapax pairs."""
+    toks, bi = _token_streams(docs)
+    uni = toks.groupBy(F.col("w")).agg(F.count("*").alias("cu"))
+    n_tok = toks.agg(F.count("*").alias("n_tok"))
+    bic = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .filter(F.col("cb") >= min_count)
+    )
+    n_bi = bi.agg(F.count("*").alias("n_bi"))
+    pmi = F.log(
+        (F.col("cb").cast("double") / F.col("n_bi"))
+        / (
+            (F.col("cu1").cast("double") / F.col("n_tok"))
+            * (F.col("cu2").cast("double") / F.col("n_tok"))
+        )
+    )
+    scored = (
+        bic.join(uni.select(F.col("w").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .join(F.broadcast(n_tok))
+        .join(F.broadcast(n_bi))
+        .select(
+            "w1", "w2", "cb", F.round(pmi, 6).alias("pmi")
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), "w1", "w2"
+    ).limit(k)
+
+
+def top_pmi_bigrams_sql(
+    min_count: int = PMI_MIN_COUNT, k: int = PMI_TOP_K
+) -> str:
+    """DuckDB replay: identical counts, ratio, rounding, and tie-break."""
+    tk = tokens_sql("text")
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, unnest({tk}) AS w FROM documents
+        ),
+        uni AS (SELECT w, count(*) AS cu FROM toks GROUP BY w),
+        ntok AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM toks),
+        tkarr AS (
+            SELECT doc_id, {tk} AS tk FROM documents
+            WHERE len({tk}) >= 2
+        ),
+        bi AS MATERIALIZED (
+            SELECT doc_id, tk[i.i] AS w1, tk[i.i + 1] AS w2
+            FROM tkarr, unnest(range(1, len(tk))) AS i(i)
+        ),
+        nbi AS (SELECT CAST(count(*) AS DOUBLE) AS n_bi FROM bi),
+        bic AS (
+            SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2
+            HAVING count(*) >= {min_count}
+        )
+        SELECT b.w1, b.w2, b.cb,
+               round(ln(
+                   (b.cb / (SELECT n_bi FROM nbi))
+                   / ((u1.cu / (SELECT n_tok FROM ntok))
+                      * (u2.cu / (SELECT n_tok FROM ntok)))
+               ), 6) AS pmi
+        FROM bic b
+        JOIN uni u1 ON u1.w = b.w1
+        JOIN uni u2 ON u2.w = b.w2
+        ORDER BY pmi DESC, b.w1, b.w2
+        LIMIT {k}
     """

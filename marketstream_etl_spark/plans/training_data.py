@@ -1119,3 +1119,12 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_top_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation discovery (operators/lm.py::top_pmi_bigrams): the
+    multi-word units a phrase-merging tokenizer should fuse, from the
+    same cached token streams lm_perplexity trains on."""
+    from marketstream_etl_spark.operators import lm
+
+    return lm.top_pmi_bigrams(load_table(spark, sf_dir, "documents"))

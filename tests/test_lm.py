@@ -42,3 +42,23 @@ def test_perplexity_matches_hand_computation(spark):
     expect_lp = round(math.log(2.0 / 3.0), 6)
     assert r["avg_logprob"] == expect_lp
     assert r["perplexity"] == round(math.exp(-expect_lp), 4)
+
+
+def test_pmi_surfaces_injected_collocation(spark):
+    """A bigram that always co-occurs ('neural networks') must outrank a
+    bigram of two independently common words."""
+    from marketstream_etl_spark.operators.lm import top_pmi_bigrams
+
+    base = "the data is the data with more the data here"
+    corpus = docs_df(spark, [
+        base + " neural networks " + base,
+        "neural networks " + base,
+        base + " neural networks",
+        "the with here more is data the with here",
+        "the with here more is data data the",
+        "neural networks again neural networks",
+    ])
+    out = top_pmi_bigrams(corpus, min_count=3, k=5).collect()
+    assert out[0]["w1"] == "neural" and out[0]["w2"] == "networks"
+    pmis = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+    assert all(pmis[("neural", "networks")] >= p for p in pmis.values())
