@@ -834,10 +834,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM trades GROUP BY symbol
             )
             SELECT t.symbol, count(*) AS n_trades,
-                   CAST(sum(CASE WHEN abs((t.price - s.mu) / s.sd)
+                   CAST(sum(CASE WHEN (CASE WHEN s.sd > 0
+                            THEN abs((t.price - s.mu) / s.sd)
+                            ELSE 0.0 END)
                         > {analytics.OUTLIER_Z} THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_outliers,
-                   round(max(abs((t.price - s.mu) / s.sd)), 4) AS max_abs_z
+                   round(max(CASE WHEN s.sd > 0
+                            THEN abs((t.price - s.mu) / s.sd)
+                            ELSE 0.0 END), 4) AS max_abs_z
             FROM trades t JOIN stats s USING (symbol)
             GROUP BY t.symbol ORDER BY t.symbol
         """,
@@ -1465,7 +1469,7 @@ def oracle_sql() -> dict[str, str]:
                        round(pow(
                            ({_h32_sql("'res' || doc_id")} + 1)
                                / CAST({2**32 + 1} AS DOUBLE),
-                           CAST(1.0 AS DOUBLE) / n_chars), 12) AS res_key
+                           CAST(1.0 AS DOUBLE) / greatest(n_chars, 1)), 12) AS res_key
                 FROM documents
             )
             SELECT doc_id, source, n_chars, round(res_key, 9) AS res_key

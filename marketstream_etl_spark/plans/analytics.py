@@ -706,10 +706,15 @@ def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("price").alias("mu"),
         F.stddev_samp("price").alias("sd"),
     )
-    z = (F.col("price") - F.col("mu")) / F.col("sd")
+    # sd == 0 (constant-price symbol) counts zero anomalies instead of
+    # aborting under ANSI division — same guard as streaming_anomaly
+    z = F.when(
+        F.col("sd") > 0,
+        F.abs((F.col("price") - F.col("mu")) / F.col("sd")),
+    ).otherwise(F.lit(0.0))
     return (
         t.join(F.broadcast(stats), "symbol")
-        .withColumn("abs_z", F.abs(z))
+        .withColumn("abs_z", z)
         .groupBy("symbol")
         .agg(
             F.count("*").alias("n_trades"),

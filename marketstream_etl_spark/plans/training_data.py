@@ -1074,8 +1074,15 @@ def q_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     u = (h32(F.concat(F.lit("res"), F.col("doc_id").cast("string")))
          + F.lit(1)).cast("double") / F.lit(float(2**32 + 1))
+    # weight floor of 1: an empty doc (n_chars 0) competes at the minimum
+    # weight instead of aborting the exponent's division under ANSI
     key = F.round(
-        F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")), 12
+        F.pow(
+            u,
+            F.lit(1.0)
+            / F.greatest(F.col("n_chars"), F.lit(1)).cast("double"),
+        ),
+        12,
     )
     return (
         docs.select("doc_id", "source", "n_chars", key.alias("res_key"))
