@@ -4,8 +4,14 @@ beyond the reference's fixed pipeline (the reference has no joins at all,
 SURVEY §2.6).
 
 Scale notes (100 TB posture):
-- Dimension tables (region/nation/customer/supplier/part) are broadcast —
-  `F.broadcast` hints keep the fact-table scan shuffle-free for those joins.
+- Only fixed-cardinality dimensions (region: 5 rows, nation: 25 rows) and
+  1-row aggregate frames (global max / avg / threshold scalars) carry
+  explicit `F.broadcast` hints — those are bounded at ANY scale factor.
+  Tables that grow linearly with SF (customer/supplier/part and per-part
+  aggregates) deliberately carry NO hint: at small SF the
+  autoBroadcastJoinThreshold / AQE runtime stats still pick a broadcast
+  join, and at 100 TB the same plan degrades gracefully to a shuffled
+  hash join instead of forcing a multi-GB broadcast (executor OOM).
 - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key once; AQE
   handles skew and post-shuffle coalescing.
 - Filters appear before joins so Catalyst pushes them into the parquet scan
@@ -44,7 +50,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 unshipped orders by revenue.
-    customer (broadcast) ⋈ orders ⋈ lineitem."""
+    customer ⋈ orders ⋈ lineitem (customer join auto-broadcast at small SF
+    via AQE/threshold; no forced hint — it scales with SF)."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -58,7 +65,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(
             orders, li.l_orderkey == orders.o_orderkey, "inner"
         )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
@@ -72,7 +79,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by nation where customer and supplier share
-    the nation; 6-table join, dims broadcast."""
+    the nation; 6-table join. nation/region broadcast (fixed cardinality);
+    customer/supplier joins left to AQE."""
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
     cust = load_table(spark, sf_dir, "customer")
@@ -84,9 +92,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -129,7 +137,7 @@ def q_top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     rev = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_partkey")
         .agg(
             F.round(
@@ -162,8 +170,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity") * F.lit(0.5)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -188,7 +196,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -210,7 +218,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -235,7 +243,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -290,8 +298,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)
@@ -312,7 +320,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_3 suppliers' share of the AMERICA market for
     STANDARD parts, by order year — conditional-sum ratio over a 7-table
-    join (every dimension broadcast, one fact-fact shuffle)."""
+    join (nation/region broadcast; part/customer/supplier AQE-selected;
+    one fact-fact shuffle)."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
@@ -332,12 +341,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(cnat), F.col("c_nationkey") == F.col("c_nkey"))
         .join(F.broadcast(region), F.col("c_rkey") == region.r_regionkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(snat), F.col("s_nationkey") == F.col("s_nkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -418,7 +427,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(max_rev),
             revenue.total_revenue == max_rev.max_revenue,
         )
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -430,7 +439,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (avg quantity per part) decorrelated into an agg + broadcast join."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     li = load_table(spark, sf_dir, "lineitem")
-    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+    branded = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     avg_qty = branded.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
@@ -438,7 +447,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         branded.join(
-            F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey")
+            avg_qty, F.col("l_partkey") == F.col("a_partkey")
         )
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
@@ -456,7 +465,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join; the residual OR is a post-join filter)."""
     part = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -540,7 +549,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         culprit.join(
-            F.broadcast(supp), F.col("late_supp") == supp.s_suppkey
+            supp, F.col("late_supp") == supp.s_suppkey
         )
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
@@ -561,21 +570,21 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     supp = load_table(spark, sf_dir, "supplier")
     ps = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select("l_partkey", "l_suppkey")
         .distinct()
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
     )
     min_bal = ps.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
         F.min("s_acctbal").alias("min_bal")
     )
     return (
         ps.join(
-            F.broadcast(min_bal),
+            min_bal,
             (F.col("l_partkey") == F.col("m_partkey"))
             & (F.col("s_acctbal") == F.col("min_bal")),
         )
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .select(
             F.round("s_acctbal", 4).alias("s_acctbal"),
             "s_name",
@@ -599,7 +608,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     base = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .select("l_partkey", rev.alias("rev"))
     )
@@ -625,8 +634,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_suppkey").alias("l_suppkey"))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_supp, "l_suppkey", "left_anti")
         .groupBy(
             "p_brand",
             "p_type",
@@ -650,7 +659,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     shipped = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -659,7 +668,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     heavy = (
         shipped.join(
-            F.broadcast(avg_per_part), F.col("l_partkey") == F.col("a_partkey")
+            avg_per_part, F.col("l_partkey") == F.col("a_partkey")
         )
         .filter(F.col("qty") > F.col("half_avg"))
         .select("l_suppkey")
