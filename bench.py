@@ -63,6 +63,44 @@ EXTRAS = [
 ]
 
 
+# Heavy extras bundle shared-index construction with the op itself; time
+# that setup separately so a future slowdown can be read as "the op
+# regressed" vs "the attribution shifted" (r5 VERDICT item 3).  Each entry:
+# a callable materializing just the setup, plus whether that setup lands in
+# a generation cache (True → the query's timed runs then EXCLUDE it; False
+# → every timed run re-pays it, so op ≈ query − setup).
+def _setup_pagerank(spark, sf_dir: str) -> None:
+    # LSH dup-graph construction (shared generation cache)
+    from marketstream_etl_spark.operators import dedup
+    from marketstream_etl_spark.sources.tables import load_table
+
+    dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).write.format("noop").mode("overwrite").save()
+
+
+def _setup_ivf_recall(spark, sf_dir: str) -> None:
+    # exact ground truth + Lloyd's codebook training (NOT cached: the
+    # driver-side training loop and the per-call persist re-run inside
+    # every timed query run)
+    from marketstream_etl_spark.operators.similarity import (
+        N_CENTROIDS,
+        ann_bruteforce,
+        kmeans_fit,
+    )
+    from marketstream_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann_bruteforce(emb).write.format("noop").mode("overwrite").save()
+    kmeans_fit(emb, k=N_CENTROIDS)
+
+
+EXTRA_SETUP = {
+    "source_pagerank": (_setup_pagerank, True),
+    "ann_ivf_trained_recall": (_setup_ivf_recall, False),
+}
+
+
 ETL_ROWS = 1_000_000  # the reference's published workload (BASELINE.md)
 ETL_CSV_DIR = "/tmp/marketstream_bench_csv_1m"
 ETL_WARM_DIR = "/tmp/marketstream_bench_csv_10k"
@@ -241,10 +279,16 @@ def main() -> None:
     # churn cannot perturb those numbers (measured: running them first
     # inflated etl_1m/stream_1m ~2x)
     extras: dict[str, float] = {}
+    extras_split: dict[str, dict] = {}
     for name in (n for n in EXTRAS if n in qs):
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
+        if name in EXTRA_SETUP:
+            setup_fn, cached = EXTRA_SETUP[name]
+            t0 = time.perf_counter()
+            setup_fn(spark, SF_DIR)
+            t_setup = round(time.perf_counter() - t0, 4)
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
@@ -253,6 +297,18 @@ def main() -> None:
             ).save()
             runs.append(round(time.perf_counter() - t0, 4))
         extras[name] = min(runs)
+        if name in EXTRA_SETUP:
+            extras_split[name] = {
+                "setup": t_setup,
+                "query": extras[name],
+                # cached=True: setup lives in a generation cache, so the
+                # timed query runs exclude it (op == query).  cached=False:
+                # every run re-pays setup (op ≈ query − setup).
+                "op": extras[name] if cached else round(
+                    max(0.0, extras[name] - t_setup), 4
+                ),
+                "setup_cached_into_query": cached,
+            }
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -267,6 +323,7 @@ def main() -> None:
                 "n_runs": N_RUNS,
                 "all_runs": all_runs,
                 "extras": extras,
+                "extras_split": extras_split,
             }
         )
     )

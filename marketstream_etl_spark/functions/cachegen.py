@@ -56,6 +56,53 @@ def input_paths(df: DataFrame) -> frozenset[str]:
         return frozenset()
 
 
+def input_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of the frame's scan inputs (0 when unknown).
+    Used to size SCAN parallelism to the data rather than the cluster:
+    a cached frame built at defaultParallelism for CPU-bound map work
+    can be read by scan-light consumers at a byte-proportional partition
+    count (see scan_coalesce) — per-task scheduling overhead dominates
+    tiny partitions, while at real scale the clamp makes it a no-op."""
+    total = 0
+    try:
+        for uri in df.inputFiles():
+            p = urlparse(uri).path
+            if p and os.path.exists(p):
+                total += os.stat(p).st_size
+    except Exception:
+        return 0
+    return total
+
+
+def scan_coalesce(
+    df: DataFrame,
+    source: DataFrame,
+    expansion: float = 40.0,
+    target_bytes: int = 32 << 20,
+) -> DataFrame:
+    """Coalesce a (typically cached) frame for scan-bound consumers so a
+    small dataset is not read in defaultParallelism near-empty tasks.
+
+    partitions = clamp(source_input_bytes * expansion / target_bytes,
+                       1, defaultParallelism)
+
+    - `expansion` estimates the frame's in-memory blowup vs its source
+      files (word shingles over compressed parquet text ≈ 40×).
+    - Unknown input size → no coalesce (never guess below the cluster).
+    - At large inputs the clamp hits defaultParallelism and coalesce()
+      is a no-op, so the 100 TB plan is untouched; this only removes
+      fixed per-task scheduling overhead on small inputs (measured
+      ~0.5 s/query at sf0.1 for 32 near-empty tasks per stage).
+    coalesce() is narrow — no shuffle; it merges cached partitions at
+    read time and leaves the build's parallelism alone."""
+    nbytes = input_bytes(source)
+    if nbytes <= 0:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n = max(1, min(par, int(nbytes * expansion // target_bytes) + 1))
+    return df.coalesce(n) if n < par else df
+
+
 _UNVERIFIABLE = 0
 
 

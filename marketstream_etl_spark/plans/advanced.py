@@ -215,10 +215,26 @@ def q_generator_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 10_000
     t = generate_trades(spark, n)
-    w = Window.orderBy("trade_id")
-    gap = F.col("timestamp") - F.lag("timestamp").over(w)
-    ann = t.withColumn("_gap", gap)
-    checks = ann.agg(
+    # Adjacent-pair timestamp gaps WITHOUT a global window: trade_ids are
+    # consecutive by construction, so pair row i with row i+1 via an
+    # equi-join on the shifted key — a fully parallel shuffle join at any
+    # n, where `Window.orderBy` with no partitionBy funnels the whole
+    # frame through ONE task (the r5 bench's single-partition warning —
+    # harmless at n=10k, but exactly the pattern that dies at scale).
+    # The pair-count conjunct keeps the check exact: n-1 pairs must exist.
+    prev = t.select("trade_id", F.col("timestamp").alias("_ts_prev"))
+    nxt = t.select(
+        (F.col("trade_id") - 1).alias("trade_id"),
+        F.col("timestamp").alias("_ts_next"),
+    )
+    gap = F.col("_ts_next") - F.col("_ts_prev")
+    gaps_ok = prev.join(nxt, "trade_id").agg(
+        (
+            F.min((gap >= 5_000) & (gap <= 50_000))
+            & (F.count("*") == n - 1)
+        ).alias("ts_gaps_in_range")
+    )
+    checks = t.agg(
         F.count("*").alias("n"),
         F.min(
             (F.col("price") >= 50.0) & (F.col("price") <= 99999.0)
@@ -226,16 +242,21 @@ def q_generator_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min((F.col("volume") >= 10) & (F.col("volume") <= 5000)).alias(
             "volume_bounded"
         ),
-        F.min(F.col("_gap").isNull() | ((F.col("_gap") >= 5_000) & (F.col("_gap") <= 50_000))).alias(
-            "ts_gaps_in_range"
-        ),
         F.min(F.col("side").isin("B", "S")).alias("side_valid"),
         F.min(F.col("type").isin("M", "L", "I")).alias("type_valid"),
     )
     validated = with_validation(generate_trades(spark, n)).agg(
         F.min("is_valid").alias("all_pass_validation")
     )
-    return checks.crossJoin(validated)
+    return checks.crossJoin(gaps_ok).crossJoin(validated).select(
+        "n",
+        "price_bounded",
+        "volume_bounded",
+        "ts_gaps_in_range",
+        "side_valid",
+        "type_valid",
+        "all_pass_validation",
+    )
 
 
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -338,24 +338,48 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (dedup.shingle_pairs_cached — same k, same tokenization, already
     distinct per doc), so a curation run that already deduped the corpus
     pays nothing extra to tokenize it again here."""
+    from marketstream_etl_spark.functions.cachegen import scan_coalesce
     from marketstream_etl_spark.functions.hashing import h32
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.shingle_pairs_cached(docs)
+    # contamination is SCAN-bound over the shared pairs cache (no per-row
+    # hashing beyond one md5 filter), so size the read parallelism to the
+    # data: the cache is built at defaultParallelism for the CPU-bound
+    # dedup consumers, but reading 32 near-empty partitions here costs
+    # ~0.5 s of pure task scheduling at sf0.1 (the r5 bench regression,
+    # pinned by measurement: coalesce(1) restored the r4 time with zero
+    # plan change).  The clamp makes this a no-op at large inputs.
+    pairs = scan_coalesce(
+        dedup.shingle_pairs_cached(docs), docs
+    )
     is_bench = h32(F.col("doc_id").cast("string")) % 20 == 0
     bench_shingles = (
         pairs.filter(is_bench).select("shingle").distinct()
     )
+    # ONE scan of the corpus side: a broadcast LEFT join with a hit marker
+    # folds the per-doc size count and the overlap count into the same
+    # aggregation (pairs are distinct per doc and bench_shingles is
+    # distinct, so join multiplicity is exactly 1 and count(*) is still
+    # the doc's shingle count).  r5 shipped this as sizes-agg + overlap-agg
+    # + join — three scans of the shared pairs cache and an extra shuffle —
+    # which regressed the warm bench 0.44→0.96 s; this single-pass shape
+    # restores it without giving up the shared shingle_pairs generation.
     corpus = pairs.filter(~is_bench)
-    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     overlap = (
-        corpus.join(F.broadcast(bench_shingles), "shingle")
+        corpus.join(
+            F.broadcast(bench_shingles.withColumn("_hit", F.lit(1))),
+            "shingle",
+            "left",
+        )
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_overlap"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)  # inner-join semantics preserved
     )
     return (
-        sizes.join(overlap, "doc_id")  # inner: only contaminated docs
-        .select(
+        overlap.select(
             "doc_id",
             "n_shingles",
             "n_overlap",
