@@ -284,18 +284,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # still runs under tools/check_oracle.py locally.
     qs = {
         # --- trade domain (reference parity, SURVEY §2.2-2.5) ---
-        # r5 slot rotation (r4 VERDICT items 3+4): parallel_jdbc_roundtrip
-        # gives S9 its driver row (the one §2 op that was pytest-only);
-        # ewma_price, streaming_cms, doc_repetition, pattern_similarity
-        # rotate in from the fold.  Displaced — symbol_history (subsumed by
-        # partition_pruning + rsi_signals coverage), trade_count /
-        # dedup_trades (both 1-row COUNT shapes, green r3+r4),
-        # cms_heavy_hitters + pii_redaction (green r4) — move after the
-        # fold, still check_oracle-verified locally every round.
+        # r6 slot rotation (r5 VERDICT item 4): bm25_search, lm_perplexity,
+        # weighted_reservoir, json_corrupt_records, streaming_anomaly take
+        # driver rows.  Displaced — validate_fixture (validate_split +
+        # validation_counts + csv_fixture_roundtrip keep the V-family
+        # golden), ewma_price (W family held by indicators +
+        # rolling_indicators), dedup_ngram_jaccard (minhash/simhash/
+        # clusters keep the family), ann_lsh (bruteforce/pq/kmeans keep
+        # ANN), streaming_dedup (the watermarked twin is the stronger
+        # row) — all long-green, still check_oracle-verified locally.
         "trades_view": analytics.q_trades_view,
         "validate_split": analytics.q_validate_split,
         "csv_fixture_roundtrip": analytics.q_csv_fixture_roundtrip,
-        "validate_fixture": analytics.q_validate_fixture,
         "validation_counts": analytics.q_validation_counts,
         "indicators": analytics.q_indicators,
         "rsi_wilder": analytics.q_rsi_wilder,
@@ -304,15 +304,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parquet_sink_roundtrip": analytics.q_parquet_sink_roundtrip,
         "parallel_jdbc_roundtrip": analytics.q_parallel_jdbc_roundtrip,  # S9
         "ohlc_bars": analytics.q_ohlc_bars,
-        "ewma_price": analytics.q_ewma_price,
         # --- streaming (real Structured Streaming runs; ST1-ST7) — 12 ---
         "streaming_counts": _stream_counts,
         "streaming_windowed": _stream_windowed,
         "streaming_ohlc": _stream_ohlc,
         "streaming_deadletter": _stream_deadletter,
         "streaming_socket": _stream_socket,
-        "streaming_dedup": _stream_dedup,
         "streaming_dedup_watermarked": _stream_dedup_watermarked,
+        "streaming_anomaly": _stream_anomaly,
         "streaming_join": _stream_join,
         "streaming_stateful": _stream_stateful,
         "streaming_sessions": _stream_sessions,
@@ -339,7 +338,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # runs after minhash_lsh so the gate attributes the shared LSH
         # cache population to the dedup row, not the graph row
         "source_pagerank": training_data.q_source_pagerank,
-        "dedup_ngram_jaccard": training_data.q_dedup_ngram_jaccard,
         "simhash_pairs": training_data.q_simhash_pairs,
         "ann_bruteforce": training_data.q_ann_bruteforce,
         "multimodal_features": training_data.q_multimodal_features,
@@ -349,14 +347,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_features keeps the family's mapInPandas row) — the
         # displaced pair stays check_oracle-verified locally every round.
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
-        "ann_lsh": training_data.q_ann_lsh,
         "dedup_clusters": training_data.q_dedup_clusters,
         "ann_pq": training_data.q_ann_pq,
         "corpus_curation": training_data.q_corpus_curation,
         "contamination": training_data.q_contamination,
         "doc_repetition": training_data.q_doc_repetition,
         "pattern_similarity": advanced.q_pattern_similarity,
+        "bm25_search": training_data.q_bm25_search,
+        "lm_perplexity": training_data.q_lm_perplexity,
+        "weighted_reservoir": training_data.q_weighted_reservoir,
+        "json_corrupt_records": training_data.q_json_corrupt_records,
         # ---------------- fold: slot 51+ ----------------
+        "validate_fixture": analytics.q_validate_fixture,
+        "ewma_price": analytics.q_ewma_price,
+        "streaming_dedup": _stream_dedup,
+        "dedup_ngram_jaccard": training_data.q_dedup_ngram_jaccard,
+        "ann_lsh": training_data.q_ann_lsh,
         "symbol_history": analytics.q_symbol_history,
         "trade_count": analytics.q_trade_count,
         "dedup_trades": analytics.q_dedup_trades,
@@ -399,17 +405,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": training_data.q_dedup_edit_distance,
         "ann_ivf": training_data.q_ann_ivf,
         "ann_ivfpq": training_data.q_ann_ivfpq,
-        "bm25_search": training_data.q_bm25_search,
         "dedup_collapse_weighted": training_data.q_dedup_collapse_weighted,
         "streaming_ivf_assign": training_data.q_streaming_ivf_assign,
-        "lm_perplexity": training_data.q_lm_perplexity,
         "binary_ingest": training_data.q_binary_ingest,
         "embedding_quantize": training_data.q_embedding_quantize,
-        "json_corrupt_records": training_data.q_json_corrupt_records,
         "streaming_python_datasource": advanced.q_streaming_python_datasource,
-        "weighted_reservoir": training_data.q_weighted_reservoir,
         "quality_percentile_filter": training_data.q_quality_percentile_filter,
-        "streaming_anomaly": _stream_anomaly,
         "top_pmi_bigrams": training_data.q_top_pmi_bigrams,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
