@@ -1249,8 +1249,8 @@ def ann_ivfpq_sql(
 
 
 # ---------------------------------------------------------------------------
-# int8 embedding quantization — the STORAGE lever next to PQ's index
-# lever: per-dimension affine quantization to one byte (4× smaller than
+# uint8 (1-byte) embedding quantization — the STORAGE lever next to PQ's
+# index lever: per-dim affine quantization to one byte (4× smaller than
 # float32) keeps a rerank-fidelity copy of the corpus in memory where the
 # floats would not fit; the operator audits what that costs, per label,
 # as reconstruction-error statistics.  Quantization uses an explicit
@@ -1262,8 +1262,10 @@ QUANT_LEVELS = 255
 
 
 def embedding_quantize_error(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
-    """(label, n_vectors, max_abs_err, mse) of the int8 round-trip under
-    per-dimension corpus min/max scaling, ordered by label.
+    """(label, n_vectors, max_abs_err, mse) of the uint8 round-trip under
+    per-dimension corpus min/max scaling, ordered by label.  Codes span
+    0..QUANT_LEVELS (0..255) — UNSIGNED one-byte storage; signed int8
+    would overflow at 128 (r5 ADVICE).
 
     Plan: one posexplode pass feeds the per-dim min/max (64-row
     broadcast) and the element stream; quantize/dequantize/error is

@@ -1063,9 +1063,9 @@ def q_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """int8 storage-quantization audit (operators/similarity.py::
+    """uint8 storage-quantization audit (operators/similarity.py::
     embedding_quantize_error): per-label reconstruction error of the 4×
-    smaller per-dim affine int8 round-trip — the fidelity report behind
+    smaller per-dim affine uint8 round-trip — the fidelity report behind
     keeping a rerank copy of the corpus in executor memory."""
     return similarity.embedding_quantize_error(
         load_table(spark, sf_dir, "embeddings")
