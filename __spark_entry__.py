@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_python_datasource": advanced.q_streaming_python_datasource,
         "quality_percentile_filter": training_data.q_quality_percentile_filter,
         "top_pmi_bigrams": training_data.q_top_pmi_bigrams,
+        "token_drift": training_data.q_token_drift,
+        "dedup_family_agreement": training_data.q_dedup_family_agreement,
+        "cluster_profile": training_data.q_cluster_profile,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1461,6 +1464,126 @@ def oracle_sql() -> dict[str, str]:
         "streaming_ivf_assign": _stream_docs.stream_ivf_assign_sql(),
         "lm_perplexity": _lm.lm_perplexity_sql(),
         "top_pmi_bigrams": _lm.top_pmi_bigrams_sql(),
+        # chi-square drift: exact integer counts, IEEE-only float steps,
+        # per-term fixed-point floor(x*1e6+0.5) so the sum is
+        # order-independent — mirrors q_token_drift step for step
+        "token_drift": f"""
+            WITH toks AS MATERIALIZED (
+                SELECT source, unnest({_tokens_sql("text")}) AS token
+                FROM documents
+            ), per AS MATERIALIZED (
+                SELECT source, token, CAST(count(*) AS BIGINT) AS c
+                FROM toks GROUP BY 1, 2
+            ), gcnt AS MATERIALIZED (
+                SELECT token, CAST(sum(c) AS BIGINT) AS cg
+                FROM per GROUP BY 1 HAVING sum(c) >= 5
+            ), tg AS MATERIALIZED (
+                SELECT CAST(sum(cg) AS BIGINT) AS tg FROM gcnt
+            ), kept AS MATERIALIZED (
+                SELECT p.source, p.token, p.c, g.cg
+                FROM per p JOIN gcnt g USING (token)
+            ), totals AS MATERIALIZED (
+                SELECT source, CAST(sum(c) AS BIGINT) AS t,
+                       CAST(sum(cg) AS BIGINT) AS cg_present,
+                       count(*) AS n_tokens
+                FROM kept GROUP BY 1
+            ), present AS (
+                SELECT k.source,
+                       CAST(sum(CAST(floor(
+                           ((k.c::DOUBLE * tg.tg::DOUBLE)
+                              - (tt.t::DOUBLE * k.cg::DOUBLE))
+                           * ((k.c::DOUBLE * tg.tg::DOUBLE)
+                              - (tt.t::DOUBLE * k.cg::DOUBLE))
+                           / (tt.t::DOUBLE * k.cg::DOUBLE * tg.tg::DOUBLE)
+                           * 1e6 + 0.5
+                       ) AS BIGINT)) AS BIGINT) AS chi2_fp
+                FROM kept k
+                JOIN totals tt USING (source)
+                CROSS JOIN tg
+                GROUP BY 1
+            )
+            SELECT t.source, t.n_tokens,
+                   floor((p.chi2_fp::DOUBLE / 1e6
+                          + (t.t::DOUBLE / tg.tg::DOUBLE)
+                            * (tg.tg::DOUBLE - t.cg_present::DOUBLE))
+                         * 1e4 + 0.5) / 1e4 AS chi2
+            FROM totals t JOIN present p USING (source) CROSS JOIN tg
+            ORDER BY t.source
+        """,
+        # full-outer pair-set agreement over the two family oracles;
+        # floor(x*1e6+0.5) mirrors the Spark side's rounding-mode dodge
+        "dedup_family_agreement": f"""
+            WITH mh AS MATERIALIZED (
+                SELECT doc_a, doc_b FROM ({_dedup.minhash_lsh_pairs_sql()})
+            ), sh AS MATERIALIZED (
+                SELECT doc_a, doc_b FROM ({_dedup.simhash_near_pairs_sql()})
+            ), j AS (
+                SELECT coalesce(m.doc_a, s.doc_a) AS doc_a,
+                       m.doc_a IS NOT NULL AS in_mh,
+                       s.doc_a IS NOT NULL AS in_sh
+                FROM mh m
+                FULL OUTER JOIN sh s
+                  ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_union,
+                   CAST(sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_both,
+                   CAST(sum(CASE WHEN in_mh AND NOT in_sh THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_minhash_only,
+                   CAST(sum(CASE WHEN NOT in_mh AND in_sh THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_simhash_only,
+                   floor(
+                       sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END)::DOUBLE
+                       / count(*)::DOUBLE * 1e6 + 0.5
+                   ) / 1e6 AS pair_jaccard
+            FROM j
+        """,
+        # trained-codebook replay (kmeans_cent_rel: same init, 6-dp
+        # centroid rounding, (dist, cid) ties) + one assignment pass;
+        # majority pick ORDER BY n DESC, label = Spark's (n, -label)
+        # struct max; purity floor-fixed-pointed like the Spark side
+        "cluster_profile": f"""
+            WITH ev AS MATERIALIZED (
+                SELECT vec_id, label,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+            ), ce AS MATERIALIZED (
+                SELECT vec_id AS cid,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+                FROM {_sim.kmeans_cent_rel()}
+            ), asg AS (
+                SELECT vec_id, label, cid FROM (
+                    SELECT d.*, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                    FROM (
+                        SELECT e.vec_id, e.label, c.cid,
+                               list_sum(list_transform(
+                                   range(1, {_sim.EMB_DIM} + 1),
+                                   j -> (e.v[j] - c.cv[j])
+                                        * (e.v[j] - c.cv[j])
+                               )) AS dist
+                        FROM ev e, ce c
+                    ) d
+                ) WHERE rn = 1
+            ), pl AS MATERIALIZED (
+                SELECT cid, label, CAST(count(*) AS BIGINT) AS n
+                FROM asg GROUP BY 1, 2
+            ), tot AS (
+                SELECT cid, CAST(sum(n) AS BIGINT) AS n_vectors
+                FROM pl GROUP BY 1
+            ), maj AS (
+                SELECT cid, label AS majority_label, n AS n_major FROM (
+                    SELECT pl.*, row_number() OVER (
+                        PARTITION BY cid ORDER BY n DESC, label) AS rn
+                    FROM pl
+                ) WHERE rn = 1
+            )
+            SELECT t.cid, t.n_vectors, m.majority_label,
+                   floor(m.n_major::DOUBLE / t.n_vectors::DOUBLE * 1e6 + 0.5)
+                       / 1e6 AS purity
+            FROM tot t JOIN maj m USING (cid)
+            ORDER BY t.cid
+        """,
         "binary_ingest": _binassets.binary_ingest_sql(),
         "embedding_quantize": _sim.embedding_quantize_error_sql(),
         "json_corrupt_records": _formats.json_corrupt_records_sql(),

@@ -554,6 +554,17 @@ def kmeans_train(
     )
 
 
+def kmeans_assign(
+    emb: DataFrame, cents: dict[int, list[float]]
+) -> DataFrame:
+    """Public nearest-centroid assignment over raw embedding rows:
+    (vec_id, cid) via the same broadcast-literal argmin as training
+    (_assign), so downstream profiling ops never reach into the
+    module's privates."""
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    return _assign(base, cents).select("vec_id", "cid")
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = KMEANS_K,

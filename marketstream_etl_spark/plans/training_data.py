@@ -1159,3 +1159,200 @@ def q_top_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators import lm
 
     return lm.top_pmi_bigrams(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift vs the whole corpus: Pearson
+    chi-square statistic of each source's token counts against the
+    corpus-wide distribution, over the shared vocabulary (global count
+    >= 5, the classic expected-count validity floor).  The monitoring
+    pass a training pipeline runs per crawl snapshot — a source whose
+    statistic jumps has shifted vocabulary (template churn, spam influx,
+    language drift) and needs re-sampling before it skews the mixture.
+
+    Scale shape: two partial-aggregated groupBys (per-(source,token),
+    then per-token) and one join of per-token counts back to per-source
+    rows — no densified source×vocab cross join: the zero-cell mass is
+    folded in CLOSED FORM as (t_s/T)·(T − Σ_present cg), so shuffle
+    volume is bounded by the observed (source, token) pairs.
+
+    Cross-engine determinism: counts are exact integers; every floating
+    step is plain IEEE arithmetic (no libm), per-term values are
+    fixed-pointed via floor(x·1e6 + 0.5) into BIGINTs so the sum is
+    order-independent, and the final statistic rounds the same way."""
+    from marketstream_etl_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    per = toks.groupBy("source", "token").agg(F.count("*").alias("c"))
+    glob = (
+        per.groupBy("token")
+        .agg(F.sum("c").alias("cg"))
+        .filter(F.col("cg") >= 5)
+    )
+    tg = glob.agg(F.sum("cg").alias("tg"))
+    kept = per.join(glob, "token")
+    totals = kept.groupBy("source").agg(
+        F.sum("c").alias("t"),
+        F.sum("cg").alias("cg_present"),
+        F.count("*").alias("n_tokens"),
+    )
+    c = F.col("c").cast("double")
+    cgd = F.col("cg").cast("double")
+    td = F.col("t").cast("double")
+    tgd = F.col("tg").cast("double")
+    num = c * tgd - td * cgd
+    term_fp = F.floor(
+        (num * num / (td * cgd * tgd)) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    present = (
+        kept.join(totals.select("source", "t"), "source")
+        .crossJoin(F.broadcast(tg))
+        .groupBy("source")
+        .agg(F.sum(term_fp).alias("chi2_fp"))
+    )
+    out = (
+        totals.join(present, "source")
+        .crossJoin(F.broadcast(tg))
+        .select(
+            "source",
+            "n_tokens",
+            F.floor(
+                (
+                    F.col("chi2_fp").cast("double") / F.lit(1e6)
+                    + (
+                        F.col("t").cast("double")
+                        / F.col("tg").cast("double")
+                    )
+                    * (
+                        F.col("tg").cast("double")
+                        - F.col("cg_present").cast("double")
+                    )
+                )
+                * F.lit(1e4)
+                + F.lit(0.5)
+            ).cast("double")
+            .alias("chi2_x1e4"),
+        )
+        .withColumn("chi2", F.col("chi2_x1e4") / F.lit(1e4))
+        .drop("chi2_x1e4")
+        .orderBy("source")
+    )
+    return out
+
+
+def q_dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-family dedup audit: agreement between the MinHash-LSH
+    (shingle-Jaccard) and SimHash (weighted-token hamming) near-dup
+    detectors over the same corpus — the calibration readout that tells a
+    pipeline owner whether the cheap signature family can stand in for
+    the expensive one on their data (high pair-set Jaccard) or whether the
+    two catch DIFFERENT duplicate populations and must be unioned.
+
+    One full-outer join of two already-cached tiny pair frames, then a
+    single-row aggregate; both inputs come from their generation caches,
+    so this audit is free after any dedup pass has run."""
+    from marketstream_etl_spark.sources.tables import table_row_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = (
+        dedup.minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        .withColumn("in_mh", F.lit(1))
+    )
+    sh = (
+        dedup.simhash_near_pairs(
+            docs, approx_docs=table_row_count(sf_dir, "documents")
+        )
+        .select("doc_a", "doc_b")
+        .withColumn("in_sh", F.lit(1))
+    )
+    j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    both = (F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull()).cast(
+        "long"
+    )
+    mh_only = (F.col("in_mh").isNotNull() & F.col("in_sh").isNull()).cast(
+        "long"
+    )
+    sh_only = (F.col("in_mh").isNull() & F.col("in_sh").isNotNull()).cast(
+        "long"
+    )
+    agg = j.agg(
+        F.count("*").alias("n_union"),
+        F.sum(both).alias("n_both"),
+        F.sum(mh_only).alias("n_minhash_only"),
+        F.sum(sh_only).alias("n_simhash_only"),
+    )
+    # floor(x*1e6+0.5): engine-independent rounding (HALF_UP vs HALF_EVEN)
+    pair_jac = (
+        F.floor(
+            F.col("n_both").cast("double")
+            / F.col("n_union").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    return agg.select(
+        "n_union",
+        "n_both",
+        "n_minhash_only",
+        "n_simhash_only",
+        pair_jac.alias("pair_jaccard"),
+    )
+
+
+def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cluster purity profile: assign every embedding to its
+    trained k-means centroid (similarity.kmeans_fit — the same Lloyd's
+    codebook the IVF index uses), then report per cluster the member
+    count, the majority class label, and the purity (majority share) —
+    the standard clustering-quality readout a curation pipeline uses to
+    decide whether embedding clusters are clean enough to drive
+    stratified sampling or topic-balanced mixtures.
+
+    Scale shape: assignment is map-only against the broadcast k×dim
+    literal codebook; the profile is two partial-aggregated groupBys
+    over (cid, label) — bounded by k×n_labels rows after the first
+    combine, so the shuffle is constant-size regardless of corpus rows.
+
+    Determinism: member counts are exact integers; the majority pick is
+    a lexicographic struct max — (n, −label), so ties break on the LOWER
+    label exactly like the oracle's ORDER BY n DESC, label; purity uses
+    the floor(x·1e6 + 0.5) fixed-point rounding both engines share."""
+    from marketstream_etl_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb)
+    labeled = kmeans_assign(emb, cents).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    pl = labeled.groupBy("cid", "label").agg(F.count("*").alias("n"))
+    tot = pl.groupBy("cid").agg(F.sum("n").alias("n_vectors"))
+    m = F.max(
+        F.struct(F.col("n").alias("n"), (-F.col("label")).alias("neg"))
+    )
+    maj = pl.groupBy("cid").agg(m.alias("m")).select(
+        "cid",
+        (-F.col("m.neg")).alias("majority_label"),
+        F.col("m.n").alias("n_major"),
+    )
+    purity = (
+        F.floor(
+            F.col("n_major").cast("double")
+            / F.col("n_vectors").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        tot.join(maj, "cid")
+        .select("cid", "n_vectors", "majority_label", purity.alias("purity"))
+        .orderBy("cid")
+    )

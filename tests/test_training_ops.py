@@ -97,3 +97,82 @@ def test_quality_percentile_filter_keeps_top_share_per_source(spark, sf_dir):
         # percent_rank >= 0.4 keeps the top ceil(0.6*(n-1))+1-ish share
         assert 0.55 * n <= row["n_kept"] <= 0.65 * n + 1
         assert 0.0 <= row["min_kept_score"] <= row["avg_kept_score"] <= 1.0
+
+
+# --- r6 additions: drift / agreement / cluster-profile ---------------------
+
+
+def test_token_drift_identical_sources_near_zero(spark, tmp_path):
+    """Two sources with IDENTICAL token distributions must show (near-)zero
+    chi-square; a third with disjoint vocabulary must dominate."""
+    from marketstream_etl_spark.plans.training_data import q_token_drift
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    # conftest.write_docs_parquet pins source='src0'; this test needs
+    # per-source control, so it builds the table directly
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_src = (
+        [("same_a", base)] * 10
+        + [("same_b", base)] * 10
+        + [("shifted", "omega psi chi phi upsilon tau sigma rho " * 4)] * 10
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows_src)), pa.int64()),
+                "text": pa.array([t for _, t in rows_src], pa.string()),
+                "lang": pa.array(["en"] * len(rows_src), pa.string()),
+                "source": pa.array([s for s, _ in rows_src], pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for _, t in rows_src], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {
+        r["source"]: r
+        for r in q_token_drift(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"same_a", "same_b", "shifted"}
+    # identical-to-each-other sources are NOT identical to the corpus
+    # (the corpus includes 'shifted'), but they must tie exactly...
+    assert out["same_a"]["chi2"] == out["same_b"]["chi2"]
+    # ...and the disjoint-vocabulary source must dominate both
+    assert out["shifted"]["chi2"] > out["same_a"]["chi2"]
+    assert all(r["chi2"] >= 0.0 for r in out.values())
+
+
+def test_dedup_family_agreement_partition(spark, sf_dir):
+    from marketstream_etl_spark.plans.training_data import (
+        q_dedup_family_agreement,
+    )
+
+    rows = q_dedup_family_agreement(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_union"] == (
+        r["n_both"] + r["n_minhash_only"] + r["n_simhash_only"]
+    )
+    assert 0.0 <= r["pair_jaccard"] <= 1.0
+
+
+def test_cluster_profile_partitions_all_vectors(spark, sf_dir):
+    from marketstream_etl_spark.operators.similarity import KMEANS_K
+    from marketstream_etl_spark.plans.training_data import q_cluster_profile
+    from marketstream_etl_spark.sources.tables import load_table
+
+    prof = q_cluster_profile(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_emb = emb.count()
+    labels = {r["label"] for r in emb.select("label").distinct().collect()}
+    assert 1 <= len(prof) <= KMEANS_K
+    assert sum(r["n_vectors"] for r in prof) == n_emb  # a true partition
+    for r in prof:
+        assert r["majority_label"] in labels
+        assert 0.0 < r["purity"] <= 1.0
+        # purity can never be below the uniform floor 1/n_labels... only
+        # for the majority pick: majority count >= ceil(n/|labels|)
+        assert r["purity"] >= 1.0 / max(len(labels), 1) - 1e-9
