@@ -415,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_drift": training_data.q_token_drift,
         "dedup_family_agreement": training_data.q_dedup_family_agreement,
         "cluster_profile": training_data.q_cluster_profile,
+        "ann_truncated_recall": training_data.q_ann_truncated_recall,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1583,6 +1584,50 @@ def oracle_sql() -> dict[str, str]:
                        / 1e6 AS purity
             FROM tot t JOIN maj m USING (cid)
             ORDER BY t.cid
+        """,
+        # truncated-prefix recall vs full-dim exact top-k; list slicing
+        # embedding[1:d] mirrors Spark's F.slice(embedding, 1, d)
+        "ann_truncated_recall": f"""
+            WITH exact AS MATERIALIZED (
+                SELECT query_id, neighbor_id
+                FROM ({_sim.ann_bruteforce_sql()})
+            ), tot AS (
+                SELECT query_id, CAST(count(*) AS BIGINT) AS k
+                FROM exact GROUP BY 1
+            ), a16 AS MATERIALIZED (
+                SELECT query_id, neighbor_id
+                FROM ({_sim.ann_bruteforce_sql_over(
+                    q_rel=("(SELECT vec_id, embedding[1:16] AS embedding "
+                           f"FROM embeddings WHERE vec_id < {_sim.N_QUERIES})"),
+                    e_rel="(SELECT vec_id, embedding[1:16] AS embedding "
+                          "FROM embeddings)")})
+            ), a32 AS MATERIALIZED (
+                SELECT query_id, neighbor_id
+                FROM ({_sim.ann_bruteforce_sql_over(
+                    q_rel=("(SELECT vec_id, embedding[1:32] AS embedding "
+                           f"FROM embeddings WHERE vec_id < {_sim.N_QUERIES})"),
+                    e_rel="(SELECT vec_id, embedding[1:32] AS embedding "
+                          "FROM embeddings)")})
+            ), h16 AS (
+                SELECT e.query_id, CAST(count(*) AS BIGINT) AS h
+                FROM exact e JOIN a16 a
+                  ON e.query_id = a.query_id
+                 AND e.neighbor_id = a.neighbor_id
+                GROUP BY 1
+            ), h32 AS (
+                SELECT e.query_id, CAST(count(*) AS BIGINT) AS h
+                FROM exact e JOIN a32 a
+                  ON e.query_id = a.query_id
+                 AND e.neighbor_id = a.neighbor_id
+                GROUP BY 1
+            )
+            SELECT t.query_id,
+                   round(coalesce(h16.h, 0) / t.k, 6) AS recall_d16,
+                   round(coalesce(h32.h, 0) / t.k, 6) AS recall_d32
+            FROM tot t
+            LEFT JOIN h16 ON t.query_id = h16.query_id
+            LEFT JOIN h32 ON t.query_id = h32.query_id
+            ORDER BY t.query_id
         """,
         "binary_ingest": _binassets.binary_ingest_sql(),
         "embedding_quantize": _sim.embedding_quantize_error_sql(),

@@ -103,6 +103,28 @@ def ann_bruteforce(
     ).orderBy("query_id", "rank")
 
 
+def ann_bruteforce_sql_over(
+    q_rel: str, e_rel: str, k: int = TOP_K
+) -> str:
+    """ann_bruteforce's oracle over ARBITRARY (vec_id, embedding)
+    relations — lets composed audits (dimension truncation, re-ranking)
+    replay the exact top-k against transformed embedding views."""
+    pair = _COSINE_PAIR_SQL.format(q=q_rel, e=e_rel)
+    return f"""
+        WITH scored AS ({pair}),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+               CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank
+    """
+
+
 def ann_bruteforce_sql(n_queries: int = N_QUERIES, k: int = TOP_K) -> str:
     pair = _COSINE_PAIR_SQL.format(
         q=f"(SELECT * FROM embeddings WHERE vec_id < {n_queries})",

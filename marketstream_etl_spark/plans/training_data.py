@@ -1356,3 +1356,48 @@ def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "n_vectors", "majority_label", purity.alias("purity"))
         .orderBy("cid")
     )
+
+
+def q_ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: recall@k of exact
+    cosine top-k computed on only the FIRST 16 / 32 of the 64 embedding
+    dims, against the full-dim ground truth — the measurement behind the
+    cheapest vector-storage lever there is (keep a prefix, drop the rest:
+    4× / 2× smaller with zero re-encoding).  Production pipelines run
+    exactly this audit before committing to a truncated index tier.
+
+    Composition mirrors ann_ivf_trained_recall: ground truth persisted
+    once, each truncated variant joined per query; all cosine arithmetic
+    is the shared left-to-right double accumulation, truncation is
+    F.slice / list-slice so both engines score identical prefixes."""
+    from marketstream_etl_spark.operators.similarity import ann_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = (
+        ann_bruteforce(emb)
+        .select("query_id", F.col("neighbor_id").alias("exact_n"))
+        .persist()
+    )
+    out = exact.groupBy("query_id").agg(F.count("*").alias("k"))
+    for d in (16, 32):
+        approx = ann_bruteforce(
+            emb.withColumn("embedding", F.slice("embedding", 1, d))
+        ).select("query_id", F.col("neighbor_id").alias("approx_n"))
+        hits = (
+            exact.join(
+                approx,
+                (exact.query_id == approx.query_id)
+                & (exact.exact_n == approx.approx_n),
+            )
+            .groupBy(exact.query_id)
+            .agg(F.count("*").alias(f"h_{d}"))
+        )
+        out = out.join(hits, "query_id", "left").withColumn(
+            f"recall_d{d}",
+            F.round(
+                F.coalesce(F.col(f"h_{d}"), F.lit(0)) / F.col("k"), 6
+            ),
+        )
+    return out.select(
+        "query_id", "recall_d16", "recall_d32"
+    ).orderBy("query_id")

@@ -176,3 +176,20 @@ def test_cluster_profile_partitions_all_vectors(spark, sf_dir):
         # purity can never be below the uniform floor 1/n_labels... only
         # for the majority pick: majority count >= ceil(n/|labels|)
         assert r["purity"] >= 1.0 / max(len(labels), 1) - 1e-9
+
+
+def test_ann_truncated_recall_monotone(spark, sf_dir):
+    """More dims can only help (statistically): recall_d32 should be >=
+    recall_d16 on average, and both live in [0, 1]."""
+    from marketstream_etl_spark.plans.training_data import (
+        q_ann_truncated_recall,
+    )
+
+    rows = q_ann_truncated_recall(spark, sf_dir).collect()
+    assert rows, "query set must be non-empty"
+    for r in rows:
+        assert 0.0 <= r["recall_d16"] <= 1.0
+        assert 0.0 <= r["recall_d32"] <= 1.0
+    mean16 = sum(r["recall_d16"] for r in rows) / len(rows)
+    mean32 = sum(r["recall_d32"] for r in rows) / len(rows)
+    assert mean32 >= mean16 - 1e-9
