@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_family_agreement": training_data.q_dedup_family_agreement,
         "cluster_profile": training_data.q_cluster_profile,
         "ann_truncated_recall": training_data.q_ann_truncated_recall,
+        "contamination_verbatim": training_data.q_contamination_verbatim,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1628,6 +1629,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN h16 ON t.query_id = h16.query_id
             LEFT JOIN h32 ON t.query_id = h32.query_id
             ORDER BY t.query_id
+        """,
+        # 13-gram verbatim decontamination; floor fixed-point like Spark
+        "contamination_verbatim": f"""
+            WITH sh AS MATERIALIZED (
+                SELECT doc_id,
+                       {_h32_sql("CAST(doc_id AS VARCHAR)")} % 20 = 0
+                           AS is_bench,
+                       unnest(list_distinct(
+                           {_shingles_sql(_tokens_sql("text"), 13)}
+                       )) AS s
+                FROM documents
+            ), b AS (
+                SELECT DISTINCT s FROM sh WHERE is_bench
+            ), agg AS (
+                SELECT c.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_13grams,
+                       CAST(count(b.s) AS BIGINT) AS n_hits
+                FROM (SELECT doc_id, s FROM sh WHERE NOT is_bench) c
+                LEFT JOIN b ON c.s = b.s
+                GROUP BY 1
+            )
+            SELECT doc_id, n_13grams, n_hits,
+                   floor(n_hits::DOUBLE / n_13grams::DOUBLE * 1e6 + 0.5)
+                       / 1e6 AS verbatim_frac
+            FROM agg WHERE n_hits > 0
+            ORDER BY doc_id
         """,
         "binary_ingest": _binassets.binary_ingest_sql(),
         "embedding_quantize": _sim.embedding_quantize_error_sql(),

@@ -1401,3 +1401,53 @@ def q_ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "recall_d16", "recall_d32"
     ).orderBy("query_id")
+
+
+def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-span verbatim contamination: word-13-gram exact overlap
+    between corpus documents and the held-out benchmark slice — the
+    GPT-3-style decontamination rule that catches COPIED eval text, the
+    complement of q_contamination's fuzzier 3-gram overlap score (3-grams
+    flag topical similarity; an exact 13-gram is essentially proof of
+    verbatim duplication).
+
+    Same single-pass scale shape as q_contamination: benchmark 13-grams
+    are distinct-compressed and broadcast, the corpus side is scanned
+    once with a map-side left join, and per-doc totals + hits fold into
+    one aggregation.  13-grams are built inline (no cache family): the
+    pass is one explode over the token stream, and unlike the 3-gram
+    frame no sibling operator shares it."""
+    from marketstream_etl_spark.functions.hashing import h32, shingles, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        (h32(F.col("doc_id").cast("string")) % 20 == 0).alias("is_bench"),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col("text")), 13))
+        ).alias("s"),
+    )
+    bench = sh.filter("is_bench").select("s").distinct()
+    corpus = sh.filter(~F.col("is_bench"))
+    frac = (
+        F.floor(
+            F.col("n_hits").cast("double")
+            / F.col("n_13grams").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        corpus.join(
+            F.broadcast(bench.withColumn("_hit", F.lit(1))), "s", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_13grams"),
+            F.count("_hit").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select("doc_id", "n_13grams", "n_hits", frac.alias("verbatim_frac"))
+        .orderBy("doc_id")
+    )

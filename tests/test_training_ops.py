@@ -193,3 +193,51 @@ def test_ann_truncated_recall_monotone(spark, sf_dir):
     mean16 = sum(r["recall_d16"] for r in rows) / len(rows)
     mean32 = sum(r["recall_d32"] for r in rows) / len(rows)
     assert mean32 >= mean16 - 1e-9
+
+
+def test_contamination_verbatim_catches_copied_span(spark, tmp_path):
+    """A corpus doc that copies a 13-token span from a benchmark doc must
+    be flagged; an unrelated doc must not."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marketstream_etl_spark.plans.training_data import (
+        q_contamination_verbatim,
+    )
+
+    def is_bench(doc_id: int) -> bool:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 20 == 0
+
+    bench_id = next(i for i in range(1000) if is_bench(i))
+    clean_ids = [i for i in range(1000) if not is_bench(i)][:2]
+    span = " ".join(f"tok{i}" for i in range(20))  # 20-token span
+    texts = {
+        bench_id: "benchmark preamble " + span + " benchmark coda",
+        clean_ids[0]: "copied lead-in " + span + " copied tail words",
+        clean_ids[1]: "totally different content with no shared spans at "
+        "all just filler words repeated filler words repeated",
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array(
+                    [texts[i] for i in sorted(texts)], pa.string()
+                ),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["src0"] * 3, pa.string()),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in sorted(texts)], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = q_contamination_verbatim(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in rows] == [clean_ids[0]]
+    r = rows[0]
+    # the copied 20-token span yields 20-13+1 = 8 shared 13-grams
+    assert r["n_hits"] == 8
+    assert 0.0 < r["verbatim_frac"] <= 1.0
