@@ -184,6 +184,16 @@ def _stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_contamination(spark, sf_dir)
 
 
+def _stream_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source token-drift: incremental (source, token)
+    counts, chi-square on the final snapshot via the shared batch core
+    (training_data.chi2_by_source) — statistic equals the batch
+    token_drift row, oracle shared."""
+    from marketstream_etl_spark.streaming.docs import file_stream_token_drift
+
+    return file_stream_token_drift(spark, sf_dir)
+
+
 def _stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6: corrupt-frame dead-letter split as a real streaming ingest."""
     from marketstream_etl_spark.streaming.ticks import file_stream_deadletter
@@ -396,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": training_data.q_incremental_dedup,
         "source_overlap": training_data.q_source_overlap,
         "streaming_contamination": _stream_contamination,
+        "streaming_token_drift": _stream_token_drift,
         "embedding_neardup_ivf": training_data.q_embedding_neardup_ivf,
         "source_mixture": training_data.q_source_mixture,
         "tokenize_ids": training_data.q_tokenize_ids,
@@ -2747,4 +2758,7 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_dedup_watermarked"] = sql["streaming_dedup"]
     # stream-static contamination must converge to the batch operator
     sql["streaming_contamination"] = sql["contamination"]
+    # streaming twin shares the batch core (chi2_by_source), so the final
+    # replayed snapshot must equal the batch statistic exactly
+    sql["streaming_token_drift"] = sql["token_drift"]
     return sql

@@ -1187,13 +1187,28 @@ def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tokens(F.col("text"))).alias("token")
     )
     per = toks.groupBy("source", "token").agg(F.count("*").alias("c"))
+    return chi2_by_source(per)
+
+
+def chi2_by_source(per: DataFrame) -> DataFrame:
+    """Chi-square drift statistic from per-(source, token) counts — the
+    computation core shared by the batch q_token_drift and its streaming
+    twin (streaming/docs.file_stream_token_drift), so both produce
+    bit-identical statistics from the same final counts."""
+    # g_token carries a FRESH attribute id: `glob` derives from `per`, so
+    # a bare same-name equi-join self-references the same expression ids —
+    # fine over a file scan, but an INTERNAL_ERROR over a streaming
+    # memory-sink view (hit by the streaming twin).  The rename keeps the
+    # core reusable over any counts source.
     glob = (
-        per.groupBy("token")
+        per.groupBy(F.col("token").alias("g_token"))
         .agg(F.sum("c").alias("cg"))
         .filter(F.col("cg") >= 5)
     )
     tg = glob.agg(F.sum("cg").alias("tg"))
-    kept = per.join(glob, "token")
+    kept = per.join(
+        glob, per["token"] == glob["g_token"]
+    ).drop("g_token")
     totals = kept.groupBy("source").agg(
         F.sum("c").alias("t"),
         F.sum("cg").alias("cg_present"),

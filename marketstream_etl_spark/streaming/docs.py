@@ -193,3 +193,42 @@ def stream_ivf_assign_sql(n_centroids: int = 16, dim: int = 64) -> str:
                round(sum(dist), 4) AS inertia
         FROM a GROUP BY cid ORDER BY bucket
     """
+
+
+def file_stream_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of plans.training_data.q_token_drift: documents
+    stream in and per-(source, token) counts accumulate incrementally
+    (update mode); the chi-square drift statistic is computed on the
+    final count snapshot through the SAME shared core
+    (training_data.chi2_by_source), so the replayed stream's statistic
+    equals the batch operator's exactly and the driver reuses the
+    token_drift oracle.
+
+    Scale/production shape: the incremental aggregation state is the
+    live (source, token) count map — the natural streaming-drift
+    deployment keys it by (crawl window, source, token) with a watermark
+    so finished windows emit their statistic and expire; the bounded
+    replay here is that pipeline's single-window case."""
+    from marketstream_etl_spark.plans.training_data import chi2_by_source
+    from marketstream_etl_spark.streaming.replay import drain_to_memory
+
+    docs = stream_documents(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    counts = toks.groupBy("source", "token").agg(F.count("*").alias("c"))
+    emitted = drain_to_memory(
+        counts, "stream_token_drift", sf_dir, output_mode="update"
+    )
+    # final snapshot: counts grow monotonically across replayed batches.
+    # localCheckpoint truncates lineage to a fresh-id leaf: the memory-sink
+    # View is not a MultiInstanceRelation, so the chi2 core's self-joins
+    # would otherwise die in DeduplicateRelations (INTERNAL_ERROR,
+    # conflicting attribute ids).  The checkpointed frame is the V-bounded
+    # final count map — small by construction.
+    per = (
+        emitted.groupBy("source", "token")
+        .agg(F.max("c").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    return chi2_by_source(per)
