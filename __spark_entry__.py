@@ -167,6 +167,19 @@ def _stream_socket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return socket_stream_deadletter(spark, sf_dir)
 
 
+def _stream_websocket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network-ingest e2e over REAL RFC 6455 (streaming/websocket.py):
+    handshake, text-frame decode/unmask, CLOSE exchange — the WS server
+    plays TickServer.hpp, the bridge client plays TickClient.hpp, and
+    Spark's socket source consumes the decoded payload lines.  Same
+    dead-letter contract and oracle as streaming_socket."""
+    from marketstream_etl_spark.streaming.websocket import (
+        websocket_stream_deadletter,
+    )
+
+    return websocket_stream_deadletter(spark, sf_dir)
+
+
 def _stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch as a streaming aggregate: bounded d*w state, final
     sketch == batch sketch on replay (algebraic cell-wise merge)."""
@@ -319,7 +332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed": _stream_windowed,
         "streaming_ohlc": _stream_ohlc,
         "streaming_deadletter": _stream_deadletter,
-        "streaming_socket": _stream_socket,
+        # r6: real RFC 6455 ingest takes the gate slot; the plain-TCP
+        # twin (streaming_socket) moves below the fold, still green
+        "streaming_websocket": _stream_websocket,
         "streaming_dedup_watermarked": _stream_dedup_watermarked,
         "streaming_anomaly": _stream_anomaly,
         "streaming_join": _stream_join,
@@ -407,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": training_data.q_source_overlap,
         "streaming_contamination": _stream_contamination,
         "streaming_token_drift": _stream_token_drift,
+        "streaming_socket": _stream_socket,
         "embedding_neardup_ivf": training_data.q_embedding_neardup_ivf,
         "source_mixture": training_data.q_source_mixture,
         "tokenize_ids": training_data.q_tokenize_ids,
@@ -428,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_profile": training_data.q_cluster_profile,
         "ann_truncated_recall": training_data.q_ann_truncated_recall,
         "contamination_verbatim": training_data.q_contamination_verbatim,
+        "contamination_neardup": training_data.q_contamination_neardup,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1667,6 +1684,32 @@ def oracle_sql() -> dict[str, str]:
             FROM agg WHERE n_hits > 0
             ORDER BY doc_id
         """,
+        # fuzzy decontamination: LSH pairs where exactly one side is bench
+        "contamination_neardup": f"""
+            WITH pairs AS MATERIALIZED (
+                SELECT * FROM ({_dedup.minhash_lsh_pairs_sql()})
+            ), flagged AS (
+                SELECT doc_a, doc_b, jaccard,
+                       {_h32_sql("CAST(doc_a AS VARCHAR)")} % 20 = 0
+                           AS bench_a,
+                       {_h32_sql("CAST(doc_b AS VARCHAR)")} % 20 = 0
+                           AS bench_b
+                FROM pairs
+            ), linked AS (
+                SELECT doc_a AS doc_id, doc_b AS bench_id, jaccard
+                FROM flagged WHERE bench_b AND NOT bench_a
+                UNION ALL
+                SELECT doc_b AS doc_id, doc_a AS bench_id, jaccard
+                FROM flagged WHERE bench_a AND NOT bench_b
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bench_neighbors,
+                   max(jaccard) AS max_jaccard,
+                   min(bench_id) AS first_bench_id
+            FROM linked
+            GROUP BY 1
+            ORDER BY doc_id
+        """,
         "binary_ingest": _binassets.binary_ingest_sql(),
         "embedding_quantize": _sim.embedding_quantize_error_sql(),
         "json_corrupt_records": _formats.json_corrupt_records_sql(),
@@ -2761,4 +2804,6 @@ def oracle_sql() -> dict[str, str]:
     # streaming twin shares the batch core (chi2_by_source), so the final
     # replayed snapshot must equal the batch statistic exactly
     sql["streaming_token_drift"] = sql["token_drift"]
+    # the WS ingest shares the socket query's corruption contract exactly
+    sql["streaming_websocket"] = sql["streaming_socket"]
     return sql

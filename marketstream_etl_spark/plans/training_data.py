@@ -1466,3 +1466,44 @@ def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_13grams", "n_hits", frac.alias("verbatim_frac"))
         .orderBy("doc_id")
     )
+
+
+def q_contamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate contamination linkage: corpus documents that are
+    MinHash-LSH near-dups OF a benchmark-slice document — the fuzzy
+    decontamination rule (labs dedup training data AGAINST eval sets with
+    the same near-dup machinery used within the corpus, because verbatim
+    n-gram rules miss lightly-edited copies).
+
+    Pure composition: the family's cached LSH pair frame + the
+    deterministic bench flag; per corpus doc, the number of bench
+    neighbors and the strongest Jaccard link.  Costs nothing beyond the
+    dedup pass itself (pairs come from the generation cache)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    from marketstream_etl_spark.functions.hashing import h32
+
+    def bench(col: str):
+        return h32(F.col(col).cast("string")) % 20 == 0
+
+    # a pair is (doc_a < doc_b); either side may be the bench doc
+    a_side = pairs.filter(bench("doc_b") & ~bench("doc_a")).select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("bench_id"),
+        "jaccard",
+    )
+    b_side = pairs.filter(bench("doc_a") & ~bench("doc_b")).select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("bench_id"),
+        "jaccard",
+    )
+    return (
+        a_side.unionByName(b_side)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bench_neighbors"),
+            F.max("jaccard").alias("max_jaccard"),
+            F.min("bench_id").alias("first_bench_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -391,32 +391,9 @@ def socket_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming machinery."""
     import socket as socketlib
     import threading
-    import time
 
-    from marketstream_etl_spark.plans.trades_view import trades_from_events
-    from marketstream_etl_spark.sources.tables import load_table
-
-    ticks = trades_from_events(load_table(spark, sf_dir, "events")).withColumn(
-        "exchange", F.lit("WSS")
-    )
-    wire_json = F.to_json(F.struct(*[F.col(f.name) for f in TICK_SCHEMA.fields]))
-    frames = ticks.select(
-        F.when(F.col("trade_id") % 50 == 0, F.substring(wire_json, 1, 10))
-        .otherwise(wire_json)
-        .alias("value")
-    )
-    # The emitter buffer is driver-side by design (it IS the server stand-in),
-    # so its size must be bounded explicitly: a future sf bump must fail with
-    # a clear message, never OOM the driver or silently truncate (the counts
-    # are oracle-compared, so a silent cap would be a wrong answer).
-    n_expected = frames.count()
-    if n_expected > SOCKET_EMITTER_MAX_ROWS:
-        raise RuntimeError(
-            f"socket_stream_deadletter fixture: {n_expected} frames exceeds "
-            f"the driver-side emitter cap of {SOCKET_EMITTER_MAX_ROWS}; "
-            "point this query at a smaller sf_dir or raise the cap knowingly"
-        )
-    payload = [r.value for r in frames.collect()]
+    payload = build_deadletter_payload(spark, sf_dir, "socket_stream_deadletter")
+    n_expected = len(payload)
 
     server = socketlib.socket(socketlib.AF_INET, socketlib.SOCK_STREAM)
     server.setsockopt(socketlib.SOL_SOCKET, socketlib.SO_REUSEADDR, 1)
@@ -442,6 +419,60 @@ def socket_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     threading.Thread(target=serve, daemon=True).start()
 
+    return drain_deadletter_socket(
+        spark, port, n_expected, done, "stream_socket", sf_dir
+    )
+
+
+def build_deadletter_payload(
+    spark: SparkSession, sf_dir: str, caller: str
+) -> list[str]:
+    """Wire frames for the network-ingest queries: JSON ticks with every
+    50th frame truncated to 10 bytes (the deterministic corruption
+    contract the dead-letter oracle counts).
+
+    The emitter buffer is driver-side by design (it IS the server
+    stand-in), so its size is bounded explicitly: a future sf bump must
+    fail with a clear message, never OOM the driver or silently truncate
+    (the counts are oracle-compared, so a silent cap would be a wrong
+    answer)."""
+    from marketstream_etl_spark.plans.trades_view import trades_from_events
+    from marketstream_etl_spark.sources.tables import load_table
+
+    ticks = trades_from_events(load_table(spark, sf_dir, "events")).withColumn(
+        "exchange", F.lit("WSS")
+    )
+    wire_json = F.to_json(F.struct(*[F.col(f.name) for f in TICK_SCHEMA.fields]))
+    frames = ticks.select(
+        F.when(F.col("trade_id") % 50 == 0, F.substring(wire_json, 1, 10))
+        .otherwise(wire_json)
+        .alias("value")
+    )
+    n_expected = frames.count()
+    if n_expected > SOCKET_EMITTER_MAX_ROWS:
+        raise RuntimeError(
+            f"{caller} fixture: {n_expected} frames exceeds "
+            f"the driver-side emitter cap of {SOCKET_EMITTER_MAX_ROWS}; "
+            "point this query at a smaller sf_dir or raise the cap knowingly"
+        )
+    return [r.value for r in frames.collect()]
+
+
+def drain_deadletter_socket(
+    spark: SparkSession,
+    port: int,
+    n_expected: int,
+    done,
+    name_prefix: str,
+    sf_dir: str,
+) -> DataFrame:
+    """Shared ingest tail for the network dead-letter queries: socket
+    source → JSON parse → error split → complete-mode counts, drained
+    until every emitted frame is accounted for (fail loudly otherwise —
+    the socket source is non-replayable, so a partial table is
+    permanently wrong)."""
+    import time
+
     lines = (
         spark.readStream.format("socket")
         .option("host", "127.0.0.1")
@@ -453,7 +484,7 @@ def socket_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.sum("volume").alias("total_volume"),
     )
-    name = f"stream_socket_{abs(hash(sf_dir)) % 100000}"
+    name = f"{name_prefix}_{abs(hash(sf_dir)) % 100000}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -471,10 +502,8 @@ def socket_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         counted = spark.table(name).agg(F.sum("n_frames")).first()[0]
         if counted != n_expected:
-            # fail loudly: the socket source is non-replayable, so a partial
-            # table is permanently wrong — never return it as an answer
             raise RuntimeError(
-                f"socket_stream_deadletter: drained {counted} of "
+                f"{name_prefix}: drained {counted} of "
                 f"{n_expected} frames before the 120s deadline"
             )
     finally:
