@@ -445,6 +445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_truncated_recall": training_data.q_ann_truncated_recall,
         "contamination_verbatim": training_data.q_contamination_verbatim,
         "contamination_neardup": training_data.q_contamination_neardup,
+        "langid_confusion": training_data.q_langid_confusion,
+        "split_leakage": training_data.q_split_leakage,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1709,6 +1711,51 @@ def oracle_sql() -> dict[str, str]:
             FROM linked
             GROUP BY 1
             ORDER BY doc_id
+        """,
+        "langid_confusion": f"""
+            WITH pred AS MATERIALIZED (
+                SELECT doc_id, lang,
+                       {_text.lang_id_sql("text")} AS lang_pred
+                FROM documents
+            ), cells AS MATERIALIZED (
+                SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+                FROM pred GROUP BY 1, 2
+            ), row_tot AS (
+                SELECT lang AS r_lang, CAST(sum(n) AS BIGINT) AS row_n
+                FROM cells GROUP BY 1
+            )
+            SELECT c.lang, c.lang_pred, c.n,
+                   floor(c.n::DOUBLE / t.row_n::DOUBLE * 1e6 + 0.5) / 1e6
+                       AS row_share
+            FROM cells c JOIN row_tot t ON c.lang = t.r_lang
+            ORDER BY c.lang, c.lang_pred
+        """,
+        "split_leakage": f"""
+            WITH pairs AS MATERIALIZED (
+                SELECT * FROM ({_dedup.minhash_lsh_pairs_sql()})
+            ), tagged AS (
+                SELECT jaccard,
+                       CASE WHEN {_h32_sql("CAST(doc_a AS VARCHAR)")} % 100 < 80
+                                THEN 'train'
+                            WHEN {_h32_sql("CAST(doc_a AS VARCHAR)")} % 100 < 90
+                                THEN 'val'
+                            ELSE 'test' END AS sa,
+                       CASE WHEN {_h32_sql("CAST(doc_b AS VARCHAR)")} % 100 < 80
+                                THEN 'train'
+                            WHEN {_h32_sql("CAST(doc_b AS VARCHAR)")} % 100 < 90
+                                THEN 'val'
+                            ELSE 'test' END AS sb
+                FROM pairs
+            ), norm AS (
+                SELECT jaccard, least(sa, sb) AS split_a,
+                       greatest(sa, sb) AS split_b
+                FROM tagged
+            )
+            SELECT split_a, split_b,
+                   CAST(count(*) AS BIGINT) AS n_leaked_pairs,
+                   max(jaccard) AS max_jaccard
+            FROM norm WHERE split_a <> split_b
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "binary_ingest": _binassets.binary_ingest_sql(),
         "embedding_quantize": _sim.embedding_quantize_error_sql(),

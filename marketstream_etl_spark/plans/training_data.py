@@ -1507,3 +1507,83 @@ def q_contamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted language (the marker-
+    stopword classifier every doc already gets in text_analysis) against
+    the table's recorded lang column — per (lang, lang_pred) cell counts
+    plus the per-cell share of the true-language row.  The accuracy
+    readout that tells a pipeline owner whether the cheap classifier is
+    good enough to drive per-language routing.
+
+    Derives from the generation-cached analyzed frame, so after any text
+    pass this matrix costs one k×k aggregation."""
+    analyzed = text.analyzed_documents_cached(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "lang_pred")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cells = (
+        docs.join(analyzed, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = cells.groupBy(F.col("lang").alias("r_lang")).agg(
+        F.sum("n").alias("row_n")
+    )
+    share = (
+        F.floor(
+            F.col("n").cast("double")
+            / F.col("row_n").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        cells.join(row_tot, cells["lang"] == row_tot["r_lang"])
+        .select("lang", "lang_pred", "n", share.alias("row_share"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: MinHash-LSH near-dup pairs that STRADDLE
+    the deterministic train/val/test split — the eval-hygiene check every
+    training pipeline needs (a test doc with a near-dup in train inflates
+    eval).  One row per (split_a, split_b) pair of DIFFERENT splits:
+    leaked pair count and the strongest Jaccard link.
+
+    Pure composition: the family's cached LSH pairs + the same md5-bucket
+    split rule as q_train_test_split — zero new heavy passes."""
+    from marketstream_etl_spark.functions.hashing import h32
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+
+    def split_of(col: str):
+        bucket = F.pmod(h32(F.col(col).cast("string")), F.lit(100))
+        return (
+            F.when(bucket < 80, F.lit("train"))
+            .when(bucket < 90, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    tagged = pairs.select(
+        "jaccard",
+        split_of("doc_a").alias("sa"),
+        split_of("doc_b").alias("sb"),
+    ).select(
+        "jaccard",
+        F.least("sa", "sb").alias("split_a"),
+        F.greatest("sa", "sb").alias("split_b"),
+    )
+    return (
+        tagged.filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_leaked_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("split_a", "split_b")
+    )

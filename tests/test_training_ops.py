@@ -241,3 +241,28 @@ def test_contamination_verbatim_catches_copied_span(spark, tmp_path):
     # the copied 20-token span yields 20-13+1 = 8 shared 13-grams
     assert r["n_hits"] == 8
     assert 0.0 < r["verbatim_frac"] <= 1.0
+
+
+def test_langid_confusion_row_shares_sum_to_one(spark, sf_dir):
+    from collections import defaultdict
+
+    from marketstream_etl_spark.plans.training_data import q_langid_confusion
+
+    rows = q_langid_confusion(spark, sf_dir).collect()
+    by_lang = defaultdict(float)
+    for r in rows:
+        assert r["n"] > 0 and 0.0 < r["row_share"] <= 1.0
+        by_lang[r["lang"]] += r["row_share"]
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+def test_split_leakage_only_cross_split_pairs(spark, sf_dir):
+    from marketstream_etl_spark.plans.training_data import q_split_leakage
+
+    rows = q_split_leakage(spark, sf_dir).collect()
+    for r in rows:
+        assert r["split_a"] != r["split_b"]
+        assert r["split_a"] < r["split_b"]  # canonical order
+        assert r["n_leaked_pairs"] > 0
+        assert 0.0 < r["max_jaccard"] <= 1.0
