@@ -597,16 +597,12 @@ def kmeans_fit(
     {cid: centroid} — the fitting core shared by kmeans_train (which adds
     the summary pass) and ann_ivf's trained-codebook path."""
     base = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
-    init = (
-        base.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
-            "v",
-        )
-        .collect()
-    )
-    cents = {r["cid"]: list(r["v"]) for r in init}
+    # init = first k vec_ids; the k-row frame is collected anyway, so the
+    # cid numbering happens driver-side — no window exec at all (a
+    # no-partition Window here is bounded at k rows but still logs the
+    # single-partition warning on every bench run)
+    init = base.orderBy("vec_id").limit(k).collect()
+    cents = {i: list(r["v"]) for i, r in enumerate(init)}
     for _ in range(iters):
         assigned = _assign(base, cents)
         new_rows = (
