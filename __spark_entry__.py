@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_neardup": training_data.q_contamination_neardup,
         "langid_confusion": training_data.q_langid_confusion,
         "split_leakage": training_data.q_split_leakage,
+        "vwap_deviation": analytics.q_vwap_deviation,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1756,6 +1757,35 @@ def oracle_sql() -> dict[str, str]:
                    max(jaccard) AS max_jaccard
             FROM norm WHERE split_a <> split_b
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # running-VWAP slippage: integer-cent cumulative mass (exact, any
+        # accumulation order), per-row fixed-point deviations
+        "vwap_deviation": f"""
+            WITH trades AS ({TRADES_CTE}),
+            t AS (
+                SELECT symbol, price, volume, timestamp, trade_id,
+                       CAST(floor(price * 100 + 0.5) AS BIGINT) AS cents
+                FROM trades WHERE price > 0 AND volume > 0
+            ), r AS (
+                SELECT symbol, price,
+                       sum(cents * volume) OVER w AS cum_pv,
+                       sum(volume) OVER w AS cum_v
+                FROM t
+                WINDOW w AS (PARTITION BY symbol
+                             ORDER BY timestamp, trade_id
+                             ROWS UNBOUNDED PRECEDING)
+            ), d AS (
+                SELECT symbol,
+                       CAST(floor(abs(price - cum_pv::DOUBLE
+                                      / (cum_v::DOUBLE * 100.0))
+                                  * 1e6 + 0.5) AS BIGINT) AS dev_fp
+                FROM r
+            )
+            SELECT symbol, count(*) AS n_trades,
+                   floor(sum(dev_fp)::DOUBLE / count(*)::DOUBLE + 0.5)
+                       / 1e6 AS avg_abs_dev,
+                   max(dev_fp)::DOUBLE / 1e6 AS max_abs_dev
+            FROM d GROUP BY symbol ORDER BY symbol
         """,
         "binary_ingest": _binassets.binary_ingest_sql(),
         "embedding_quantize": _sim.embedding_quantize_error_sql(),

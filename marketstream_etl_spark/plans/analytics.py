@@ -754,3 +754,56 @@ def q_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def q_vwap_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execution-quality analytics: per-symbol slippage of each fill
+    against the RUNNING VWAP at trade time — avg/max absolute deviation
+    plus the trade count.  The post-trade TCA readout a desk runs per
+    session; per symbol one ordered cumulative window (a single
+    hashpartitioning(symbol) exchange shared with every other per-symbol
+    stage at scale).
+
+    Cross-engine determinism: cumulative price×volume mass uses INTEGER
+    cents (floor(price·100 + 0.5) × volume) so the window sum is exact in
+    both engines regardless of accumulation order; the per-row deviation
+    is then plain IEEE arithmetic, fixed-pointed via floor(|dev|·1e6+0.5)
+    so the per-symbol sum is order-independent."""
+    from pyspark.sql import Window
+
+    from marketstream_etl_spark.plans.trades_view import load_trades
+
+    trades = load_trades(spark, sf_dir).filter(
+        (F.col("price") > 0) & (F.col("volume") > 0)
+    )
+    cents = F.floor(F.col("price") * 100 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("timestamp", "trade_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_pv = F.sum(cents * F.col("volume")).over(w)
+    cum_v = F.sum("volume").over(w)
+    vwap = cum_pv.cast("double") / (cum_v.cast("double") * F.lit(100.0))
+    dev_fp = F.floor(
+        F.abs(F.col("price") - vwap) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    per_row = trades.select("symbol", dev_fp.alias("dev_fp"))
+    return (
+        per_row.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_trades"),
+            (
+                F.floor(
+                    F.sum("dev_fp").cast("double")
+                    / F.count("*").cast("double")
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("avg_abs_dev"),
+            (F.max("dev_fp").cast("double") / F.lit(1e6)).alias(
+                "max_abs_dev"
+            ),
+        )
+        .orderBy("symbol")
+    )

@@ -35,3 +35,48 @@ def test_asof_enrich_covers_all_valid_trades(spark, sf_dir):
     # ones must be enriched
     enriched = out.filter(out.asof_sma.isNotNull()).count()
     assert 0 < enriched <= n
+
+
+def test_vwap_deviation_math_on_constructed_fills(spark, tmp_path):
+    """Three fills, one symbol: running VWAP is hand-computable.
+    fills: (p=10, v=1) -> vwap 10.0, dev 0
+           (p=20, v=1) -> vwap 15.0, dev 5
+           (p=20, v=2) -> vwap (10+20+40)/4 = 17.5, dev 2.5
+    avg_abs_dev = 7.5/3 = 2.5, max_abs_dev = 5."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marketstream_etl_spark.plans.analytics import q_vwap_deviation
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    fills = [  # (event_id, price, volume)
+        (1, 10.0, 1),
+        (2, 20.0, 1),
+        (3, 20.0, 2),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([e for e, _, _ in fills], pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(seconds=e) for e, _, _ in fills],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([100 + e for e, _, _ in fills], pa.int64()),
+                "event_type": pa.array(["click"] * 3, pa.string()),
+                "value": pa.array([p for _, p, _ in fills], pa.float64()),
+                "props": pa.array(
+                    [f'{{"k": {v}}}' for _, _, v in fills], pa.string()
+                ),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    rows = q_vwap_deviation(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["symbol"] == "CLICK" and r["n_trades"] == 3
+    assert r["avg_abs_dev"] == 2.5
+    assert r["max_abs_dev"] == 5.0
