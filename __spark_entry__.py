@@ -448,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_confusion": training_data.q_langid_confusion,
         "split_leakage": training_data.q_split_leakage,
         "vwap_deviation": analytics.q_vwap_deviation,
+        "symbol_affinity": analytics.q_symbol_affinity,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1786,6 +1787,35 @@ def oracle_sql() -> dict[str, str]:
                        / 1e6 AS avg_abs_dev,
                    max(dev_fp)::DOUBLE / 1e6 AS max_abs_dev
             FROM d GROUP BY symbol ORDER BY symbol
+        """,
+        # market-basket pair counting with lift vs independence
+        "symbol_affinity": f"""
+            WITH trades AS ({TRADES_CTE}),
+            held AS MATERIALIZED (
+                SELECT DISTINCT order_id AS account, symbol
+                FROM trades WHERE price > 0 AND volume > 0
+            ), tot AS (
+                SELECT CAST(count(DISTINCT account) AS BIGINT) AS n_accounts
+                FROM held
+            ), per_sym AS MATERIALIZED (
+                SELECT symbol, CAST(count(*) AS BIGINT) AS n_sym
+                FROM held GROUP BY 1
+            ), pairs AS (
+                SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+                       CAST(count(*) AS BIGINT) AS n_both
+                FROM held a JOIN held b
+                  ON a.account = b.account AND a.symbol < b.symbol
+                GROUP BY 1, 2
+            )
+            SELECT p.symbol_a, p.symbol_b, p.n_both,
+                   floor(p.n_both::DOUBLE * t.n_accounts::DOUBLE
+                         / (sa.n_sym::DOUBLE * sb.n_sym::DOUBLE)
+                         * 1e6 + 0.5) / 1e6 AS lift
+            FROM pairs p
+            JOIN per_sym sa ON p.symbol_a = sa.symbol
+            JOIN per_sym sb ON p.symbol_b = sb.symbol
+            CROSS JOIN tot t
+            ORDER BY p.symbol_a, p.symbol_b
         """,
         "binary_ingest": _binassets.binary_ingest_sql(),
         "embedding_quantize": _sim.embedding_quantize_error_sql(),

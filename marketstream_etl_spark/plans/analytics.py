@@ -807,3 +807,63 @@ def q_vwap_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def q_symbol_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between symbols: for every symbol pair, how
+    many accounts traded BOTH, with the lift vs independence
+    (n_both·n_accounts / (n_a·n_b)) — the co-trading structure readout
+    behind cross-margin and correlated-flow monitoring.
+
+    Scale shape: the classic pair-counting reduction of frequent-itemset
+    mining — distinct (account, symbol) rows self-join per account, so
+    work is Σ_u |symbols(u)|², bounded by the (small, fixed) symbol
+    universe per account, never corpus-quadratic.  Counts are exact
+    integers; lift is one deterministic division, fixed-point rounded."""
+    from marketstream_etl_spark.plans.trades_view import load_trades
+
+    trades = load_trades(spark, sf_dir).filter(
+        (F.col("price") > 0) & (F.col("volume") > 0)
+    )
+    held = trades.select(
+        F.col("order_id").alias("account"), "symbol"
+    ).distinct()
+    # 1-row broadcast frame, not an eager .count(): the total stays inside
+    # the lazy plan (no extra job per construction call)
+    n_accounts = held.agg(
+        F.countDistinct("account").alias("n_accounts")
+    )
+    per_sym = held.groupBy("symbol").agg(
+        F.count("*").alias("n_sym")
+    )
+    a = held.select("account", F.col("symbol").alias("symbol_a"))
+    b = held.select("account", F.col("symbol").alias("symbol_b"))
+    pairs = (
+        a.join(b, "account")
+        .filter(F.col("symbol_a") < F.col("symbol_b"))
+        .groupBy("symbol_a", "symbol_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = per_sym.select(
+        F.col("symbol").alias("symbol_a"), F.col("n_sym").alias("n_a")
+    )
+    sb = per_sym.select(
+        F.col("symbol").alias("symbol_b"), F.col("n_sym").alias("n_b")
+    )
+    lift = (
+        F.floor(
+            F.col("n_both").cast("double")
+            * F.col("n_accounts").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        pairs.join(sa, "symbol_a")
+        .join(sb, "symbol_b")
+        .crossJoin(F.broadcast(n_accounts))
+        .select("symbol_a", "symbol_b", "n_both", lift.alias("lift"))
+        .orderBy("symbol_a", "symbol_b")
+    )

@@ -80,3 +80,42 @@ def test_vwap_deviation_math_on_constructed_fills(spark, tmp_path):
     assert r["symbol"] == "CLICK" and r["n_trades"] == 3
     assert r["avg_abs_dev"] == 2.5
     assert r["max_abs_dev"] == 5.0
+
+
+def test_symbol_affinity_lift_math(spark, tmp_path):
+    """3 accounts: u1 {A,B}, u2 {A,B}, u3 {A} ->
+    n_accounts=3, n_A=3, n_B=2, n_both=2, lift = 2*3/(3*2) = 1.0."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marketstream_etl_spark.plans.analytics import q_symbol_affinity
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [  # (event_id, user_id, event_type)
+        (1, 11, "aa"), (2, 11, "bb"),
+        (3, 22, "aa"), (4, 22, "bb"),
+        (5, 33, "aa"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([e for e, _, _ in rows], pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(seconds=e) for e, _, _ in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([u for _, u, _ in rows], pa.int64()),
+                "event_type": pa.array([t for _, _, t in rows], pa.string()),
+                "value": pa.array([10.0] * len(rows), pa.float64()),
+                "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_symbol_affinity(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["symbol_a"], r["symbol_b"]) == ("AA", "BB")
+    assert r["n_both"] == 2 and r["lift"] == 1.0
