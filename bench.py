@@ -60,6 +60,17 @@ EXTRAS = [
     "tokenize_ids",
     "source_mixture",
     "price_outliers",
+    # r6 additions
+    "token_drift",
+    "contamination_verbatim",
+    "contamination_neardup",
+    "cluster_profile",
+    "dedup_family_agreement",
+    "ann_truncated_recall",
+    "langid_confusion",
+    "split_leakage",
+    "vwap_deviation",
+    "symbol_affinity",
 ]
 
 
