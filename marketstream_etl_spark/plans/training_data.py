@@ -1194,26 +1194,31 @@ def chi2_by_source(per: DataFrame) -> DataFrame:
     """Chi-square drift statistic from per-(source, token) counts — the
     computation core shared by the batch q_token_drift and its streaming
     twin (streaming/docs.file_stream_token_drift), so both produce
-    bit-identical statistics from the same final counts."""
-    # g_token carries a FRESH attribute id: `glob` derives from `per`, so
-    # a bare same-name equi-join self-references the same expression ids —
-    # fine over a file scan, but an INTERNAL_ERROR over a streaming
-    # memory-sink view (hit by the streaming twin).  The rename keeps the
-    # core reusable over any counts source.
-    glob = (
-        per.groupBy(F.col("token").alias("g_token"))
-        .agg(F.sum("c").alias("cg"))
+    bit-identical statistics from the same final counts.
+
+    Shape: window sums instead of join-back aggregates.  The first cut
+    (r6) derived cg / t / tg as separate aggregations joined back onto
+    the count rows — semantically the textbook SQL, but the physical
+    plan re-scanned and re-exploded the corpus SIX times (52 Exchange
+    nodes; PLANS.md caught it).  Per-token and per-source totals are
+    partitioned window sums over the SAME rows, so the whole statistic
+    is one scan of `per`, two window exchanges, and a 1-row global
+    total — the plan that survives a 100× corpus.  All window sums are
+    integer (exact, order-independent); every float step is unchanged,
+    so the statistic is bit-identical to the joined form."""
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("token")
+    ws = Window.partitionBy("source")
+    kept = (
+        per.withColumn("cg", F.sum("c").over(wt))
         .filter(F.col("cg") >= 5)
+        .withColumn("t", F.sum("c").over(ws))
+        .withColumn("cg_present", F.sum("cg").over(ws))
+        .withColumn("n_tokens", F.count("*").over(ws))
     )
-    tg = glob.agg(F.sum("cg").alias("tg"))
-    kept = per.join(
-        glob, per["token"] == glob["g_token"]
-    ).drop("g_token")
-    totals = kept.groupBy("source").agg(
-        F.sum("c").alias("t"),
-        F.sum("cg").alias("cg_present"),
-        F.count("*").alias("n_tokens"),
-    )
+    # tg = Σ_tokens cg = Σ_kept-rows c (every row of a kept token is kept)
+    tg = kept.agg(F.sum("c").alias("tg"))
     c = F.col("c").cast("double")
     cgd = F.col("cg").cast("double")
     td = F.col("t").cast("double")
@@ -1222,40 +1227,40 @@ def chi2_by_source(per: DataFrame) -> DataFrame:
     term_fp = F.floor(
         (num * num / (td * cgd * tgd)) * F.lit(1e6) + F.lit(0.5)
     ).cast("long")
-    present = (
-        kept.join(totals.select("source", "t"), "source")
-        .crossJoin(F.broadcast(tg))
+    return (
+        kept.crossJoin(F.broadcast(tg))
         .groupBy("source")
-        .agg(F.sum(term_fp).alias("chi2_fp"))
-    )
-    out = (
-        totals.join(present, "source")
-        .crossJoin(F.broadcast(tg))
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.sum(term_fp).alias("chi2_fp"),
+            F.first("t").alias("t"),
+            F.first("cg_present").alias("cg_present"),
+            F.first("tg").alias("tg"),
+        )
         .select(
             "source",
             "n_tokens",
-            F.floor(
-                (
-                    F.col("chi2_fp").cast("double") / F.lit(1e6)
-                    + (
-                        F.col("t").cast("double")
-                        / F.col("tg").cast("double")
+            (
+                F.floor(
+                    (
+                        F.col("chi2_fp").cast("double") / F.lit(1e6)
+                        + (
+                            F.col("t").cast("double")
+                            / F.col("tg").cast("double")
+                        )
+                        * (
+                            F.col("tg").cast("double")
+                            - F.col("cg_present").cast("double")
+                        )
                     )
-                    * (
-                        F.col("tg").cast("double")
-                        - F.col("cg_present").cast("double")
-                    )
-                )
-                * F.lit(1e4)
-                + F.lit(0.5)
-            ).cast("double")
-            .alias("chi2_x1e4"),
+                    * F.lit(1e4)
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(1e4)
+            ).alias("chi2"),
         )
-        .withColumn("chi2", F.col("chi2_x1e4") / F.lit(1e4))
-        .drop("chi2_x1e4")
         .orderBy("source")
     )
-    return out
 
 
 def q_dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
