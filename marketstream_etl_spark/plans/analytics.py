@@ -825,9 +825,16 @@ def q_symbol_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades = load_trades(spark, sf_dir).filter(
         (F.col("price") > 0) & (F.col("volume") > 0)
     )
-    held = trades.select(
-        F.col("order_id").alias("account"), "symbol"
-    ).distinct()
+    # localCheckpoint: `held` feeds four consumers (total, per-symbol,
+    # both self-join sides) — without a materialization point the events
+    # scan + distinct re-runs per consumer (the token_drift plan lesson).
+    # The frame is (accounts × symbols-held) slim rows; blocks are freed
+    # when the query's RDD is GC'd.
+    held = (
+        trades.select(F.col("order_id").alias("account"), "symbol")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # 1-row broadcast frame, not an eager .count(): the total stays inside
     # the lazy plan (no extra job per construction call)
     n_accounts = held.agg(

@@ -1352,7 +1352,13 @@ def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = kmeans_assign(emb, cents).join(
         emb.select("vec_id", "label"), "vec_id"
     )
-    pl = labeled.groupBy("cid", "label").agg(F.count("*").alias("n"))
+    # k × n_labels bounded; checkpointed so the assignment pass runs once
+    # instead of once per consumer (tot + maj)
+    pl = (
+        labeled.groupBy("cid", "label")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     tot = pl.groupBy("cid").agg(F.sum("n").alias("n_vectors"))
     m = F.max(
         F.struct(F.col("n").alias("n"), (-F.col("label")).alias("neg"))
