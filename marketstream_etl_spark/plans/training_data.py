@@ -805,11 +805,12 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over ~20 rows — bounded by the source catalog, never by corpus
     size).  The reference has no mixture concept; this is north-star
     surface (SURVEY §2.11)."""
-    from pyspark.sql import Window
-
     from marketstream_etl_spark.functions.hashing import tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # checkpointed: three consumers (token total, raw-weight total, final
+    # projection) must not re-run the corpus tokenization; the frame is
+    # #sources rows, bounded by the catalog
     per_source = (
         docs.select("source", F.size(tokens(F.col("text"))).alias("n_tok"))
         .groupBy("source")
@@ -817,23 +818,43 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
+        .localCheckpoint(eager=False)
     )
-    everything = Window.partitionBy()
-    share = F.col("n_tokens") / F.sum("n_tokens").over(everything)
-    raw = F.pow(share, F.lit(MIX_ALPHA))
-    weight = raw / F.sum(raw).over(everything)
-    return per_source.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round(weight, 6).alias("mix_weight"),
-        # epochs over each source for a budget of one total corpus epoch:
-        # weight_i * total_tokens / tokens_i
-        F.round(
-            weight * F.sum("n_tokens").over(everything) / F.col("n_tokens"),
-            4,
-        ).alias("epochs"),
-    ).orderBy("source")
+    # normalization totals as 1-row broadcast frames, NOT unpartitioned
+    # windows: the former global-window form funneled the frame through a
+    # no-partition WindowExec — harmless at #sources rows but the source
+    # of every single-partition warning in the bench tail, and exactly
+    # the shape that dies at scale if the input ever stops being an
+    # aggregate.  Token totals are exact longs, so the two forms are
+    # value-identical; the raw-weight sum rounds at 6 dp far above any
+    # accumulation-order noise.
+    tot = per_source.agg(F.sum("n_tokens").alias("tot_tokens"))
+    with_raw = (
+        per_source.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "raw",
+            F.pow(
+                F.col("n_tokens") / F.col("tot_tokens"), F.lit(MIX_ALPHA)
+            ),
+        )
+    )
+    raw_tot = with_raw.agg(F.sum("raw").alias("raw_tot"))
+    weight = F.col("raw") / F.col("raw_tot")
+    return (
+        with_raw.crossJoin(F.broadcast(raw_tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(weight, 6).alias("mix_weight"),
+            # epochs over each source for a one-total-epoch token budget:
+            # weight_i * total_tokens / tokens_i
+            F.round(
+                weight * F.col("tot_tokens") / F.col("n_tokens"), 4
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
 
 
 VOCAB_SIZE = 64  # top-V token vocabulary; id 0 is reserved for <unk>
