@@ -216,10 +216,13 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force ranking, per query — the quality metric a 100 TB similarity
     deployment watches."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # referenced by both `hits` and `totals` — one brute-force pass, not two
+    # referenced by both `hits` and `totals` — one brute-force pass, not
+    # two.  localCheckpoint, not persist: a bare persist in a query
+    # builder leaks one pinned cached copy per invocation (bench runs
+    # this N times per process); checkpoint blocks free on RDD GC.
     exact = similarity.ann_bruteforce(emb).select(
         "query_id", F.col("neighbor_id").alias("exact_n")
-    ).persist()
+    ).localCheckpoint(eager=False)
     approx = similarity.ann_ivf(emb).select(
         "query_id", F.col("neighbor_id").alias("approx_n")
     )
@@ -956,10 +959,11 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # localCheckpoint, not persist — see q_ann_ivf_recall's note
     exact = (
         ann_bruteforce(emb)
         .select("query_id", F.col("neighbor_id").alias("exact_n"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     cents = kmeans_fit(emb, k=N_CENTROIDS)
     cent_df = spark.createDataFrame(
@@ -1420,10 +1424,11 @@ def q_ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators.similarity import ann_bruteforce
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # localCheckpoint, not persist — see q_ann_ivf_recall's note
     exact = (
         ann_bruteforce(emb)
         .select("query_id", F.col("neighbor_id").alias("exact_n"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     out = exact.groupBy("query_id").agg(F.count("*").alias("k"))
     for d in (16, 32):

@@ -405,11 +405,7 @@ def socket_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     def serve() -> None:
         conn, _ = server.accept()
         try:
-            # chunked writes: never materialize one giant wire buffer
-            for i in range(0, len(payload), 1000):
-                conn.sendall(
-                    ("\n".join(payload[i : i + 1000]) + "\n").encode()
-                )
+            send_lines_chunked(conn, payload)
             # keep the connection open until the reader has drained — the
             # socket source treats a close as stream end mid-read
             done.wait(timeout=120)
@@ -458,6 +454,15 @@ def build_deadletter_payload(
     return [r.value for r in frames.collect()]
 
 
+def send_lines_chunked(conn, lines: list[str], batch: int = 1000) -> None:
+    """Emit lines over a socket in `batch`-sized newline-joined writes —
+    never one giant wire buffer, never one syscall per line.  Shared by
+    the plain-TCP emitter and the WebSocket bridge (the two feeds of
+    drain_deadletter_socket)."""
+    for i in range(0, len(lines), batch):
+        conn.sendall(("\n".join(lines[i : i + batch]) + "\n").encode())
+
+
 def drain_deadletter_socket(
     spark: SparkSession,
     port: int,
@@ -465,12 +470,18 @@ def drain_deadletter_socket(
     done,
     name_prefix: str,
     sf_dir: str,
+    feed_error: list | None = None,
 ) -> DataFrame:
     """Shared ingest tail for the network dead-letter queries: socket
     source → JSON parse → error split → complete-mode counts, drained
     until every emitted frame is accounted for (fail loudly otherwise —
     the socket source is non-replayable, so a partial table is
-    permanently wrong)."""
+    permanently wrong).
+
+    `feed_error`: optional shared list a feeder thread appends its
+    exception to; the poll loop checks it each tick and aborts with the
+    ROOT cause immediately instead of stalling out the full deadline on
+    a bogus count mismatch."""
     import time
 
     lines = (
@@ -495,6 +506,10 @@ def drain_deadletter_socket(
         deadline = time.time() + 120
         counted = None
         while time.time() < deadline:
+            if feed_error:
+                raise RuntimeError(
+                    f"{name_prefix}: feeder thread failed"
+                ) from feed_error[0]
             counted = spark.table(name).agg(F.sum("n_frames")).first()[0]
             if counted == n_expected:
                 break

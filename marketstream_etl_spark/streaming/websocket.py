@@ -88,12 +88,20 @@ def encode_frame(
     return bytes(head) + payload
 
 
-def decode_frame(buf: bytes) -> tuple[int, bool, bytes, int] | None:
+MAX_FRAME_BYTES = 16 << 20  # sanity bound on the declared payload length
+
+
+def decode_frame(
+    buf: bytes, max_frame_bytes: int = MAX_FRAME_BYTES
+) -> tuple[int, bool, bytes, int] | None:
     """Parse ONE frame from the head of `buf`.
 
     Returns (opcode, fin, unmasked_payload, total_bytes_consumed), or
     None if the buffer does not yet hold a complete frame (streaming
-    parser contract: append more bytes and retry)."""
+    parser contract: append more bytes and retry).  A declared length
+    beyond `max_frame_bytes` raises ValueError — one flipped bit in the
+    64-bit extended-length field must fail loudly, not make the reader
+    buffer 2^56 bytes waiting for a frame that never completes."""
     if len(buf) < 2:
         return None
     b0, b1 = buf[0], buf[1]
@@ -112,6 +120,11 @@ def decode_frame(buf: bytes) -> tuple[int, bool, bytes, int] | None:
             return None
         (n,) = struct.unpack(">Q", buf[pos : pos + 8])
         pos += 8
+    if n > max_frame_bytes:
+        raise ValueError(
+            f"WebSocket frame declares {n} payload bytes "
+            f"(> {max_frame_bytes} sanity bound) — corrupt length header"
+        )
     mask = b""
     if masked:
         if len(buf) < pos + 4:
@@ -187,8 +200,17 @@ class WSTickServer:
                     "\r\n"
                 ).encode("ascii")
             )
-            for p in self._payloads:
-                conn.sendall(encode_frame(p.encode("utf-8")))
+            # chunked writes: one sendall per 1000 frames, not per frame —
+            # the decode side is a streaming parser, so frame boundaries
+            # need not align with writes (same batching rationale as the
+            # plain-TCP twin's line emitter)
+            for i in range(0, len(self._payloads), 1000):
+                conn.sendall(
+                    b"".join(
+                        encode_frame(p.encode("utf-8"))
+                        for p in self._payloads[i : i + 1000]
+                    )
+                )
             conn.sendall(encode_frame(close_payload(1000), opcode=OP_CLOSE))
             # await the client's (masked) CLOSE echo — §5.5.1
             buf = b""
@@ -198,7 +220,13 @@ class WSTickServer:
                     opcode, _, payload, used = got
                     buf = buf[used:]
                     if opcode == OP_CLOSE:
-                        code = struct.unpack(">H", payload[:2])[0]
+                        # an empty close body is legal (§5.5.1: the status
+                        # code is optional) and counts as a clean close
+                        code = (
+                            struct.unpack(">H", payload[:2])[0]
+                            if len(payload) >= 2
+                            else 1000
+                        )
                         if code == 1000:
                             self.closed_clean.set()
                         break
@@ -302,18 +330,28 @@ def websocket_stream_deadletter(
     bridge_port = bridge.getsockname()[1]
     done = threading.Event()
 
+    feed_error: list = []
+
     def run_bridge() -> None:
         conn, _ = bridge.accept()
         try:
+            from marketstream_etl_spark.streaming.ticks import (
+                send_lines_chunked,
+            )
+
             batch: list[str] = []
             for msg in ws_client_frames("127.0.0.1", ws.port):
                 batch.append(msg)
                 if len(batch) >= 1000:
-                    conn.sendall(("\n".join(batch) + "\n").encode())
+                    send_lines_chunked(conn, batch)
                     batch = []
             if batch:
-                conn.sendall(("\n".join(batch) + "\n").encode())
+                send_lines_chunked(conn, batch)
             done.wait(timeout=120)
+        except Exception as e:  # noqa: BLE001 — surface to the drain loop
+            # the drain poll aborts with THIS as the root cause instead of
+            # stalling out its deadline on a bogus count mismatch
+            feed_error.append(e)
         finally:
             conn.close()
             bridge.close()
@@ -321,7 +359,13 @@ def websocket_stream_deadletter(
     threading.Thread(target=run_bridge, daemon=True).start()
 
     out = drain_deadletter_socket(
-        spark, bridge_port, n_expected, done, "stream_websocket", sf_dir
+        spark,
+        bridge_port,
+        n_expected,
+        done,
+        "stream_websocket",
+        sf_dir,
+        feed_error=feed_error,
     )
     if not ws.closed_clean.wait(timeout=30):
         raise RuntimeError(

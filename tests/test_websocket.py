@@ -96,3 +96,67 @@ def test_websocket_ingest_end_to_end(spark, sf_dir):
     assert rows[True]["n_frames"] > 0
     assert rows[False]["n_frames"] > 0
     assert total == rows[True]["n_frames"] + rows[False]["n_frames"]
+
+
+def test_decode_frame_rejects_corrupt_length():
+    import pytest as _pytest
+
+    from marketstream_etl_spark.streaming.websocket import MAX_FRAME_BYTES
+
+    # craft a 64-bit-length header declaring 2^56 bytes
+    import struct as _struct
+
+    corrupt = bytes([0x81, 127]) + _struct.pack(">Q", 1 << 56)
+    with _pytest.raises(ValueError, match="corrupt length"):
+        decode_frame(corrupt)
+    # the bound is a parameter: a tiny bound rejects a legal large frame
+    legal = encode_frame(b"x" * 1000)
+    with _pytest.raises(ValueError):
+        decode_frame(legal, max_frame_bytes=10)
+    assert MAX_FRAME_BYTES >= 1 << 20
+
+
+def test_server_accepts_empty_close_echo():
+    """RFC 6455 §5.5.1: the CLOSE body (status code) is OPTIONAL — a bare
+    CLOSE echo must still count as a clean teardown."""
+    import base64 as _b64
+    import os as _os
+    import socket as _socket
+    import threading as _threading
+
+    from marketstream_etl_spark.streaming.websocket import (
+        OP_TEXT as _T,
+        ws_accept_key as _wak,
+    )
+
+    server = WSTickServer(["one", "two"])
+    t = _threading.Thread(target=server.serve_forever_once, daemon=True)
+    t.start()
+    conn = _socket.create_connection(("127.0.0.1", server.port), timeout=30)
+    key = _b64.b64encode(_os.urandom(16)).decode()
+    conn.sendall(
+        (
+            f"GET / HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+            f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n\r\n"
+        ).encode()
+    )
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += conn.recv(4096)
+    assert _wak(key).encode() in buf
+    buf = buf.split(b"\r\n\r\n", 1)[1]
+    saw_close = False
+    while not saw_close:
+        got = decode_frame(buf)
+        if got is None:
+            buf += conn.recv(4096)
+            continue
+        opcode, _, payload, used = got
+        buf = buf[used:]
+        if opcode == OP_CLOSE:
+            saw_close = True
+    # masked EMPTY close echo (no status code)
+    conn.sendall(encode_frame(b"", opcode=OP_CLOSE, mask=_os.urandom(4)))
+    t.join(timeout=10)
+    assert server.closed_clean.is_set()
+    conn.close()
