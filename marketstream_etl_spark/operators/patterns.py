@@ -54,7 +54,10 @@ def pattern_similarity(
         "symbol",
         "bar",
         F.collect_list("close").over(w.rowsBetween(0, p - 1)).alias("wv"),
-    ).filter(F.size("wv") == p).persist()
+    ).filter(F.size("wv") == p).localCheckpoint(eager=False)
+    # localCheckpoint, not persist: a bare persist here pins one cached
+    # copy per invocation for the session lifetime (bench repeats); the
+    # checkpoint serves the same three consumers and frees on RDD GC.
 
     qsym = wins.agg(F.min("symbol")).first()[0]
     qrow = (
