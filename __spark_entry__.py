@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": training_data.q_split_leakage,
         "vwap_deviation": analytics.q_vwap_deviation,
         "symbol_affinity": analytics.q_symbol_affinity,
+        "snapshot_diff": training_data.q_snapshot_diff,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -1816,6 +1817,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN per_sym sb ON p.symbol_b = sb.symbol
             CROSS JOIN tot t
             ORDER BY p.symbol_a, p.symbol_b
+        """,
+        # two-snapshot reconciliation vs the fixed sf0.001 baseline
+        "snapshot_diff": """
+            WITH cur AS (
+                SELECT doc_id, md5(text) AS h_cur FROM documents
+            ), base AS (
+                SELECT doc_id, md5(text) AS h_base
+                FROM '/root/testdata/sf0.001/documents.parquet'
+            ), j AS (
+                SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
+                       c.h_cur, b.h_base
+                FROM cur c FULL OUTER JOIN base b ON c.doc_id = b.doc_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_union,
+                   CAST(sum(CASE WHEN h_base IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN h_cur IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN h_cur IS NOT NULL
+                                  AND h_base IS NOT NULL
+                                  AND h_cur <> h_base
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   CAST(sum(CASE WHEN h_cur = h_base THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_identical
+            FROM j
         """,
         "binary_ingest": _binassets.binary_ingest_sql(),
         "embedding_quantize": _sim.embedding_quantize_error_sql(),

@@ -1624,3 +1624,43 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split_a", "split_b")
     )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot corpus reconciliation: diff the CURRENT documents
+    snapshot against the fixed baseline snapshot (sf0.001) by doc_id —
+    rows added, removed, and content-changed (md5 of text), the audit an
+    incremental-ingest pipeline runs after every crawl merge to prove the
+    delta is what it claims to be.
+
+    Scale shape: a single full-outer join on the key with md5 content
+    fingerprints computed map-side, then one aggregation — no row-by-row
+    driver comparison; at 100 TB this is the standard two-snapshot
+    anti-join reconciliation, one shuffle per side."""
+    cur = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text")).alias("h_cur")
+    )
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", F.md5(F.col("text")).alias("h_base"))
+    )
+    j = cur.join(base, "doc_id", "full_outer")
+    return j.agg(
+        F.count("*").alias("n_union"),
+        F.sum(
+            (F.col("h_base").isNull()).cast("long")
+        ).alias("n_added"),
+        F.sum(
+            (F.col("h_cur").isNull()).cast("long")
+        ).alias("n_removed"),
+        F.sum(
+            (
+                F.col("h_cur").isNotNull()
+                & F.col("h_base").isNotNull()
+                & (F.col("h_cur") != F.col("h_base"))
+            ).cast("long")
+        ).alias("n_changed"),
+        F.sum(
+            (F.col("h_cur") == F.col("h_base")).cast("long")
+        ).alias("n_identical"),
+    )

@@ -266,3 +266,19 @@ def test_split_leakage_only_cross_split_pairs(spark, sf_dir):
         assert r["split_a"] < r["split_b"]  # canonical order
         assert r["n_leaked_pairs"] > 0
         assert 0.0 < r["max_jaccard"] <= 1.0
+
+
+def test_snapshot_diff_identity_and_partition(spark):
+    """Diffing the baseline against itself: everything identical, nothing
+    added/removed/changed; counts partition the union."""
+    from marketstream_etl_spark.plans.training_data import q_snapshot_diff
+
+    r = q_snapshot_diff(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_added"] == r["n_removed"] == r["n_changed"] == 0
+    assert r["n_identical"] == r["n_union"] > 0
+    # and against a different snapshot the counts still partition
+    r2 = q_snapshot_diff(spark, "/root/testdata/sf0.01").collect()[0]
+    assert (
+        r2["n_added"] + r2["n_removed"] + r2["n_changed"] + r2["n_identical"]
+        == r2["n_union"]
+    )
