@@ -252,3 +252,67 @@ def test_kmeans_assignment_no_join_no_udf(spark, sf_dir):
     assert "Join" not in plan
     assert "Exchange" not in plan  # pure map-side projection
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- r6 plan properties -----------------------------------------------------
+
+
+def test_token_drift_stays_window_shaped(spark, sf_dir):
+    """The chi2 core must keep the window-sum shape (the join-back form
+    re-scanned the corpus six times: 52 Exchange nodes in the first cut).
+    Bound the exchanges and the parquet scans."""
+    from marketstream_etl_spark.plans import training_data
+
+    plan = plan_of(training_data.q_token_drift(spark, sf_dir))
+    assert plan.count("Exchange") <= 20, plan.count("Exchange")
+    assert plan.count("Scan parquet") <= 4
+    assert "BatchEvalPython" not in plan
+
+
+def test_vwap_deviation_single_symbol_window(spark, sf_dir):
+    from marketstream_etl_spark.plans import analytics as _an
+
+    plan = plan_of(_an.q_vwap_deviation(spark, sf_dir))
+    # one hash exchange feeds the per-symbol cumulative window + agg
+    assert plan.count("hashpartitioning(symbol") <= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_symbol_affinity_no_cartesian_product(spark, sf_dir):
+    from marketstream_etl_spark.plans import analytics as _an
+
+    plan = plan_of(_an.q_symbol_affinity(spark, sf_dir))
+    # the account self-join must be an equi-join; the only nested-loop
+    # join allowed is the 1-row broadcast total
+    assert "CartesianProduct" not in plan
+    # tree lines only (the formatted detail section repeats node names)
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_contamination_single_corpus_aggregation(spark, sf_dir):
+    """The single-pass shape: one groupBy(doc_id) aggregation over the
+    corpus side (the r5 form had two plus an extra join)."""
+    from marketstream_etl_spark.plans import training_data
+
+    plan = plan_of(training_data.q_contamination(spark, sf_dir))
+    assert plan.count("hashpartitioning(doc_id") <= 1, plan.count(
+        "hashpartitioning(doc_id"
+    )
+
+
+def test_tpch_no_forced_broadcast_of_scaling_tables():
+    """Source-level guard for the r6 policy: no F.broadcast() hint on
+    customer/supplier/part (or frames derived from them) in the TPC-H
+    plans — AQE/threshold decides.  nation/region and 1-row aggregate
+    scalars may keep hints."""
+    import re
+
+    src = open(
+        "/root/repo/marketstream_etl_spark/plans/tpch.py"
+    ).read()
+    hinted = re.findall(r"F\.broadcast\((\w+)\)", src)
+    allowed = {
+        "nation", "region", "n1", "n2", "cnat", "snat",
+        "max_rev", "avg_bal", "total",
+    }
+    assert set(hinted) <= allowed, sorted(set(hinted) - allowed)
