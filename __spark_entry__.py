@@ -26,6 +26,8 @@ from marketstream_etl_spark.operators import dedup as _dedup
 from marketstream_etl_spark.operators import similarity as _sim
 from marketstream_etl_spark.operators import graph as _graph
 from marketstream_etl_spark.operators import relevance as _relevance
+from marketstream_etl_spark.operators import fusion as _fusion
+from marketstream_etl_spark.operators import asof as _asof
 from marketstream_etl_spark.streaming import docs as _stream_docs
 from marketstream_etl_spark.operators import lm as _lm
 from marketstream_etl_spark.sources import binary_assets as _binassets
@@ -350,7 +352,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_skipping": advanced.q_zorder_skipping,  # O5
         "generator_invariants": advanced.q_generator_invariants,  # S3/X7/X8
         "python_datasource": advanced.q_python_datasource,  # S3
-        "scalar_functions": advanced.q_scalar_functions,  # X5
+        # r6 late rotation: part_triangles (degree-ordered motif counting,
+        # new graph-analytics class over the TPC-H tables) takes the
+        # scalar_functions slot — X5 stays evidenced in-gate by
+        # rsi_signals' ns→timestamp path; scalar_functions moves below
+        # the fold, still check_oracle-verified locally.
+        "part_triangles": tpch.q_part_triangles,
         "weighted_sample": training_data.q_weighted_sample,  # X10
         "udaf_vwap": advanced.q_udaf_vwap,  # pandas UDAF surface
         # --- LLM training-data north star — 15 (rest after the fold) ---
@@ -363,7 +370,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # runs after minhash_lsh so the gate attributes the shared LSH
         # cache population to the dedup row, not the graph row
         "source_pagerank": training_data.q_source_pagerank,
-        "simhash_pairs": training_data.q_simhash_pairs,
+        # r6 late rotation: hybrid_search_rrf (BM25 + cosine fused by
+        # exact-integer reciprocal-rank fusion — the production retrieval
+        # shape) takes the simhash_pairs slot; SimHash stays evidenced by
+        # dedup_minhash_lsh/dedup_clusters in-gate and simhash_pairs
+        # stays check_oracle-verified locally (driver-green r4+r5).
+        "hybrid_search_rrf": training_data.q_hybrid_search_rrf,
         "ann_bruteforce": training_data.q_ann_bruteforce,
         "multimodal_features": training_data.q_multimodal_features,
         # r5 continuation rotation: kmeans_embeddings + ann_lsh (new this
@@ -385,6 +397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- fold: slot 51+ ----------------
         "validate_fixture": analytics.q_validate_fixture,
         "ewma_price": analytics.q_ewma_price,
+        "scalar_functions": advanced.q_scalar_functions,  # X5
+        "simhash_pairs": training_data.q_simhash_pairs,
+        "asof_events_tolerance": advanced.q_asof_events_tolerance,
         "streaming_dedup": _stream_dedup,
         "dedup_ngram_jaccard": training_data.q_dedup_ngram_jaccard,
         "ann_lsh": training_data.q_ann_lsh,
@@ -1302,6 +1317,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _dedup.simhash_sql() + " ORDER BY doc_id",
         "simhash_pairs": _dedup.simhash_near_pairs_sql(),
+        "part_triangles": _graph.part_triangles_sql(),
+        "asof_events_tolerance": _asof.asof_events_tolerance_sql(),
         "ann_bruteforce": _sim.ann_bruteforce_sql(),
         "ann_ivf": _sim.ann_ivf_sql(),
         "embedding_neardup": _sim.embedding_neardup_pairs_sql(),
@@ -1495,6 +1512,7 @@ def oracle_sql() -> dict[str, str]:
         "source_pagerank": _graph.source_pagerank_sql(),
         "ann_ivfpq": _sim.ann_ivfpq_sql(),
         "bm25_search": _relevance.bm25_search_sql(),
+        "hybrid_search_rrf": _fusion.hybrid_search_rrf_sql(),
         "dedup_collapse_weighted": _dedup.collapse_weighted_sql(),
         "streaming_ivf_assign": _stream_docs.stream_ivf_assign_sql(),
         "lm_perplexity": _lm.lm_perplexity_sql(),

@@ -237,3 +237,133 @@ def source_pagerank_sql(
         ORDER BY pagerank DESC, r.node"""
     )
     return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+TRI_MIN_WEIGHT = 2  # co-occurrence support for an edge (prunes noise pairs)
+
+
+def part_triangles(lineitem: DataFrame, min_weight: int = TRI_MIN_WEIGHT) -> DataFrame:
+    """Per-part triangle participation in the co-purchase graph.
+
+    Graph: vertices are parts; an undirected edge (a, b) exists when the
+    pair co-occurs in at least `min_weight` distinct orders.  A triangle
+    is three parts pairwise co-purchased — the classic basket-affinity
+    motif (recommendation seeds, assortment analysis).
+
+    Scale design (100 TB posture) — the standard degree-ordered
+    enumeration (node-iterator++ / Cohen's MapReduce formulation):
+    - Pair generation is a SELF-EQUI-JOIN on l_orderkey (co-partitioned,
+      one shuffle) with a < b so each unordered pair appears once.
+    - Every edge is ORIENTED from its lower-(degree, id) endpoint to the
+      higher one; wedges are enumerated only at each edge's tail.  This
+      bounds per-vertex work by out-degree <= O(sqrt(|E|)) — the hub
+      that co-occurs with everything generates NO wedge explosion.
+    - Closure check is one more equi-join of wedges against oriented
+      edges on the composite (u, v) key.
+    All-integer output: deterministic in any engine.
+
+    Output: (l_partkey, triangles) for parts in >= 1 triangle, ordered by
+    participation desc then part id.  Σ triangles = 3 × global count.
+    """
+    li = lineitem.select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+    )
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_weight)
+        .select("pa", "pb")
+    )
+    deg = (
+        edges.select(F.col("pa").alias("v"))
+        .unionAll(edges.select(F.col("pb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    lower_first = (
+        F.struct(F.col("da.d"), F.col("pa")) < F.struct(F.col("db.d"), F.col("pb"))
+    )
+    # localCheckpoint: the oriented edge list feeds THREE join legs below;
+    # without it the pair-join + degree joins re-run per leg (the repo's
+    # reused-frame plan-audit lesson).  eager=False materializes on first
+    # use; the frame is |E|-bounded.
+    oriented = (
+        edges.join(deg.alias("da"), F.col("da.v") == F.col("pa"))
+        .join(deg.alias("db"), F.col("db.v") == F.col("pb"))
+        .select(
+            F.when(lower_first, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+            F.when(lower_first, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    per_part = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return per_part.orderBy(F.desc("triangles"), "l_partkey")
+
+
+def part_triangles_sql(min_weight: int = TRI_MIN_WEIGHT) -> str:
+    """DuckDB replay: identical pair-join, weight filter, (degree, id)
+    orientation, wedge closure, and per-vertex explode."""
+    return f"""
+        WITH pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        e0 AS MATERIALIZED (
+            SELECT pa, pb FROM pairs GROUP BY pa, pb
+            HAVING count(*) >= {min_weight}
+        ),
+        deg AS MATERIALIZED (
+            SELECT v, count(*) AS d FROM (
+                SELECT pa AS v FROM e0 UNION ALL SELECT pb AS v FROM e0
+            ) GROUP BY v
+        ),
+        oe AS MATERIALIZED (
+            SELECT CASE WHEN (da.d, e0.pa) < (db.d, e0.pb)
+                        THEN e0.pa ELSE e0.pb END AS u,
+                   CASE WHEN (da.d, e0.pa) < (db.d, e0.pb)
+                        THEN e0.pb ELSE e0.pa END AS v
+            FROM e0 JOIN deg da ON da.v = e0.pa
+                    JOIN deg db ON db.v = e0.pb
+        ),
+        tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM oe e1 JOIN oe e2 ON e1.v = e2.u
+                       JOIN oe e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT l_partkey, count(*) AS triangles FROM (
+            SELECT unnest([x, y, z]) AS l_partkey FROM tri
+        ) t
+        GROUP BY l_partkey
+        ORDER BY triangles DESC, l_partkey
+    """

@@ -1042,3 +1042,13 @@ def q_streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name).orderBy("symbol")
+
+
+def q_asof_events_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional tolerance as-of (operators/asof.py::
+    asof_events_tolerance): purchase → latest view at-or-before and next
+    click at-or-after, each within a 15-minute attribution window — the
+    merge_asof(tolerance=...) surface, one union-window shuffle."""
+    from marketstream_etl_spark.operators.asof import asof_events_tolerance
+
+    return asof_events_tolerance(load_table(spark, sf_dir, "events"))

@@ -684,3 +684,13 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation in the part co-purchase graph
+    (operators/graph.py::part_triangles): degree-ordered wedge
+    enumeration — the scalable motif-counting shape (each edge oriented
+    low→high (degree, id); closure via one composite-key equi-join)."""
+    from marketstream_etl_spark.operators.graph import part_triangles
+
+    return part_triangles(load_table(spark, sf_dir, "lineitem"))

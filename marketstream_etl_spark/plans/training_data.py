@@ -1664,3 +1664,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("h_cur") == F.col("h_base")).cast("long")
         ).alias("n_identical"),
     )
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused by reciprocal-rank fusion
+    (operators/fusion.py::hybrid_search_rrf): BM25 inverted-index ranking
+    and brute-force cosine ranking, fused with exact-integer RRF scores
+    over bounded per-system candidate lists."""
+    from marketstream_etl_spark.operators.fusion import hybrid_search_rrf
+
+    return hybrid_search_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
