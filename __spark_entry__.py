@@ -27,6 +27,7 @@ from marketstream_etl_spark.operators import similarity as _sim
 from marketstream_etl_spark.operators import graph as _graph
 from marketstream_etl_spark.operators import relevance as _relevance
 from marketstream_etl_spark.operators import fusion as _fusion
+from marketstream_etl_spark.operators import novelty as _novelty
 from marketstream_etl_spark.operators import asof as _asof
 from marketstream_etl_spark.streaming import docs as _stream_docs
 from marketstream_etl_spark.operators import lm as _lm
@@ -400,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_functions": advanced.q_scalar_functions,  # X5
         "simhash_pairs": training_data.q_simhash_pairs,
         "asof_events_tolerance": advanced.q_asof_events_tolerance,
+        "ngram_novelty": training_data.q_ngram_novelty,
         "streaming_dedup": _stream_dedup,
         "dedup_ngram_jaccard": training_data.q_dedup_ngram_jaccard,
         "ann_lsh": training_data.q_ann_lsh,
@@ -1318,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _dedup.simhash_sql() + " ORDER BY doc_id",
         "simhash_pairs": _dedup.simhash_near_pairs_sql(),
         "part_triangles": _graph.part_triangles_sql(),
+        "ngram_novelty": _novelty.ngram_novelty_sql(),
         "asof_events_tolerance": _asof.asof_events_tolerance_sql(),
         "ann_bruteforce": _sim.ann_bruteforce_sql(),
         "ann_ivf": _sim.ann_ivf_sql(),

@@ -1,0 +1,161 @@
+"""N-gram novelty / coverage curve over the corpus ingestion order.
+
+Training-data use case (north-star surface; the reference has no text
+operators at all): when documents are ingested in a fixed order, each
+document contributes some number of never-seen-before shingles.  The
+per-doc novelty rate is a dedup-aware quality signal (boilerplate-heavy
+docs contribute ~0 new grams), and the cumulative coverage curve tells a
+curation pipeline where additional data stops buying vocabulary — the
+diminishing-returns diagnostic behind "data ablation" plots.
+
+Scale design (100 TB posture):
+- The (doc_id, shingle) pairs come from the SHARED corpus shingle cache
+  (operators/dedup.py::shingle_pairs_cached) — the tokenize→shingle pass
+  already paid for by the dedup/contamination families is reused, not
+  recomputed.
+- First-occurrence attribution is ONE groupBy(shingle).min(doc_id) — the
+  same partial-aggregated shuffle every dedup op uses.
+- The cumulative sum is NOT a global single-partition window (the known
+  scale-killer).  It is the classic TWO-PHASE PREFIX SUM: doc_ids are
+  range-bucketed into <= `n_buckets` fixed buckets (width derived from
+  max(doc_id), a 1-row broadcast), the within-bucket cumsum runs
+  partitioned by bucket, and only the <= n_buckets bucket-total rows pass
+  through the global window — bounded at ANY corpus size.
+- Ratios are emitted as exact integer parts-per-million
+  (``1e6·x DIV y``), the repo-wide fixed-point convention, so the output
+  is bit-identical in any engine; divisions are CASE-guarded against
+  empty inputs (ANSI mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from marketstream_etl_spark.functions.hashing import shingles_sql, tokens_sql
+from marketstream_etl_spark.operators.dedup import (
+    SHINGLE_K,
+    shingle_pairs_cached,
+)
+
+N_BUCKETS = 4096  # global-window rows are bounded by this at any scale
+PPM = 1_000_000
+
+
+def ngram_novelty(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
+    """Per-document novelty and cumulative corpus coverage, doc_id order.
+
+    Output (all BIGINT): doc_id, n_grams (distinct shingles in the doc),
+    new_grams (first seen here), cum_new (running total of new grams),
+    novelty_ppm (1e6·new/n, 0 for gram-less docs), coverage_ppm
+    (1e6·cum/total distinct grams in the corpus).
+    """
+    pairs = shingle_pairs_cached(docs)
+    tots = pairs.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    news = (
+        pairs.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("new_grams"))
+    )
+    per_doc = (
+        docs.select("doc_id")
+        .join(tots, "doc_id", "left")
+        .join(news, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("new_grams", F.lit(0)).alias("new_grams"),
+        )
+    )
+    # bucket width from max(doc_id): a 1-row broadcast, never a collect
+    width = docs.agg(
+        (
+            F.max("doc_id") / F.lit(n_buckets)
+        ).cast("long").alias("w")
+    ).select((F.col("w") + 1).alias("bucket_width"))
+    bucketed = per_doc.join(F.broadcast(width)).withColumn(
+        "bucket", F.expr("doc_id DIV bucket_width")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = bucketed.withColumn("in_cum", F.sum("new_grams").over(w_in))
+    btot = bucketed.groupBy("bucket").agg(F.sum("new_grams").alias("b_new"))
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btot.select(
+        "bucket", F.coalesce(F.sum("b_new").over(w_b), F.lit(0)).alias("offset")
+    )
+    total = btot.agg(F.sum("b_new").alias("total_grams"))
+    out = (
+        within.join(F.broadcast(offsets), "bucket")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_grams",
+            "new_grams",
+            (F.col("in_cum") + F.col("offset")).alias("cum_new"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr(f"({PPM} * new_grams) DIV n_grams"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("novelty_ppm"),
+            F.when(
+                F.col("total_grams") > 0,
+                F.expr(f"({PPM} * (in_cum + offset)) DIV total_grams"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("coverage_ppm"),
+        )
+    )
+    return out.orderBy("doc_id")
+
+
+def ngram_novelty_sql() -> str:
+    """DuckDB replay: identical shingles, first-occurrence attribution,
+    and integer-ppm math; the cumsum is a plain ordered window (exact
+    integer sums are order-strategy-independent, so the two-phase Spark
+    shape and the single window agree bit-for-bit)."""
+    sh = shingles_sql(tokens_sql("text"), SHINGLE_K)
+    return f"""
+        WITH grams AS MATERIALIZED (
+            SELECT DISTINCT doc_id, unnest({sh}) AS g FROM documents
+        ),
+        tots AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+        news AS (
+            SELECT doc_id, count(*) AS new_grams FROM (
+                SELECT g, min(doc_id) AS doc_id FROM grams GROUP BY g
+            ) GROUP BY doc_id
+        ),
+        pd AS (
+            SELECT d.doc_id,
+                   coalesce(t.n_grams, 0) AS n_grams,
+                   coalesce(n.new_grams, 0) AS new_grams
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN tots t USING (doc_id)
+            LEFT JOIN news n USING (doc_id)
+        ),
+        cum AS (
+            SELECT *,
+                   sum(new_grams) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_new
+            FROM pd
+        ),
+        tot AS (SELECT sum(new_grams) AS total_grams FROM pd)
+        SELECT doc_id, n_grams, new_grams, cum_new,
+               CASE WHEN n_grams > 0
+                    THEN ({PPM} * new_grams) // n_grams
+                    ELSE 0 END AS novelty_ppm,
+               CASE WHEN total_grams > 0
+                    THEN ({PPM} * cum_new) // total_grams
+                    ELSE 0 END AS coverage_ppm
+        FROM cum CROSS JOIN tot
+        ORDER BY doc_id
+    """

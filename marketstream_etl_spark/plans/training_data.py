@@ -1677,3 +1677,13 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
     )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty + cumulative coverage curve
+    (operators/novelty.py::ngram_novelty): first-occurrence attribution
+    over the shared shingle cache and a bucketed two-phase prefix sum —
+    no global single-partition window at any corpus size."""
+    from marketstream_etl_spark.operators.novelty import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))

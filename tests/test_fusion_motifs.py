@@ -185,3 +185,49 @@ def test_asof_tie_between_two_views_picks_higher_event_id(spark):
     )
     out = asof_events_tolerance(ev, tol_ns=10_000).collect()
     assert out[0]["last_view_id"] == 9
+
+
+# ------------------------------------------------------------ ngram novelty
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in sorted(texts.items())
+        ]
+    )
+
+
+def test_novelty_duplicate_doc_contributes_nothing(spark):
+    from marketstream_etl_spark.operators.novelty import ngram_novelty
+
+    texts = {
+        0: "alpha beta gamma delta epsilon",
+        1: "alpha beta gamma delta epsilon",  # exact dup of 0
+        2: "one two three four",
+    }
+    out = {r["doc_id"]: r for r in ngram_novelty(_docs(spark, texts)).collect()}
+    assert out[0]["n_grams"] == 3 and out[0]["new_grams"] == 3
+    assert out[1]["n_grams"] == 3 and out[1]["new_grams"] == 0
+    assert out[1]["novelty_ppm"] == 0
+    assert out[2]["new_grams"] == 2
+    assert out[2]["cum_new"] == 5
+    assert out[2]["coverage_ppm"] == 1_000_000  # last doc closes the corpus
+
+
+def test_novelty_short_doc_and_monotone_coverage(spark):
+    from marketstream_etl_spark.operators.novelty import ngram_novelty
+
+    texts = {
+        0: "too short",  # < k tokens -> zero grams
+        1: "a b c d",
+        2: "c d e f",  # shares the 1-shingle overlap "c d e"? no: grams are b c d etc.
+    }
+    rows = ngram_novelty(_docs(spark, texts)).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[0]["n_grams"] == 0 and by_id[0]["novelty_ppm"] == 0
+    cums = [r["cum_new"] for r in sorted(rows, key=lambda r: r["doc_id"])]
+    assert cums == sorted(cums), "coverage must be monotone"
+    assert by_id[2]["coverage_ppm"] == 1_000_000
+    # every new_grams <= n_grams
+    for r in rows:
+        assert 0 <= r["new_grams"] <= r["n_grams"]
