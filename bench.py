@@ -71,6 +71,11 @@ EXTRAS = [
     "split_leakage",
     "vwap_deviation",
     "symbol_affinity",
+    # late-r6 additions
+    "hybrid_search_rrf",
+    "part_triangles",
+    "asof_events_tolerance",
+    "ngram_novelty",
 ]
 
 

@@ -22,7 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from marketstream_etl_spark.functions.hashing import h32, h32_sql, tokens, tokens_sql
+from marketstream_etl_spark.functions.hashing import (
+    h32,
+    h32_sql,
+    h60,
+    h60_sql,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
 
 CMS_DEPTH = 4
 CMS_WIDTH = 256
@@ -233,4 +241,217 @@ def cms_heavy_hitters_sql(
                      * (SELECT count(*) FROM toks)) AS BIGINT) + 1)
                    AS within_bound
         FROM est ORDER BY exact_n DESC, tok
+    """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-cardinality sketch (from scratch, cross-engine exact)
+# ---------------------------------------------------------------------------
+#
+# The mergeable cardinality twin of the CMS above: register state is a
+# FIXED m=2^p array of 6-bit-ish maxima, built map-side and merged by
+# cell-wise MAX — the shuffle moves at most m rows per group no matter how
+# many items flow through, and per-partition / per-day / per-source
+# sketches union by the same MAX.  Spark's own approx_count_distinct is
+# HLL++ too, but its register layout is not replayable in another engine;
+# this one is deterministic end-to-end:
+#
+# - item hash: md5-derived h60 (functions/hashing) — identical hex in any
+#   engine; bucket = low p bits, suffix w = remaining 50 bits;
+# - rho(w) = trailing-zero count + 1 (the Flajolet–Martin PCSA variant,
+#   geometric with the same 2^-k law as leading zeros) — computed by a
+#   GENERATED 50-branch CASE ladder of pure shift/mask integer ops, bit-
+#   identical in both engines (no libm log2);
+# - harmonic sum: S = T / 2^51 with T = Σ_j 2^(51 - M_j) an EXACT BIGINT
+#   (empty registers contribute 2^51); the only float step is the final
+#   C / T division of exact integers, and the estimate ships as
+#   floor(E·1e4 + 0.5) fixed-point (the repo-wide rounding-mode dodge).
+# No small/large-range corrections: raw-regime semantics are documented,
+# and the emitted err_ppm column audits the sketch against the exact
+# count (the same audit convention as the ANN recall / quantize-error
+# ops — the exact side exists for verification, the sketch is the
+# product).
+
+HLL_P = 10  # 2^10 = 1024 registers; standard error ~1.04/sqrt(m) = 3.25%
+HLL_M = 1 << HLL_P
+HLL_WBITS = 60 - HLL_P  # suffix bits feeding rho
+# alpha_m * m^2 * 2^WBITS+1... : single shared double constant, computed
+# once in Python and inlined into BOTH engines so each performs the same
+# one rounding
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMERATOR = HLL_ALPHA * float(HLL_M) * float(HLL_M) * float(1 << (HLL_WBITS + 1))
+
+
+def _rho_case(w_expr: str, shift: str) -> str:
+    """Trailing-zeros-plus-one CASE ladder over the WBITS-bit suffix.
+    `shift` is the engine's shift-right spelling: 'shiftright({w}, {k})'
+    (Spark) or '({w} >> {k})' (DuckDB)."""
+    branches = " ".join(
+        f"WHEN ({shift.format(w=w_expr, k=k)} & 1) = 1 THEN {k + 1}"
+        for k in range(HLL_WBITS)
+    )
+    return f"CASE {branches} ELSE {HLL_WBITS + 1} END"
+
+
+def hll_cardinality(docs: DataFrame) -> DataFrame:
+    """Per-source distinct-shingle cardinality estimates plus the merged
+    corpus-wide sketch, each audited against the exact count.
+
+    Output: (scope, filled_registers, zero_registers, t_scaled,
+    estimate_e4, exact_distinct, err_ppm) — scope is the source name or
+    '__all__' for the cell-wise-MAX merge of every per-source sketch
+    (identical to sketching the union, the mergeability property).
+    """
+    from marketstream_etl_spark.operators.dedup import shingle_pairs_cached
+
+    pairs = shingle_pairs_cached(docs)
+    keyed = pairs.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select(
+        "source",
+        "shingle",
+        h60(F.col("shingle")).alias("h"),
+    )
+    rho = F.expr(
+        _rho_case(f"(h DIV {HLL_M})", "shiftright({w}, {k})")
+    )
+    hashed = keyed.select(
+        "source",
+        (F.col("h") % HLL_M).alias("bucket"),
+        rho.alias("rho"),
+    )
+    # per-source registers: one partial-aggregated shuffle, <= m rows/source
+    regs = hashed.groupBy("source", "bucket").agg(F.max("rho").alias("m_j"))
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .select(F.lit("__all__").alias("scope"), "bucket", "m_j")
+    )
+    both = regs.select(
+        F.col("source").alias("scope"), "bucket", "m_j"
+    ).unionByName(merged)
+    sketch = both.groupBy("scope").agg(
+        F.count("*").alias("filled_registers"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - m_j)")
+        ).alias("t_filled"),
+    )
+    # exact side (audit only): distinct (source, shingle) / global distinct
+    ex_src = (
+        keyed.select("source", "shingle")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("exact_distinct"))
+        .withColumnRenamed("source", "scope")
+    )
+    ex_all = (
+        keyed.select("shingle")
+        .distinct()
+        .agg(F.count("*").alias("exact_distinct"))
+        .select(F.lit("__all__").alias("scope"), "exact_distinct")
+    )
+    exact = ex_src.unionByName(ex_all)
+    empty = HLL_M - F.col("filled_registers")
+    t_scaled = (
+        F.col("t_filled")
+        + empty * F.lit(1 << (HLL_WBITS + 1)).cast("long")
+    )
+    est = F.lit(HLL_NUMERATOR) / t_scaled.cast("double")
+    est_e4 = F.floor(est * 10000.0 + 0.5).cast("long")
+    staged = sketch.join(exact, "scope").select(
+        "scope",
+        "filled_registers",
+        empty.cast("long").alias("zero_registers"),
+        t_scaled.alias("t_scaled"),
+        est_e4.alias("estimate_e4"),
+        "exact_distinct",
+    )
+    out = staged.withColumn(
+        "err_ppm",
+        F.when(
+            F.col("exact_distinct") > 0,
+            F.expr(
+                "(1000000 * abs(estimate_e4 - exact_distinct * 10000)) "
+                "DIV (exact_distinct * 10000)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    return out.orderBy("scope")
+
+
+def hll_cardinality_sql() -> str:
+    """DuckDB replay: identical h60 split, rho ladder, register maxima,
+    exact-integer harmonic sum, and the single shared double constant."""
+    from marketstream_etl_spark.functions.hashing import h60_sql
+
+    from marketstream_etl_spark.operators.dedup import SHINGLE_K
+
+    rho = _rho_case(f"(h // {HLL_M})", "({w} >> {k})")
+    shift_unit = 1 << (HLL_WBITS + 1)
+    sh = shingles_sql(tokens_sql("text"), SHINGLE_K)
+    return f"""
+        WITH docsh AS (
+            SELECT DISTINCT doc_id, unnest({sh}) AS shingle
+            FROM documents
+        ),
+        pairs AS MATERIALIZED (
+            SELECT DISTINCT d.source, s.shingle
+            FROM docsh s JOIN documents d USING (doc_id)
+        ),
+        keyed AS (
+            SELECT source, shingle, {h60_sql("shingle")} AS h FROM pairs
+        ),
+        hashed AS (
+            SELECT source, h % {HLL_M} AS bucket, {rho} AS rho FROM keyed
+        ),
+        regs AS (
+            SELECT source, bucket, max(rho) AS m_j
+            FROM hashed GROUP BY 1, 2
+        ),
+        allscopes AS (
+            SELECT source AS scope, bucket, m_j FROM regs
+            UNION ALL
+            SELECT '__all__' AS scope, bucket, max(m_j) AS m_j
+            FROM regs GROUP BY 1, 2
+        ),
+        sketch AS (
+            SELECT scope,
+                   count(*) AS filled_registers,
+                   sum((CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - m_j)))
+                       AS t_filled
+            FROM allscopes GROUP BY scope
+        ),
+        exact AS (
+            SELECT source AS scope, count(DISTINCT shingle) AS exact_distinct
+            FROM pairs GROUP BY 1
+            UNION ALL
+            SELECT '__all__', count(DISTINCT shingle) FROM pairs
+        )
+        SELECT s.scope,
+               s.filled_registers,
+               CAST({HLL_M} - s.filled_registers AS BIGINT)
+                   AS zero_registers,
+               s.t_filled + ({HLL_M} - s.filled_registers)
+                   * CAST({shift_unit} AS BIGINT) AS t_scaled,
+               CAST(floor(CAST({HLL_NUMERATOR!r} AS DOUBLE)
+                   / CAST(s.t_filled + ({HLL_M} - s.filled_registers)
+                          * CAST({shift_unit} AS BIGINT) AS DOUBLE)
+                   * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   AS estimate_e4,
+               e.exact_distinct,
+               CASE WHEN e.exact_distinct > 0
+                    THEN (1000000 * abs(
+                            CAST(floor(CAST({HLL_NUMERATOR!r} AS DOUBLE)
+                                / CAST(s.t_filled
+                                       + ({HLL_M} - s.filled_registers)
+                                       * CAST({shift_unit} AS BIGINT)
+                                       AS DOUBLE)
+                                * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                            - e.exact_distinct * 10000))
+                         // (e.exact_distinct * 10000)
+                    ELSE 0 END AS err_ppm
+        FROM sketch s JOIN exact e USING (scope)
+        ORDER BY s.scope
     """

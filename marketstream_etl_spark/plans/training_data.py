@@ -1687,3 +1687,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators.novelty import ngram_novelty
 
     return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch deterministic HyperLogLog (operators/sketch.py::
+    hll_cardinality): per-source distinct-shingle estimates plus the
+    cell-wise-MAX merged corpus sketch, audited against exact counts —
+    the mergeable cardinality twin of the CMS heavy-hitter sketch."""
+    from marketstream_etl_spark.operators.sketch import hll_cardinality
+
+    return hll_cardinality(load_table(spark, sf_dir, "documents"))

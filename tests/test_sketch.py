@@ -43,3 +43,58 @@ def test_cms_sketch_is_fixed_size(spark, sf_dir):
         )
     )
     assert n_cells <= CMS_DEPTH * CMS_WIDTH
+
+
+# ----------------------------------------------------------- hyperloglog
+def _hll_docs(spark, rows):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source=s, n_chars=len(t))
+            for i, (s, t) in enumerate(rows)
+        ]
+    )
+
+
+def test_hll_exact_audit_and_merge_monotonicity(spark):
+    """The exact audit column is right, and the cell-wise-MAX merged
+    sketch never estimates below any component sketch (T_all <= T_src)."""
+    from marketstream_etl_spark.operators.sketch import hll_cardinality
+
+    docs = _hll_docs(
+        spark,
+        [
+            ("a", "one two three four five"),
+            ("a", "one two three four five"),  # dup doc: no new shingles
+            ("b", "six seven eight nine ten"),
+        ],
+    )
+    out = {r["scope"]: r for r in hll_cardinality(docs).collect()}
+    assert set(out) == {"a", "b", "__all__"}
+    assert out["a"]["exact_distinct"] == 3
+    assert out["b"]["exact_distinct"] == 3
+    assert out["__all__"]["exact_distinct"] == 6
+    for scope in ("a", "b"):
+        assert out["__all__"]["estimate_e4"] >= out[scope]["estimate_e4"]
+        assert out["__all__"]["t_scaled"] <= out[scope]["t_scaled"]
+    for r in out.values():
+        assert r["filled_registers"] + r["zero_registers"] == 1024
+        assert r["estimate_e4"] > 0
+
+
+def test_hll_error_in_raw_regime(spark, sf_dir):
+    """On the driver corpus: when the cardinality is in the raw-HLL
+    regime (> 3m), the sketch lands within ~4 standard errors."""
+    from marketstream_etl_spark.operators.sketch import hll_cardinality
+    from marketstream_etl_spark.sources.tables import load_table
+
+    out = {
+        r["scope"]: r
+        for r in hll_cardinality(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    r = out["__all__"]
+    if r["exact_distinct"] > 3 * 1024:
+        assert r["err_ppm"] < 140_000  # 4 x 3.25% standard error
