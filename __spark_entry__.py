@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events_tolerance": advanced.q_asof_events_tolerance,
         "ngram_novelty": training_data.q_ngram_novelty,
         "hll_cardinality": training_data.q_hll_cardinality,
+        "bloom_contamination": training_data.q_bloom_contamination,
         "streaming_dedup": _stream_dedup,
         "dedup_ngram_jaccard": training_data.q_dedup_ngram_jaccard,
         "ann_lsh": training_data.q_ann_lsh,
@@ -1323,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
         "part_triangles": _graph.part_triangles_sql(),
         "ngram_novelty": _novelty.ngram_novelty_sql(),
         "hll_cardinality": _sketch.hll_cardinality_sql(),
+        "bloom_contamination": _sketch.bloom_contamination_sql(),
         "asof_events_tolerance": _asof.asof_events_tolerance_sql(),
         "ann_bruteforce": _sim.ann_bruteforce_sql(),
         "ann_ivf": _sim.ann_ivf_sql(),

@@ -76,6 +76,8 @@ EXTRAS = [
     "part_triangles",
     "asof_events_tolerance",
     "ngram_novelty",
+    "hll_cardinality",
+    "bloom_contamination",
 ]
 
 

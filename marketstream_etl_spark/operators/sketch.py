@@ -455,3 +455,159 @@ def hll_cardinality_sql() -> str:
         FROM sketch s JOIN exact e USING (scope)
         ORDER BY s.scope
     """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter contamination probe (the membership sketch of the family)
+# ---------------------------------------------------------------------------
+#
+# Third classic mergeable sketch alongside the CMS (frequency) and HLL
+# (cardinality): a FIXED m-bit membership filter over the benchmark
+# shingle set.  This is the shape n-gram decontamination actually takes
+# at 100 TB — you cannot broadcast the raw benchmark shingle STRINGS to
+# every executor (a large eval suite is GBs of 3-grams), but the m-bit
+# filter is a constant few hundred KB no matter how big the benchmark
+# grows, merges across benchmark shards by bitwise OR, and probing is
+# map-side.  Relationally the filter is the DISTINCT set of set bit
+# positions (<= m rows, broadcast); a probe shingle is flagged iff all
+# k of its positions join.  No false negatives by construction; the
+# emitted exact_hits / false_hits columns audit the false-positive side
+# against the exact membership join (same audit convention as the HLL
+# err_ppm and ANN recall ops — the exact side exists for verification,
+# the sketch is the product).
+#
+# Geometry: m = 2^16 bits, k = 4 ~= 6.8 bits/element at the sf0.1
+# benchmark-set size (~9.7 K shingles) -> ~4 % theoretical FPR; at
+# sf0.01 (~1.2 K shingles) the filter is sparse and false hits ~ 0.
+# Hashes are the repo-standard md5-derived h32 with per-row salts, so
+# the DuckDB oracle rebuilds the IDENTICAL filter and flags.
+
+BLOOM_M = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_bits(sh_col: F.Column) -> F.Column:
+    """Array of the k bit positions for one shingle (duplicates kept:
+    each of the k checks is independent, so a row per hash function is
+    exactly 'all k probes pass' when all k rows join the bit table)."""
+    return F.array(
+        *[
+            h32(F.concat(F.lit(f"bloom{i}|"), sh_col)) % BLOOM_M
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_contamination(docs: DataFrame) -> DataFrame:
+    """Per-document benchmark contamination via a Bloom membership filter,
+    audited against the exact overlap.
+
+    Benchmark slice = the contamination op's convention (1-in-20 docs by
+    md5 of doc_id).  Output: (doc_id, n_shingles, bloom_hits, exact_hits,
+    false_hits) for every corpus doc the filter flags, ordered by doc_id;
+    bloom_hits >= exact_hits always (no false negatives).
+    """
+    from marketstream_etl_spark.functions.cachegen import scan_coalesce
+    from marketstream_etl_spark.operators.dedup import shingle_pairs_cached
+
+    pairs = scan_coalesce(shingle_pairs_cached(docs), docs)
+    is_bench = h32(F.col("doc_id").cast("string")) % 20 == 0
+    bench = pairs.filter(is_bench).select("shingle").distinct()
+    # the filter: distinct set bit positions, <= m rows regardless of
+    # benchmark size -> always broadcastable
+    bits = (
+        bench.select(F.explode(_bloom_bits(F.col("shingle"))).alias("bit"))
+        .distinct()
+        .withColumn("_set", F.lit(1))
+    )
+    corpus = pairs.filter(~is_bench)
+    # probe each DISTINCT corpus shingle once (k md5s per shingle, not
+    # per occurrence), then join verdicts back on the shingle key
+    probe_bits = (
+        corpus.select("shingle")
+        .distinct()
+        .select("shingle", F.explode(_bloom_bits(F.col("shingle"))).alias("bit"))
+    )
+    flagged = (
+        probe_bits.join(F.broadcast(bits), "bit", "left")
+        .groupBy("shingle")
+        .agg(F.count("_set").alias("_nset"))
+        .filter(F.col("_nset") == BLOOM_K)
+        .select("shingle", F.lit(1).alias("_bloom"))
+    )
+    exact = bench.select("shingle", F.lit(1).alias("_exact"))
+    # verdict joins on the shingle key: sizes are data-dependent, so no
+    # forced broadcast — AQE picks (both sides are bounded by the distinct
+    # shingle count, tiny next to the corpus itself)
+    per_doc = (
+        corpus.join(flagged, "shingle", "left")
+        .join(exact, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_bloom").alias("bloom_hits"),
+            F.count("_exact").alias("exact_hits"),
+        )
+    )
+    return (
+        per_doc.filter(F.col("bloom_hits") > 0)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "bloom_hits",
+            "exact_hits",
+            (F.col("bloom_hits") - F.col("exact_hits")).alias("false_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bloom_contamination_sql() -> str:
+    """DuckDB replay: identical salted-h32 bit positions, identical
+    distinct-bits filter, identical all-k-match flagging."""
+    from marketstream_etl_spark.operators.dedup import SHINGLE_K
+
+    sh = shingles_sql(tokens_sql("text"), SHINGLE_K)
+    rs = ", ".join(str(i) for i in range(BLOOM_K))
+    bit = h32_sql("('bloom' || r || '|' || shingle)") + f" % {BLOOM_M}"
+    return f"""
+        WITH sh AS (
+            SELECT doc_id,
+                {h32_sql("CAST(doc_id AS VARCHAR)")} % 20 = 0 AS is_bench,
+                list_distinct({sh}) AS s
+            FROM documents
+        ),
+        bench AS MATERIALIZED (
+            SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE is_bench
+        ),
+        bits AS MATERIALIZED (
+            SELECT DISTINCT {bit} AS bit
+            FROM bench, (SELECT unnest([{rs}]) AS r)
+        ),
+        corpus AS MATERIALIZED (
+            SELECT doc_id, unnest(s) AS shingle FROM sh WHERE NOT is_bench
+        ),
+        probebits AS (
+            SELECT shingle, {bit} AS bit
+            FROM (SELECT DISTINCT shingle FROM corpus),
+                 (SELECT unnest([{rs}]) AS r)
+        ),
+        flagged AS (
+            SELECT shingle, 1 AS fb
+            FROM probebits JOIN bits USING (bit)
+            GROUP BY shingle HAVING count(*) = {BLOOM_K}
+        ),
+        exact AS (
+            SELECT shingle, 1 AS eb FROM bench
+        )
+        SELECT doc_id,
+               count(*) AS n_shingles,
+               count(f.fb) AS bloom_hits,
+               count(e.eb) AS exact_hits,
+               count(f.fb) - count(e.eb) AS false_hits
+        FROM corpus c
+        LEFT JOIN flagged f USING (shingle)
+        LEFT JOIN exact e USING (shingle)
+        GROUP BY doc_id HAVING count(f.fb) > 0
+        ORDER BY doc_id
+    """

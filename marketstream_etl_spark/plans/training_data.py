@@ -1697,3 +1697,14 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators.sketch import hll_cardinality
 
     return hll_cardinality(load_table(spark, sf_dir, "documents"))
+
+
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination probe (operators/sketch.py::
+    bloom_contamination): per-doc benchmark overlap flagged through a
+    fixed 2^16-bit membership sketch and audited against the exact join —
+    the broadcast-a-filter (not the raw benchmark) shape that n-gram
+    decontamination takes at 100 TB."""
+    from marketstream_etl_spark.operators.sketch import bloom_contamination
+
+    return bloom_contamination(load_table(spark, sf_dir, "documents"))

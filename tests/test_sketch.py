@@ -98,3 +98,42 @@ def test_hll_error_in_raw_regime(spark, sf_dir):
     r = out["__all__"]
     if r["exact_distinct"] > 3 * 1024:
         assert r["err_ppm"] < 140_000  # 4 x 3.25% standard error
+
+
+# ------------------------------------------------------------ bloom filter
+def test_bloom_no_false_negatives_and_audit(spark, sf_dir):
+    """Every exact benchmark overlap is bloom-flagged (no false
+    negatives), false_hits is the audit delta, and per-doc counts bound
+    each other correctly."""
+    from marketstream_etl_spark.operators.sketch import bloom_contamination
+    from marketstream_etl_spark.sources.tables import load_table
+
+    rows = bloom_contamination(
+        load_table(spark, sf_dir, "documents")
+    ).collect()
+    assert rows, "driver corpus has contaminated docs"
+    for r in rows:
+        assert r["bloom_hits"] >= r["exact_hits"]
+        assert r["false_hits"] == r["bloom_hits"] - r["exact_hits"]
+        assert r["bloom_hits"] <= r["n_shingles"]
+
+
+def test_bloom_matches_exact_contamination_docs(spark, sf_dir):
+    """Docs with exact_hits > 0 here are exactly the contamination op's
+    flagged docs (same benchmark slice, same shingles)."""
+    from marketstream_etl_spark.operators.sketch import bloom_contamination
+    from marketstream_etl_spark.plans.training_data import q_contamination
+    from marketstream_etl_spark.sources.tables import load_table
+
+    bl = {
+        r["doc_id"]: r["exact_hits"]
+        for r in bloom_contamination(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+        if r["exact_hits"] > 0
+    }
+    ex = {
+        r["doc_id"]: r["n_overlap"]
+        for r in q_contamination(spark, sf_dir).collect()
+    }
+    assert bl == ex
