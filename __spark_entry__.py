@@ -35,6 +35,7 @@ from marketstream_etl_spark.sources import binary_assets as _binassets
 from marketstream_etl_spark.sources import formats as _formats
 from marketstream_etl_spark.operators import patterns as _patterns
 from marketstream_etl_spark.operators import sketch as _sketch
+from marketstream_etl_spark.operators import winnow as _winnow
 from marketstream_etl_spark.operators import text as _text
 from marketstream_etl_spark.plans import advanced, analytics, tpch, training_data
 from marketstream_etl_spark.plans.trades_view import TRADES_CTE
@@ -404,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": training_data.q_ngram_novelty,
         "hll_cardinality": training_data.q_hll_cardinality,
         "bloom_contamination": training_data.q_bloom_contamination,
+        "winnowing_pairs": training_data.q_winnowing_pairs,
         "streaming_dedup": _stream_dedup,
         "dedup_ngram_jaccard": training_data.q_dedup_ngram_jaccard,
         "ann_lsh": training_data.q_ann_lsh,
@@ -1325,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _novelty.ngram_novelty_sql(),
         "hll_cardinality": _sketch.hll_cardinality_sql(),
         "bloom_contamination": _sketch.bloom_contamination_sql(),
+        "winnowing_pairs": _winnow.winnowing_pairs_sql(),
         "asof_events_tolerance": _asof.asof_events_tolerance_sql(),
         "ann_bruteforce": _sim.ann_bruteforce_sql(),
         "ann_ivf": _sim.ann_ivf_sql(),

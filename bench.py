@@ -78,6 +78,7 @@ EXTRAS = [
     "ngram_novelty",
     "hll_cardinality",
     "bloom_contamination",
+    "winnowing_pairs",
 ]
 
 

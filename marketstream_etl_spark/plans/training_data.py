@@ -1708,3 +1708,13 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators.sketch import bloom_contamination
 
     return bloom_contamination(load_table(spark, sf_dir, "documents"))
+
+
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (operators/winnow.py): per-doc
+    window-min k-gram fingerprint sets with the shared-substring
+    guarantee, paired on shared fingerprints through a DF-capped inverted
+    index — the robust-fingerprinting member of the dedup family."""
+    from marketstream_etl_spark.operators.winnow import winnowing_pairs
+
+    return winnowing_pairs(load_table(spark, sf_dir, "documents"))
