@@ -192,6 +192,15 @@ def _stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_cms_heavy_hitters(spark, sf_dir)
 
 
+def _stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog as a streaming aggregate: bounded sources*m register
+    state, final registers == batch registers on replay (cell-wise MAX
+    merge), shared report stage -> shared oracle."""
+    from marketstream_etl_spark.operators.sketch import streaming_hll_cardinality
+
+    return streaming_hll_cardinality(spark, sf_dir)
+
+
 def _stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC join axis: corpus docs stream in, the benchmark
     shingle set is a static broadcast; final snapshot == the batch
@@ -406,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": training_data.q_hll_cardinality,
         "bloom_contamination": training_data.q_bloom_contamination,
         "winnowing_pairs": training_data.q_winnowing_pairs,
+        "streaming_hll": _stream_hll,
         "streaming_dedup": _stream_dedup,
         "dedup_ngram_jaccard": training_data.q_dedup_ngram_jaccard,
         "ann_lsh": training_data.q_ann_lsh,
@@ -1328,6 +1338,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_cardinality": _sketch.hll_cardinality_sql(),
         "bloom_contamination": _sketch.bloom_contamination_sql(),
         "winnowing_pairs": _winnow.winnowing_pairs_sql(),
+        "streaming_hll": _sketch.hll_cardinality_sql(),
         "asof_events_tolerance": _asof.asof_events_tolerance_sql(),
         "ann_bruteforce": _sim.ann_bruteforce_sql(),
         "ann_ivf": _sim.ann_ivf_sql(),

@@ -293,6 +293,33 @@ def _rho_case(w_expr: str, shift: str) -> str:
     return f"CASE {branches} ELSE {HLL_WBITS + 1} END"
 
 
+def _hll_keyed(docs: DataFrame) -> DataFrame:
+    """(source, shingle, h): the shared dedup-family pairs frame keyed by
+    source with the 60-bit item hash."""
+    from marketstream_etl_spark.operators.dedup import shingle_pairs_cached
+
+    pairs = shingle_pairs_cached(docs)
+    return pairs.join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select(
+        "source",
+        "shingle",
+        h60(F.col("shingle")).alias("h"),
+    )
+
+
+def _hll_hashed(keyed: DataFrame) -> DataFrame:
+    """(source, bucket, rho) probe rows from the h60-keyed frame."""
+    rho = F.expr(
+        _rho_case(f"(h DIV {HLL_M})", "shiftright({w}, {k})")
+    )
+    return keyed.select(
+        "source",
+        (F.col("h") % HLL_M).alias("bucket"),
+        rho.alias("rho"),
+    )
+
+
 def hll_cardinality(docs: DataFrame) -> DataFrame:
     """Per-source distinct-shingle cardinality estimates plus the merged
     corpus-wide sketch, each audited against the exact count.
@@ -302,26 +329,18 @@ def hll_cardinality(docs: DataFrame) -> DataFrame:
     '__all__' for the cell-wise-MAX merge of every per-source sketch
     (identical to sketching the union, the mergeability property).
     """
-    from marketstream_etl_spark.operators.dedup import shingle_pairs_cached
-
-    pairs = shingle_pairs_cached(docs)
-    keyed = pairs.join(
-        docs.select("doc_id", "source"), "doc_id"
-    ).select(
-        "source",
-        "shingle",
-        h60(F.col("shingle")).alias("h"),
-    )
-    rho = F.expr(
-        _rho_case(f"(h DIV {HLL_M})", "shiftright({w}, {k})")
-    )
-    hashed = keyed.select(
-        "source",
-        (F.col("h") % HLL_M).alias("bucket"),
-        rho.alias("rho"),
-    )
+    keyed = _hll_keyed(docs)
     # per-source registers: one partial-aggregated shuffle, <= m rows/source
-    regs = hashed.groupBy("source", "bucket").agg(F.max("rho").alias("m_j"))
+    regs = _hll_hashed(keyed).groupBy("source", "bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+    return _hll_report(regs, keyed)
+
+
+def _hll_report(regs: DataFrame, keyed: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming HLL ops: merge per-source
+    registers, compute the exact-integer harmonic sums, and audit against
+    exact distinct counts from the keyed frame."""
     merged = (
         regs.groupBy("bucket")
         .agg(F.max("m_j").alias("m_j"))
@@ -611,3 +630,55 @@ def bloom_contamination_sql() -> str:
         GROUP BY doc_id HAVING count(f.fb) > 0
         ORDER BY doc_id
     """
+
+
+def streaming_hll_cardinality(spark, sf_dir: str) -> DataFrame:
+    """The HLL as a STREAMING aggregate: register maxima are algebraic
+    (cell-wise MAX), so groupBy(source, bucket).max(rho) runs
+    incrementally with state bounded at sources × m entries no matter how
+    many documents stream through — the distinct-counting twin of
+    streaming_cms's bounded-state summary.  On bounded replay the final
+    register snapshot equals the batch registers, so the report stage is
+    shared verbatim and the driver reuses the hll_cardinality oracle.
+
+    The exact-count audit side is batch-built from the same table (the
+    streamed sketch is the product; the exact side exists to verify it,
+    as in the batch op)."""
+    from marketstream_etl_spark.sources.tables import load_table
+    from marketstream_etl_spark.streaming.docs import stream_documents
+
+    docs = stream_documents(spark, sf_dir)
+    # per-doc distinct shingles map-side (max is idempotent, but the
+    # distinct cuts the aggregated row volume ~10x)
+    keyed_stream = docs.select(
+        "source",
+        F.explode(
+            F.array_distinct(tokens_to_shingles_stream(F.col("text")))
+        ).alias("shingle"),
+    ).select("source", h60(F.col("shingle")).alias("h"))
+    regs_stream = _hll_hashed(keyed_stream).groupBy("source", "bucket").agg(
+        F.max("rho").alias("m_j")
+    )
+    name = f"stream_hll_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        regs_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # localCheckpoint: the memory-sink View is not a MultiInstanceRelation
+    # and the report stage unions/joins it against itself (merged scope);
+    # the checkpointed frame is the <= sources x m register map — bounded.
+    regs = spark.table(name).localCheckpoint(eager=False)
+    return _hll_report(regs, _hll_keyed(load_table(spark, sf_dir, "documents")))
+
+
+def tokens_to_shingles_stream(text_col: F.Column) -> F.Column:
+    """Shingle array for the streaming path (same tokenization + k as the
+    dedup family's shared batch frame)."""
+    from marketstream_etl_spark.functions.hashing import shingles, tokens
+    from marketstream_etl_spark.operators.dedup import SHINGLE_K
+
+    return shingles(tokens(text_col), SHINGLE_K)

@@ -137,3 +137,21 @@ def test_bloom_matches_exact_contamination_docs(spark, sf_dir):
         for r in q_contamination(spark, sf_dir).collect()
     }
     assert bl == ex
+
+
+def test_streaming_hll_equals_batch(spark, sf_dir):
+    """Bounded replay: the streamed register snapshot reproduces the batch
+    report row-for-row (algebraic MAX merge => stream state == batch)."""
+    from marketstream_etl_spark.operators.sketch import (
+        hll_cardinality,
+        streaming_hll_cardinality,
+    )
+    from marketstream_etl_spark.sources.tables import load_table
+
+    batch = sorted(
+        map(tuple, hll_cardinality(load_table(spark, sf_dir, "documents")).collect())
+    )
+    streamed = sorted(
+        map(tuple, streaming_hll_cardinality(spark, sf_dir).collect())
+    )
+    assert streamed == batch
