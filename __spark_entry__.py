@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination": training_data.q_bloom_contamination,
         "winnowing_pairs": training_data.q_winnowing_pairs,
         "streaming_hll": _stream_hll,
+        "semantic_dedup": training_data.q_semantic_dedup,
         "streaming_dedup": _stream_dedup,
         "dedup_ngram_jaccard": training_data.q_dedup_ngram_jaccard,
         "ann_lsh": training_data.q_ann_lsh,
@@ -1339,6 +1340,11 @@ def oracle_sql() -> dict[str, str]:
         "bloom_contamination": _sketch.bloom_contamination_sql(),
         "winnowing_pairs": _winnow.winnowing_pairs_sql(),
         "streaming_hll": _sketch.hll_cardinality_sql(),
+        "semantic_dedup": _sim.semantic_dedup_sql(
+            approx_rows=_table_row_count(
+                "/root/testdata/sf0.01", "embeddings"
+            )
+        ),
         "asof_events_tolerance": _asof.asof_events_tolerance_sql(),
         "ann_bruteforce": _sim.ann_bruteforce_sql(),
         "ann_ivf": _sim.ann_ivf_sql(),

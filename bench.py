@@ -79,6 +79,7 @@ EXTRAS = [
     "hll_cardinality",
     "bloom_contamination",
     "winnowing_pairs",
+    "semantic_dedup",
 ]
 
 

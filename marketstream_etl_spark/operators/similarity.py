@@ -1362,3 +1362,166 @@ def embedding_quantize_error_sql(
                round(avg(err * err), 9) AS mse
         FROM errs GROUP BY label ORDER BY label
     """
+
+
+# --- semantic dedup (SemDeDup) ----------------------------------------------
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = NEARDUP_COSINE,
+    n_centroids: int | None = None,
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
+    embeddings, find within-cluster cosine near-duplicates, and keep the
+    group member LEAST similar to its centroid (the paper's keep rule —
+    the most "prototypical" copies are the redundant ones; the outlier
+    carries the information).
+
+    Relational one-pass form of the paper's greedy: a vector is dropped
+    iff some same-cluster near-duplicate has strictly lower
+    centroid-similarity (ties by lower vec_id).  Every near-dup pair loses
+    at least one member, the unique priority order makes the verdict
+    deterministic, and no iteration is needed — at 100 TB this is one
+    broadcast-codebook assignment, one within-bucket self-join (the
+    corpus-adaptive codebook keeps candidates linear, exactly as
+    embedding_neardup_ivf), and one anti-join-shaped aggregate.
+
+    Priorities compare FIXED-POINT centroid similarities
+    (floor(cos·1e6 + 0.5), HALF_UP in both engines) so the keep/drop
+    order is engine-identical even where raw doubles could tie.
+
+    Output: (vec_id, bucket, cent_e6, kept, n_dominating) for every
+    vector, ordered by vec_id; n_dominating counts the higher-priority
+    near-duplicates that evicted it (0 for kept rows).
+    """
+    if n_centroids is None:
+        n_centroids = neardup_centroid_count(approx_rows, 1)
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    cents = _centroids(base, n_centroids)
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        cosine(F.col("vec"), F.col("cvec")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.col("centroid_id")
+    )
+    asg = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("bucket"),
+            F.floor(F.col("ccos") * 1000000.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cent_e6"),
+        )
+        .join(base, "vec_id")
+    )
+    a = asg.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("va"),
+        "bucket",
+        F.col("cent_e6").alias("cent_a"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        "bucket",
+        F.col("cent_e6").alias("cent_b"),
+    )
+    # directed near-dup pairs: id_a is the candidate victim, id_b a witness
+    dominated = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "cent_a",
+            "id_b",
+            "cent_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+        .filter(
+            (F.col("cent_b") < F.col("cent_a"))
+            | (
+                (F.col("cent_b") == F.col("cent_a"))
+                & (F.col("id_b") < F.col("id_a"))
+            )
+        )
+        .groupBy(F.col("id_a").alias("vec_id"))
+        .agg(F.count("*").alias("n_dominating"))
+    )
+    return (
+        asg.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            "cent_e6",
+            F.col("n_dominating").isNull().alias("kept"),
+            F.coalesce("n_dominating", F.lit(0)).cast("long").alias(
+                "n_dominating"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semantic_dedup_sql(
+    threshold: float = NEARDUP_COSINE,
+    n_centroids: int | None = None,
+    approx_rows: int | None = None,
+) -> str:
+    """DuckDB replay: identical assignment ranking, fixed-point centroid
+    priorities, and the same directed-domination drop rule."""
+    if n_centroids is None:
+        n_centroids = neardup_centroid_count(approx_rows, 1)
+    cent = f"(SELECT * FROM embeddings WHERE vec_id < {n_centroids})"
+    a2c = _COSINE_PAIR_SQL.format(q="embeddings", e=cent)
+    return f"""
+        WITH a2c AS ({a2c}),
+        asg AS MATERIALIZED (
+            SELECT query_id AS vec_id, neighbor_id AS bucket,
+                   CAST(floor(cos * CAST(1000000.0 AS DOUBLE)
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cent_e6
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS r FROM a2c
+            ) WHERE r = 1
+        ),
+        cand AS (
+            SELECT pa.vec_id AS id_a, pa.cent_e6 AS cent_a,
+                   pb.vec_id AS id_b, pb.cent_e6 AS cent_b
+            FROM asg pa JOIN asg pb
+              ON pa.bucket = pb.bucket AND pa.vec_id <> pb.vec_id
+        ),
+        verify AS (
+            SELECT c.id_a, c.cent_a, c.id_b, c.cent_b,
+                   round(sum(ua.v * ub.v)
+                     / (sqrt(sum(ua.v * ua.v)) * sqrt(sum(ub.v * ub.v))),
+                     6) AS cos
+            FROM cand c
+            JOIN (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                         unnest(range(len(embedding))) AS i
+                  FROM embeddings) ua ON ua.vec_id = c.id_a
+            JOIN (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                         unnest(range(len(embedding))) AS i
+                  FROM embeddings) ub
+              ON ub.vec_id = c.id_b AND ub.i = ua.i
+            GROUP BY 1, 2, 3, 4
+        ),
+        dominated AS (
+            SELECT id_a AS vec_id, count(*) AS n_dominating
+            FROM verify
+            WHERE cos >= {threshold}
+              AND (cent_b < cent_a
+                   OR (cent_b = cent_a AND id_b < id_a))
+            GROUP BY 1
+        )
+        SELECT a.vec_id, a.bucket, a.cent_e6,
+               d.vec_id IS NULL AS kept,
+               coalesce(d.n_dominating, 0) AS n_dominating
+        FROM asg a LEFT JOIN dominated d USING (vec_id)
+        ORDER BY a.vec_id
+    """

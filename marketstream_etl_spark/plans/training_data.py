@@ -1718,3 +1718,17 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators.winnow import winnowing_pairs
 
     return winnowing_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (operators/similarity.py::
+    semantic_dedup): cluster-assign embeddings, drop every vector with a
+    higher-priority within-cluster cosine near-duplicate (keep rule: least
+    centroid-similar survives), one relational pass — the embedding-space
+    member of the dedup family's collapse stage."""
+    from marketstream_etl_spark.sources.tables import table_row_count
+
+    return similarity.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"),
+        approx_rows=table_row_count(sf_dir, "embeddings"),
+    )
