@@ -58,6 +58,11 @@ def ngram_novelty(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("new_grams"))
     )
+    # per_doc is n_docs rows (doc-level, tiny next to the gram frame) but
+    # feeds FOUR consumers downstream (within, btot, offsets' two legs via
+    # btot, total) — without truncation each re-runs both corpus-scale
+    # aggregations above (plan audit: 25 scans / 66 exchanges before,
+    # 1 logical pass after).
     per_doc = (
         docs.select("doc_id")
         .join(tots, "doc_id", "left")
@@ -67,6 +72,7 @@ def ngram_novelty(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("new_grams", F.lit(0)).alias("new_grams"),
         )
+        .localCheckpoint(eager=False)
     )
     # bucket width from max(doc_id): a 1-row broadcast, never a collect
     width = docs.agg(

@@ -1407,6 +1407,10 @@ def semantic_dedup(
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("ccos"), F.col("centroid_id")
     )
+    # asg feeds THREE consumers (both self-join legs and the final verdict
+    # join); without truncation each re-runs the NxC assignment scoring
+    # window (plan audit: 18 scans before, one assignment pass after).
+    # Slim frame: one vector + 3 scalars per input row.
     asg = (
         scored.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") == 1)
@@ -1418,6 +1422,7 @@ def semantic_dedup(
             .alias("cent_e6"),
         )
         .join(base, "vec_id")
+        .localCheckpoint(eager=False)
     )
     a = asg.select(
         F.col("vec_id").alias("id_a"),

@@ -329,7 +329,17 @@ def hll_cardinality(docs: DataFrame) -> DataFrame:
     '__all__' for the cell-wise-MAX merge of every per-source sketch
     (identical to sketching the union, the mergeability property).
     """
-    keyed = _hll_keyed(docs)
+    # ONE distinct (source, shingle) pass feeds the registers AND both
+    # exact audits (register max over the distinct set equals max over the
+    # multiset).  Without truncation the three consumers each re-ran the
+    # docs join upstream (plan audit: 17 scans); the checkpointed frame is
+    # bounded by distinct shingles x sources — far below corpus scale.
+    keyed = (
+        _hll_keyed(docs)
+        .select("source", "shingle", "h")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # per-source registers: one partial-aggregated shuffle, <= m rows/source
     regs = _hll_hashed(keyed).groupBy("source", "bucket").agg(
         F.max("rho").alias("m_j")
@@ -672,7 +682,13 @@ def streaming_hll_cardinality(spark, sf_dir: str) -> DataFrame:
     # and the report stage unions/joins it against itself (merged scope);
     # the checkpointed frame is the <= sources x m register map — bounded.
     regs = spark.table(name).localCheckpoint(eager=False)
-    return _hll_report(regs, _hll_keyed(load_table(spark, sf_dir, "documents")))
+    keyed = (
+        _hll_keyed(load_table(spark, sf_dir, "documents"))
+        .select("source", "shingle", "h")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    return _hll_report(regs, keyed)
 
 
 def tokens_to_shingles_stream(text_col: F.Column) -> F.Column:
