@@ -357,7 +357,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cms": _stream_cms,
         # --- one per remaining SURVEY-§2 family — 10 ---
         "asof_enrich": advanced.q_asof_enrich,  # J2
-        "rolling_indicators": advanced.q_rolling_indicators,  # W
         "bucketed_join": _bucketed_join,  # S7 + co-located join
         "partition_pruning": advanced.q_partition_pruning,  # F5/O5
         "zorder_skipping": advanced.q_zorder_skipping,  # O5
@@ -389,34 +388,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": training_data.q_hybrid_search_rrf,
         "ann_bruteforce": training_data.q_ann_bruteforce,
         "multimodal_features": training_data.q_multimodal_features,
-        # r5 continuation rotation: kmeans_embeddings + ann_lsh (new this
-        # round: iterative-algorithm oracle, second bucketed ANN path)
-        # take the multimodal_metadata/frames slots (both driver-green r4;
-        # multimodal_features keeps the family's mapInPandas row) — the
-        # displaced pair stays check_oracle-verified locally every round.
-        "kmeans_embeddings": training_data.q_kmeans_embeddings,
-        "dedup_clusters": training_data.q_dedup_clusters,
-        "ann_pq": training_data.q_ann_pq,
         "corpus_curation": training_data.q_corpus_curation,
-        "contamination": training_data.q_contamination,
-        "doc_repetition": training_data.q_doc_repetition,
+        # r6 final rotation: the completed sketch family (HLL cardinality
+        # + its streaming twin, Bloom decontamination, HDR quantiles),
+        # winnowing fingerprints, and SemDeDup take six slots from
+        # long-green rows (rolling_indicators, kmeans_embeddings,
+        # dedup_clusters, ann_pq, contamination, doc_repetition — all
+        # driver-green in earlier rounds, all still check_oracle-verified
+        # locally below the fold).  Family coverage kept in-gate:
+        # W by indicators, clustering by semantic_dedup's assignment,
+        # dedup by minhash_lsh/winnowing, n-gram decontamination by
+        # bloom_contamination's exact-audit columns, text by
+        # text_analysis.
+        "hll_cardinality": training_data.q_hll_cardinality,
+        "streaming_hll": _stream_hll,
+        "bloom_contamination": training_data.q_bloom_contamination,
+        "winnowing_pairs": training_data.q_winnowing_pairs,
+        "semantic_dedup": training_data.q_semantic_dedup,
+        "hdr_quantiles": advanced.q_hdr_quantiles,
         "pattern_similarity": advanced.q_pattern_similarity,
         "bm25_search": training_data.q_bm25_search,
         "lm_perplexity": training_data.q_lm_perplexity,
         "weighted_reservoir": training_data.q_weighted_reservoir,
         "json_corrupt_records": training_data.q_json_corrupt_records,
         # ---------------- fold: slot 51+ ----------------
+        "rolling_indicators": advanced.q_rolling_indicators,  # W
+        "kmeans_embeddings": training_data.q_kmeans_embeddings,
+        "dedup_clusters": training_data.q_dedup_clusters,
+        "ann_pq": training_data.q_ann_pq,
+        "contamination": training_data.q_contamination,
+        "doc_repetition": training_data.q_doc_repetition,
         "validate_fixture": analytics.q_validate_fixture,
         "ewma_price": analytics.q_ewma_price,
         "scalar_functions": advanced.q_scalar_functions,  # X5
         "simhash_pairs": training_data.q_simhash_pairs,
         "asof_events_tolerance": advanced.q_asof_events_tolerance,
         "ngram_novelty": training_data.q_ngram_novelty,
-        "hll_cardinality": training_data.q_hll_cardinality,
-        "bloom_contamination": training_data.q_bloom_contamination,
-        "winnowing_pairs": training_data.q_winnowing_pairs,
-        "streaming_hll": _stream_hll,
-        "semantic_dedup": training_data.q_semantic_dedup,
         "streaming_dedup": _stream_dedup,
         "dedup_ngram_jaccard": training_data.q_dedup_ngram_jaccard,
         "ann_lsh": training_data.q_ann_lsh,
@@ -1340,6 +1347,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_contamination": _sketch.bloom_contamination_sql(),
         "winnowing_pairs": _winnow.winnowing_pairs_sql(),
         "streaming_hll": _sketch.hll_cardinality_sql(),
+        "hdr_quantiles": _sketch.hdr_quantiles_sql(),
         "semantic_dedup": _sim.semantic_dedup_sql(
             approx_rows=_table_row_count(
                 "/root/testdata/sf0.01", "embeddings"

@@ -80,6 +80,7 @@ EXTRAS = [
     "bloom_contamination",
     "winnowing_pairs",
     "semantic_dedup",
+    "hdr_quantiles",
 ]
 
 

@@ -698,3 +698,214 @@ def tokens_to_shingles_stream(text_col: F.Column) -> F.Column:
     from marketstream_etl_spark.operators.dedup import SHINGLE_K
 
     return shingles(tokens(text_col), SHINGLE_K)
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram quantile sketch (completes the sketch family: frequency =
+# CMS, cardinality = HLL, membership = Bloom, quantiles = this)
+# ---------------------------------------------------------------------------
+#
+# Mergeable bounded-relative-error quantiles the way HdrHistogram does it,
+# but integer-only so a DuckDB replay is bit-identical (no libm log):
+# values are cents v = floor(price*100 + 0.5); the exponent e comes from a
+# GENERATED power-of-two CASE ladder and the mantissa is split into 2^5
+# linear sub-buckets, so every bucket spans <= 1/32 of its value (3.2 %
+# relative width) and there are at most ~35*32 buckets over the full
+# int64-cents range — a fixed-size grid that aggregates map-side and
+# merges by cell-wise ADDITION, exactly like the CMS.
+#
+# Report: for each target quantile q the smallest bucket whose cumulative
+# count reaches rank r = ceil(q*N) (prefix sums over the <= ~1200 bucket
+# rows via the bounded triangular join, never a global window).  The audit
+# is DISTRIBUTED and exact: one conditional-aggregate pass over the raw
+# values re-derives rank(v < lo) and rank(v <= hi), proving the target
+# rank falls inside the returned bucket — no single-reducer exact
+# percentile anywhere (contrast: percentile() would collect every value
+# into one aggregator at 100 TB; this op never does).
+
+HDR_SUB_BITS = 5
+HDR_SUBS = 1 << HDR_SUB_BITS  # 32 linear sub-buckets per octave
+HDR_EMAX = 40  # cents < 2^41 covers prices to ~$2.2e10
+HDR_QUANTILES_PPM = [500000, 900000, 990000, 999000]
+
+
+def _hdr_exponent_case(v: str) -> str:
+    """Engine-neutral integer floor(log2(v)) for v >= 2^SUB_BITS."""
+    branches = " ".join(
+        f"WHEN {v} >= {1 << k} THEN {k}"
+        for k in range(HDR_EMAX, HDR_SUB_BITS - 1, -1)
+    )
+    return f"CASE {branches} ELSE {HDR_SUB_BITS - 1} END"
+
+
+def _hdr_bucket_exprs(v: str, div: str) -> tuple[str, str, str]:
+    """(bid, lo, hi) SQL fragments over integer cents `v`.
+
+    Tiny values (< 2^SUB_BITS) get exact singleton buckets; otherwise
+    bucket = base(e) + (v - 2^e) * SUBS / 2^e, lo/hi are the bucket's
+    integer value bounds.  `div` is the engine's integer-divide spelling
+    ('DIV' Spark, '//' DuckDB).
+    """
+    e = _hdr_exponent_case(v)
+    sub = f"((({v}) - (CAST(1 AS BIGINT) << ({e}))) * {HDR_SUBS}) {div} (CAST(1 AS BIGINT) << ({e}))"
+    bid = (
+        f"CASE WHEN {v} < {HDR_SUBS} THEN {v} "
+        f"ELSE {HDR_SUBS} + (({e}) - {HDR_SUB_BITS}) * {HDR_SUBS} + ({sub}) END"
+    )
+    width = f"(CAST(1 AS BIGINT) << (({e}) - {HDR_SUB_BITS}))"
+    lo = (
+        f"CASE WHEN {v} < {HDR_SUBS} THEN {v} "
+        f"ELSE (CAST(1 AS BIGINT) << ({e})) + ({sub}) * {width} END"
+    )
+    hi = (
+        f"CASE WHEN {v} < {HDR_SUBS} THEN {v} "
+        f"ELSE (CAST(1 AS BIGINT) << ({e})) + (({sub}) + 1) * {width} - 1 END"
+    )
+    return bid, lo, hi
+
+
+def hdr_quantiles(lineitem: DataFrame) -> DataFrame:
+    """p50/p90/p99/p99.9 of l_extendedprice (cents) through the HDR
+    sketch, with the exact-rank bracketing audit.
+
+    Output per quantile: (q_ppm, target_rank, est_lo_cents, est_hi_cents,
+    est_mid_cents, exact_rank_lo, exact_rank_hi, within, rel_width_ppm)
+    — `within` asserts exact_rank_lo < target_rank <= exact_rank_hi.
+    """
+    cents = lineitem.select(
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("v")
+    )
+    bid, lo, hi = _hdr_bucket_exprs("v", "DIV")
+    bucketed = cents.select(
+        F.expr(bid).alias("bid"),
+        F.expr(lo).alias("lo"),
+        F.expr(hi).alias("hi"),
+    )
+    sketch = (
+        bucketed.groupBy("bid")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+        )
+        # <= ~1200 rows; feeds the triangular prefix sum (two legs) and
+        # the quantile probe
+        .localCheckpoint(eager=False)
+    )
+    cum = (
+        sketch.alias("a")
+        .join(
+            sketch.alias("b"),
+            F.col("b.bid") <= F.col("a.bid"),
+        )
+        .groupBy(
+            F.col("a.bid").alias("bid"),
+            F.col("a.lo").alias("lo"),
+            F.col("a.hi").alias("hi"),
+            F.col("a.cnt").alias("cnt"),
+        )
+        .agg(F.sum("b.cnt").alias("cum"))
+    )
+    total = sketch.agg(F.sum("cnt").alias("n_total"))
+    qs = total.select(
+        "n_total",
+        F.explode(
+            F.array(*[F.lit(q) for q in HDR_QUANTILES_PPM])
+        ).alias("q_ppm"),
+    ).select(
+        "q_ppm",
+        F.expr(
+            "(q_ppm * n_total + 999999) DIV 1000000"
+        ).alias("target_rank"),
+    )
+    est = (
+        cum.join(
+            F.broadcast(qs),
+            (F.col("cum") - F.col("cnt") < F.col("target_rank"))
+            & (F.col("cum") >= F.col("target_rank")),
+        )
+        .select("q_ppm", "target_rank", "lo", "hi")
+    )
+    # distributed exact-rank audit: ONE conditional-agg pass over cents
+    audit = (
+        cents.join(F.broadcast(est))
+        .groupBy("q_ppm", "target_rank", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0)).alias(
+                "exact_rank_lo"
+            ),
+            F.sum(F.when(F.col("v") <= F.col("hi"), 1).otherwise(0)).alias(
+                "exact_rank_hi"
+            ),
+        )
+    )
+    return audit.select(
+        "q_ppm",
+        "target_rank",
+        F.col("lo").alias("est_lo_cents"),
+        F.col("hi").alias("est_hi_cents"),
+        F.expr("(lo + hi) DIV 2").alias("est_mid_cents"),
+        "exact_rank_lo",
+        "exact_rank_hi",
+        (
+            (F.col("exact_rank_lo") < F.col("target_rank"))
+            & (F.col("target_rank") <= F.col("exact_rank_hi"))
+        ).alias("within"),
+        F.expr("(1000000 * (hi - lo + 1)) DIV lo").alias("rel_width_ppm"),
+    ).orderBy("q_ppm")
+
+
+def hdr_quantiles_sql() -> str:
+    """DuckDB replay: identical cents, ladder, bucket bounds, prefix sums,
+    probe, and exact-rank audit."""
+    bid, lo, hi = _hdr_bucket_exprs("v", "//")
+    qvals = ", ".join(f"({q})" for q in HDR_QUANTILES_PPM)
+    return f"""
+        WITH cents AS (
+            SELECT CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE))
+                   AS BIGINT) AS v
+            FROM lineitem
+        ),
+        bucketed AS (
+            SELECT {bid} AS bid, {lo} AS lo, {hi} AS hi FROM cents
+        ),
+        sketch AS MATERIALIZED (
+            SELECT bid, count(*) AS cnt, min(lo) AS lo, min(hi) AS hi
+            FROM bucketed GROUP BY bid
+        ),
+        cum AS (
+            SELECT a.bid, a.lo, a.hi, a.cnt, sum(b.cnt) AS cum
+            FROM sketch a JOIN sketch b ON b.bid <= a.bid
+            GROUP BY 1, 2, 3, 4
+        ),
+        qs AS (
+            SELECT q_ppm,
+                   (q_ppm * n_total + 999999) // 1000000 AS target_rank
+            FROM (SELECT sum(cnt) AS n_total FROM sketch),
+                 (SELECT * FROM (VALUES {qvals}) t(q_ppm))
+        ),
+        est AS MATERIALIZED (
+            SELECT q.q_ppm, q.target_rank, c.lo, c.hi
+            FROM cum c JOIN qs q
+              ON c.cum - c.cnt < q.target_rank AND c.cum >= q.target_rank
+        ),
+        audit AS (
+            SELECT e.q_ppm, e.target_rank, e.lo, e.hi,
+                   sum(CASE WHEN cents.v < e.lo THEN 1 ELSE 0 END)
+                       AS exact_rank_lo,
+                   sum(CASE WHEN cents.v <= e.hi THEN 1 ELSE 0 END)
+                       AS exact_rank_hi
+            FROM cents, est e
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT q_ppm, target_rank,
+               lo AS est_lo_cents, hi AS est_hi_cents,
+               (lo + hi) // 2 AS est_mid_cents,
+               exact_rank_lo, exact_rank_hi,
+               (exact_rank_lo < target_rank
+                AND target_rank <= exact_rank_hi) AS within,
+               (1000000 * (hi - lo + 1)) // lo AS rel_width_ppm
+        FROM audit ORDER BY q_ppm
+    """

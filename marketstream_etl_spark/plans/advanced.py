@@ -1052,3 +1052,14 @@ def q_asof_events_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators.asof import asof_events_tolerance
 
     return asof_events_tolerance(load_table(spark, sf_dir, "events"))
+
+
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile sketch (operators/sketch.py::hdr_quantiles):
+    integer-only exponent/sub-bucket grid over price cents, bounded
+    3.2%-relative-width buckets, quantile probe via bounded prefix sums,
+    and a distributed exact-rank audit — the quantile member of the
+    CMS/HLL/Bloom sketch family."""
+    from marketstream_etl_spark.operators.sketch import hdr_quantiles
+
+    return hdr_quantiles(load_table(spark, sf_dir, "lineitem"))

@@ -155,3 +155,45 @@ def test_streaming_hll_equals_batch(spark, sf_dir):
         map(tuple, streaming_hll_cardinality(spark, sf_dir).collect())
     )
     assert streamed == batch
+
+
+# --------------------------------------------------------- hdr quantiles
+def test_hdr_bucket_bounds_and_audit(spark, sf_dir):
+    """Every quantile row brackets its target rank exactly (the audit
+    invariant) and bucket relative width respects the 1/32 design bound."""
+    from marketstream_etl_spark.operators.sketch import hdr_quantiles
+    from marketstream_etl_spark.sources.tables import load_table
+
+    rows = hdr_quantiles(load_table(spark, sf_dir, "lineitem")).collect()
+    assert [r["q_ppm"] for r in rows] == [500000, 900000, 990000, 999000]
+    for r in rows:
+        assert r["within"]
+        assert r["exact_rank_lo"] < r["target_rank"] <= r["exact_rank_hi"]
+        assert r["est_lo_cents"] <= r["est_mid_cents"] <= r["est_hi_cents"]
+        # 1/32 relative width plus integer rounding slack
+        assert r["rel_width_ppm"] <= 1_000_000 // 32 + 1000
+
+
+def test_hdr_bucketing_is_monotone_and_exact_tiny(spark):
+    """bid/lo/hi are monotone in v, tiny values (< 32 cents) are exact
+    singleton buckets, and lo <= v <= hi always."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.sketch import _hdr_bucket_exprs
+
+    vals = list(range(0, 40)) + [63, 64, 65, 1000, 12345, 10**6, 10**9]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    bid, lo, hi = _hdr_bucket_exprs("v", "DIV")
+    out = df.select(
+        "v",
+        F.expr(bid).alias("bid"),
+        F.expr(lo).alias("lo"),
+        F.expr(hi).alias("hi"),
+    ).orderBy("v").collect()
+    prev_bid = -1
+    for r in out:
+        assert r["lo"] <= r["v"] <= r["hi"], r
+        assert r["bid"] >= prev_bid
+        prev_bid = r["bid"]
+        if r["v"] < 32:
+            assert r["lo"] == r["hi"] == r["v"] == r["bid"]
