@@ -738,30 +738,43 @@ def _hdr_exponent_case(v: str) -> str:
     return f"CASE {branches} ELSE {HDR_SUB_BITS - 1} END"
 
 
-def _hdr_bucket_exprs(v: str, div: str) -> tuple[str, str, str]:
-    """(bid, lo, hi) SQL fragments over integer cents `v`.
+def _hdr_bid_expr(v: str, shr: str) -> str:
+    """Bucket id over integer cents `v` — the ONLY per-row expression.
 
     Tiny values (< 2^SUB_BITS) get exact singleton buckets; otherwise
-    bucket = base(e) + (v - 2^e) * SUBS / 2^e, lo/hi are the bucket's
-    integer value bounds.  `div` is the engine's integer-divide spelling
-    ('DIV' Spark, '//' DuckDB).
+    with d = e - SUB_BITS the id is d*SUBS + (v >> d), algebraically equal
+    to base(e) + (v - 2^e)*SUBS/2^e but referencing the exponent ladder
+    just twice (the first cut embedded the ladder in bid AND lo AND hi —
+    ~12 evaluations of a 35-branch chain per row after projection
+    collapse; measured 4.4 s vs 1.2 s on 600 K rows at sf0.1).
+    `shr` is the engine's shift-right spelling.
     """
-    e = _hdr_exponent_case(v)
-    sub = f"((({v}) - (CAST(1 AS BIGINT) << ({e}))) * {HDR_SUBS}) {div} (CAST(1 AS BIGINT) << ({e}))"
-    bid = (
+    d = f"({_hdr_exponent_case(v)}) - {HDR_SUB_BITS}"
+    return (
         f"CASE WHEN {v} < {HDR_SUBS} THEN {v} "
-        f"ELSE {HDR_SUBS} + (({e}) - {HDR_SUB_BITS}) * {HDR_SUBS} + ({sub}) END"
+        f"ELSE ({d}) * {HDR_SUBS} + {shr.format(x=v, n=f'({d})')} END"
     )
-    width = f"(CAST(1 AS BIGINT) << (({e}) - {HDR_SUB_BITS}))"
+
+
+def _hdr_bounds_exprs(bid: str, shl: str, div: str) -> tuple[str, str]:
+    """(lo, hi) integer value bounds recovered from the bucket id — run on
+    the AGGREGATED sketch rows (<= ~1200), never per input row.
+
+    Inverse map: bid = (d+1)*SUBS + sub with sub in [0, SUBS), mantissa
+    m = SUBS + sub in [SUBS, 2*SUBS), lo = m << d, hi = ((m+1) << d) - 1.
+    `shl`/`div` are the engine's shift-left / integer-divide spellings.
+    """
+    d = f"(({bid}) {div} {HDR_SUBS}) - 1"
+    m = f"({bid}) - {HDR_SUBS} * ({d})"
     lo = (
-        f"CASE WHEN {v} < {HDR_SUBS} THEN {v} "
-        f"ELSE (CAST(1 AS BIGINT) << ({e})) + ({sub}) * {width} END"
+        f"CASE WHEN {bid} < {HDR_SUBS} THEN {bid} "
+        f"ELSE {shl.format(x=f'({m})', n=f'({d})')} END"
     )
     hi = (
-        f"CASE WHEN {v} < {HDR_SUBS} THEN {v} "
-        f"ELSE (CAST(1 AS BIGINT) << ({e})) + (({sub}) + 1) * {width} - 1 END"
+        f"CASE WHEN {bid} < {HDR_SUBS} THEN {bid} "
+        f"ELSE {shl.format(x=f'(({m}) + 1)', n=f'({d})')} - 1 END"
     )
-    return bid, lo, hi
+    return lo, hi
 
 
 def hdr_quantiles(lineitem: DataFrame) -> DataFrame:
@@ -777,21 +790,16 @@ def hdr_quantiles(lineitem: DataFrame) -> DataFrame:
             "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
         ).alias("v")
     )
-    bid, lo, hi = _hdr_bucket_exprs("v", "DIV")
-    bucketed = cents.select(
-        F.expr(bid).alias("bid"),
-        F.expr(lo).alias("lo"),
-        F.expr(hi).alias("hi"),
-    )
+    bid = _hdr_bid_expr("v", "shiftright({x}, {n})")
+    lo, hi = _hdr_bounds_exprs("bid", "shiftleft({x}, {n})", "DIV")
     sketch = (
-        bucketed.groupBy("bid")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.min("lo").alias("lo"),
-            F.min("hi").alias("hi"),
-        )
-        # <= ~1200 rows; feeds the triangular prefix sum (two legs) and
-        # the quantile probe
+        cents.select(F.expr(bid).alias("bid"))
+        .groupBy("bid")
+        .agg(F.count("*").alias("cnt"))
+        # bounds recovered from bid POST-aggregation: <= ~1200 rows pay
+        # the CASE arithmetic, not the 600 K+ input rows
+        .select("bid", "cnt", F.expr(lo).alias("lo"), F.expr(hi).alias("hi"))
+        # feeds the triangular prefix sum (two legs) and the quantile probe
         .localCheckpoint(eager=False)
     )
     cum = (
@@ -860,7 +868,8 @@ def hdr_quantiles(lineitem: DataFrame) -> DataFrame:
 def hdr_quantiles_sql() -> str:
     """DuckDB replay: identical cents, ladder, bucket bounds, prefix sums,
     probe, and exact-rank audit."""
-    bid, lo, hi = _hdr_bucket_exprs("v", "//")
+    bid = _hdr_bid_expr("v", "(({x}) >> ({n}))")
+    lo, hi = _hdr_bounds_exprs("bid", "(({x}) << ({n}))", "//")
     qvals = ", ".join(f"({q})" for q in HDR_QUANTILES_PPM)
     return f"""
         WITH cents AS (
@@ -869,11 +878,13 @@ def hdr_quantiles_sql() -> str:
             FROM lineitem
         ),
         bucketed AS (
-            SELECT {bid} AS bid, {lo} AS lo, {hi} AS hi FROM cents
+            SELECT {bid} AS bid FROM cents
+        ),
+        counted AS (
+            SELECT bid, count(*) AS cnt FROM bucketed GROUP BY bid
         ),
         sketch AS MATERIALIZED (
-            SELECT bid, count(*) AS cnt, min(lo) AS lo, min(hi) AS hi
-            FROM bucketed GROUP BY bid
+            SELECT bid, cnt, {lo} AS lo, {hi} AS hi FROM counted
         ),
         cum AS (
             SELECT a.bid, a.lo, a.hi, a.cnt, sum(b.cnt) AS cum

@@ -179,11 +179,15 @@ def test_hdr_bucketing_is_monotone_and_exact_tiny(spark):
     singleton buckets, and lo <= v <= hi always."""
     from pyspark.sql import functions as F
 
-    from marketstream_etl_spark.operators.sketch import _hdr_bucket_exprs
+    from marketstream_etl_spark.operators.sketch import (
+        _hdr_bid_expr,
+        _hdr_bounds_exprs,
+    )
 
     vals = list(range(0, 40)) + [63, 64, 65, 1000, 12345, 10**6, 10**9]
     df = spark.createDataFrame([(v,) for v in vals], "v long")
-    bid, lo, hi = _hdr_bucket_exprs("v", "DIV")
+    bid = _hdr_bid_expr("v", "shiftright({x}, {n})")
+    lo, hi = _hdr_bounds_exprs(f"({bid})", "shiftleft({x}, {n})", "DIV")
     out = df.select(
         "v",
         F.expr(bid).alias("bid"),
