@@ -192,6 +192,14 @@ def _stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_cms_heavy_hitters(spark, sf_dir)
 
 
+def _stream_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR quantile grid as a streaming aggregate: fixed-size add-merged
+    state, final grid == batch grid on replay, shared report + oracle."""
+    from marketstream_etl_spark.operators.sketch import streaming_hdr_quantiles
+
+    return streaming_hdr_quantiles(spark, sf_dir)
+
+
 def _stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog as a streaming aggregate: bounded sources*m register
     state, final registers == batch registers on replay (cell-wise MAX
@@ -412,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_reservoir": training_data.q_weighted_reservoir,
         "json_corrupt_records": training_data.q_json_corrupt_records,
         # ---------------- fold: slot 51+ ----------------
+        "streaming_hdr": _stream_hdr,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1348,6 +1357,7 @@ def oracle_sql() -> dict[str, str]:
         "winnowing_pairs": _winnow.winnowing_pairs_sql(),
         "streaming_hll": _sketch.hll_cardinality_sql(),
         "hdr_quantiles": _sketch.hdr_quantiles_sql(),
+        "streaming_hdr": _sketch.hdr_quantiles_sql(),
         "semantic_dedup": _sim.semantic_dedup_sql(
             approx_rows=_table_row_count(
                 "/root/testdata/sf0.01", "embeddings"

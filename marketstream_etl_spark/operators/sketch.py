@@ -785,17 +785,32 @@ def hdr_quantiles(lineitem: DataFrame) -> DataFrame:
     est_mid_cents, exact_rank_lo, exact_rank_hi, within, rel_width_ppm)
     — `within` asserts exact_rank_lo < target_rank <= exact_rank_hi.
     """
-    cents = lineitem.select(
+    cents = _hdr_cents(lineitem)
+    counted = (
+        cents.select(
+            F.expr(_hdr_bid_expr("v", "shiftright({x}, {n})")).alias("bid")
+        )
+        .groupBy("bid")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return _hdr_report(counted, cents)
+
+
+def _hdr_cents(lineitem: DataFrame) -> DataFrame:
+    return lineitem.select(
         F.expr(
             "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
         ).alias("v")
     )
-    bid = _hdr_bid_expr("v", "shiftright({x}, {n})")
+
+
+def _hdr_report(counted: DataFrame, cents: DataFrame) -> DataFrame:
+    """Shared tail of the batch and streaming HDR ops: recover bucket
+    bounds from the aggregated (bid, cnt) grid, probe the quantiles via
+    bounded prefix sums, audit exact ranks against the raw cents."""
     lo, hi = _hdr_bounds_exprs("bid", "shiftleft({x}, {n})", "DIV")
     sketch = (
-        cents.select(F.expr(bid).alias("bid"))
-        .groupBy("bid")
-        .agg(F.count("*").alias("cnt"))
+        counted
         # bounds recovered from bid POST-aggregation: <= ~1200 rows pay
         # the CASE arithmetic, not the 600 K+ input rows
         .select("bid", "cnt", F.expr(lo).alias("lo"), F.expr(hi).alias("hi"))
@@ -920,3 +935,48 @@ def hdr_quantiles_sql() -> str:
                (1000000 * (hi - lo + 1)) // lo AS rel_width_ppm
         FROM audit ORDER BY q_ppm
     """
+
+
+def streaming_hdr_quantiles(spark, sf_dir: str) -> DataFrame:
+    """The HDR grid as a STREAMING aggregate: bucket counts merge by
+    cell-wise ADDITION (like the CMS), so groupBy(bid).count() runs
+    incrementally with state bounded at the fixed grid size (~35 octaves
+    x 32 sub-buckets) no matter how many rows stream through.  On bounded
+    replay the final grid equals the batch grid, the report stage is
+    shared verbatim, and the driver reuses the hdr_quantiles oracle.
+    The exact-rank audit side reads the same table batch-side, as in the
+    batch op."""
+    from marketstream_etl_spark.sources.tables import (
+        ensure_engine_confs,
+        load_table,
+    )
+
+    ensure_engine_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    li_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    counted_stream = (
+        _hdr_cents(li_stream)
+        .select(
+            F.expr(_hdr_bid_expr("v", "shiftright({x}, {n})")).alias("bid")
+        )
+        .groupBy("bid")
+        .agg(F.count("*").alias("cnt"))
+    )
+    name = f"stream_hdr_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        counted_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # memory-sink View is not a MultiInstanceRelation; the report's
+    # triangular self-join needs a fresh-id leaf — and the grid is fixed-
+    # size by construction, so the checkpoint is tiny
+    counted = spark.table(name).localCheckpoint(eager=False)
+    return _hdr_report(counted, _hdr_cents(load_table(spark, sf_dir, "lineitem")))
