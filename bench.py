@@ -299,6 +299,15 @@ def main() -> None:
     # the 1M baseline-comparable sections so their cached frames and heap
     # churn cannot perturb those numbers (measured: running them first
     # inflated etl_1m/stream_1m ~2x)
+    #
+    # ...and the reverse perturbation is real too: the 1M sections leave
+    # the old generation full, so extras otherwise measure GC pressure
+    # instead of the op (bloom_contamination: 7.6 s here vs 1.1 s in an
+    # extras-only replay of the identical query sequence).  Settle the
+    # heap explicitly so the per-op numbers are attributable.
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+    time.sleep(2)
     extras: dict[str, float] = {}
     extras_split: dict[str, dict] = {}
     for name in (n for n in EXTRAS if n in qs):

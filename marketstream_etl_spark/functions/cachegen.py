@@ -162,6 +162,19 @@ def lookup(
     if current is not None and owner and owner != _app_id(current):
         del gens[key]  # dead-session handles: no unpersist possible
         return None
+    # an external spark.catalog.clearCache() unregisters the frames from
+    # the CacheManager but leaves this registry populated — without
+    # re-marking, every consumer silently recomputes the full build per
+    # action FOREVER after (found live: bench extras ran 6x slow after the
+    # streaming section's clearCache; same key == same input data, so
+    # re-persisting the identical plan is always safe)
+    for f in frames:
+        try:
+            sl = f.storageLevel
+            if not (sl.useMemory or sl.useDisk or sl.useOffHeap):
+                f.persist()
+        except Exception:
+            pass  # storage introspection must never break a lookup
     gens.move_to_end(key)
     return frames
 

@@ -157,3 +157,26 @@ def test_valid_trades_cache_rotates_on_source_mtime(spark, tmp_path):
     _write_events(sf_dir, [20.0, 21.0, 22.0])
     second = analytics.q_indicators(spark, sf_dir).collect()
     assert len(second) == 1 and abs(second[0].vwap - 21.0) < 1e-9
+
+
+def test_generation_survives_external_clearcache(spark, sf_dir):
+    """spark.catalog.clearCache() unregisters persisted frames from the
+    CacheManager while the cachegen registry still holds them — lookup
+    must re-mark such frames for caching, or every consumer recomputes
+    the build per action forever after (found live: bench extras 6x slow
+    after the streaming section's clearCache)."""
+    from marketstream_etl_spark.operators.dedup import shingle_pairs_cached
+    from marketstream_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_pairs_cached(docs)
+    pairs.count()  # materialize the generation
+    spark.catalog.clearCache()
+    again = shingle_pairs_cached(docs)
+    sl = again.storageLevel
+    assert sl.useMemory or sl.useDisk, (
+        "lookup served a frame the CacheManager no longer tracks "
+        "without re-marking it for persistence"
+    )
+    # and it still computes the same thing
+    assert again.count() == pairs.count()
