@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_corrupt_records": training_data.q_json_corrupt_records,
         # ---------------- fold: slot 51+ ----------------
         "streaming_hdr": _stream_hdr,
+        "hdr_quantiles_grouped": advanced.q_hdr_quantiles_grouped,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1358,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hll": _sketch.hll_cardinality_sql(),
         "hdr_quantiles": _sketch.hdr_quantiles_sql(),
         "streaming_hdr": _sketch.hdr_quantiles_sql(),
+        "hdr_quantiles_grouped": _sketch.hdr_quantiles_grouped_sql(),
         "semantic_dedup": _sim.semantic_dedup_sql(
             approx_rows=_table_row_count(
                 "/root/testdata/sf0.01", "embeddings"

@@ -81,6 +81,7 @@ EXTRAS = [
     "winnowing_pairs",
     "semantic_dedup",
     "hdr_quantiles",
+    "hdr_quantiles_grouped",
 ]
 
 

@@ -980,3 +980,147 @@ def streaming_hdr_quantiles(spark, sf_dir: str) -> DataFrame:
     # size by construction, so the checkpoint is tiny
     counted = spark.table(name).localCheckpoint(eager=False)
     return _hdr_report(counted, _hdr_cents(load_table(spark, sf_dir, "lineitem")))
+
+
+def hdr_quantiles_grouped(lineitem: DataFrame) -> DataFrame:
+    """Per-group (l_returnflag) HDR quantiles — the grouped form of
+    hdr_quantiles showing the sketch is a per-key aggregate: one
+    groupBy((key, bid)) pass builds every group's grid simultaneously
+    (state = groups x grid, still fixed-size per group), and the prefix
+    sums run as a PARTITIONED window over the bounded bucket rows —
+    partitioned by key, so nothing ever drags to one task.
+
+    Output: (flag, q_ppm, target_rank, est_lo_cents, est_hi_cents,
+    est_mid_cents, exact_rank_lo, exact_rank_hi, within), ordered by
+    (flag, q_ppm)."""
+    from pyspark.sql import Window
+
+    cents = lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr(
+            "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+        ).alias("v"),
+    )
+    lo_e, hi_e = _hdr_bounds_exprs("bid", "shiftleft({x}, {n})", "DIV")
+    sketch = (
+        cents.select(
+            "flag",
+            F.expr(_hdr_bid_expr("v", "shiftright({x}, {n})")).alias("bid"),
+        )
+        .groupBy("flag", "bid")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "flag", "bid", "cnt",
+            F.expr(lo_e).alias("lo"), F.expr(hi_e).alias("hi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("bid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w))
+    totals = sketch.groupBy("flag").agg(F.sum("cnt").alias("n_total"))
+    qs = totals.select(
+        "flag",
+        F.explode(
+            F.array(*[F.lit(q) for q in HDR_QUANTILES_PPM])
+        ).alias("q_ppm"),
+        "n_total",
+    ).select(
+        "flag",
+        "q_ppm",
+        F.expr("(q_ppm * n_total + 999999) DIV 1000000").alias("target_rank"),
+    )
+    est = (
+        cum.join(F.broadcast(qs), "flag")
+        .filter(
+            (F.col("cum") - F.col("cnt") < F.col("target_rank"))
+            & (F.col("cum") >= F.col("target_rank"))
+        )
+        .select("flag", "q_ppm", "target_rank", "lo", "hi")
+    )
+    audit = (
+        cents.join(F.broadcast(est), "flag")
+        .groupBy("flag", "q_ppm", "target_rank", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("lo"), 1).otherwise(0)).alias(
+                "exact_rank_lo"
+            ),
+            F.sum(F.when(F.col("v") <= F.col("hi"), 1).otherwise(0)).alias(
+                "exact_rank_hi"
+            ),
+        )
+    )
+    return audit.select(
+        "flag",
+        "q_ppm",
+        "target_rank",
+        F.col("lo").alias("est_lo_cents"),
+        F.col("hi").alias("est_hi_cents"),
+        F.expr("(lo + hi) DIV 2").alias("est_mid_cents"),
+        "exact_rank_lo",
+        "exact_rank_hi",
+        (
+            (F.col("exact_rank_lo") < F.col("target_rank"))
+            & (F.col("target_rank") <= F.col("exact_rank_hi"))
+        ).alias("within"),
+    ).orderBy("flag", "q_ppm")
+
+
+def hdr_quantiles_grouped_sql() -> str:
+    """DuckDB replay: identical grid, per-key windowed prefix sums,
+    probe, and exact-rank audit."""
+    bid = _hdr_bid_expr("v", "(({x}) >> ({n}))")
+    lo, hi = _hdr_bounds_exprs("bid", "(({x}) << ({n}))", "//")
+    qvals = ", ".join(f"({q})" for q in HDR_QUANTILES_PPM)
+    return f"""
+        WITH cents AS (
+            SELECT l_returnflag AS flag,
+                   CAST(floor(l_extendedprice * 100 + CAST(0.5 AS DOUBLE))
+                   AS BIGINT) AS v
+            FROM lineitem
+        ),
+        counted AS (
+            SELECT flag, {bid} AS bid, count(*) AS cnt
+            FROM cents GROUP BY 1, 2
+        ),
+        sketch AS MATERIALIZED (
+            SELECT flag, bid, cnt, {lo} AS lo, {hi} AS hi FROM counted
+        ),
+        cum AS (
+            SELECT *, sum(cnt) OVER (PARTITION BY flag ORDER BY bid
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cum
+            FROM sketch
+        ),
+        qs AS (
+            SELECT flag, q_ppm,
+                   (q_ppm * n_total + 999999) // 1000000 AS target_rank
+            FROM (SELECT flag, sum(cnt) AS n_total FROM sketch GROUP BY 1),
+                 (SELECT * FROM (VALUES {qvals}) t(q_ppm))
+        ),
+        est AS MATERIALIZED (
+            SELECT c.flag, q.q_ppm, q.target_rank, c.lo, c.hi
+            FROM cum c JOIN qs q
+              ON q.flag = c.flag
+             AND c.cum - c.cnt < q.target_rank AND c.cum >= q.target_rank
+        ),
+        audit AS (
+            SELECT e.flag, e.q_ppm, e.target_rank, e.lo, e.hi,
+                   sum(CASE WHEN c.v < e.lo THEN 1 ELSE 0 END)
+                       AS exact_rank_lo,
+                   sum(CASE WHEN c.v <= e.hi THEN 1 ELSE 0 END)
+                       AS exact_rank_hi
+            FROM cents c JOIN est e ON e.flag = c.flag
+            GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT flag, q_ppm, target_rank,
+               lo AS est_lo_cents, hi AS est_hi_cents,
+               (lo + hi) // 2 AS est_mid_cents,
+               exact_rank_lo, exact_rank_hi,
+               (exact_rank_lo < target_rank
+                AND target_rank <= exact_rank_hi) AS within
+        FROM audit ORDER BY flag, q_ppm
+    """

@@ -1063,3 +1063,13 @@ def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators.sketch import hdr_quantiles
 
     return hdr_quantiles(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_hdr_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag HDR quantiles (operators/sketch.py::
+    hdr_quantiles_grouped): the sketch as a per-key aggregate — one
+    grouped grid build, key-partitioned bounded prefix-sum windows, and
+    the same distributed exact-rank bracketing audit per group."""
+    from marketstream_etl_spark.operators.sketch import hdr_quantiles_grouped
+
+    return hdr_quantiles_grouped(load_table(spark, sf_dir, "lineitem"))

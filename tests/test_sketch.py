@@ -201,3 +201,22 @@ def test_hdr_bucketing_is_monotone_and_exact_tiny(spark):
         prev_bid = r["bid"]
         if r["v"] < 32:
             assert r["lo"] == r["hi"] == r["v"] == r["bid"]
+
+
+def test_hdr_grouped_brackets_every_group(spark, sf_dir):
+    """Each (flag, quantile) row brackets its per-group target rank, and
+    every group reports all four quantiles."""
+    from marketstream_etl_spark.operators.sketch import hdr_quantiles_grouped
+    from marketstream_etl_spark.sources.tables import load_table
+
+    rows = hdr_quantiles_grouped(
+        load_table(spark, sf_dir, "lineitem")
+    ).collect()
+    by_flag = {}
+    for r in rows:
+        assert r["within"]
+        assert r["exact_rank_lo"] < r["target_rank"] <= r["exact_rank_hi"]
+        by_flag.setdefault(r["flag"], []).append(r["q_ppm"])
+    for flag, qs in by_flag.items():
+        assert sorted(qs) == [500000, 900000, 990000, 999000], flag
+    assert len(by_flag) >= 2
