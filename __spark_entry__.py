@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- fold: slot 51+ ----------------
         "streaming_hdr": _stream_hdr,
         "hdr_quantiles_grouped": advanced.q_hdr_quantiles_grouped,
+        "link_prediction": tpch.q_link_prediction,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1352,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _dedup.simhash_sql() + " ORDER BY doc_id",
         "simhash_pairs": _dedup.simhash_near_pairs_sql(),
         "part_triangles": _graph.part_triangles_sql(),
+        "link_prediction": _graph.link_prediction_sql(),
         "ngram_novelty": _novelty.ngram_novelty_sql(),
         "hll_cardinality": _sketch.hll_cardinality_sql(),
         "bloom_contamination": _sketch.bloom_contamination_sql(),

@@ -367,3 +367,165 @@ def part_triangles_sql(min_weight: int = TRI_MIN_WEIGHT) -> str:
         GROUP BY l_partkey
         ORDER BY triangles DESC, l_partkey
     """
+
+
+# ---------------------------------------------------------------------------
+# Link prediction on the co-purchase graph (common neighbors + RA index)
+# ---------------------------------------------------------------------------
+
+LP_HUB_CAP = 1_000  # max degree for a wedge CENTER (see docstring)
+LP_TOPK = 100
+RA_SCALE = 1_000_000  # resource-allocation unit = 1e-6 (fixed point)
+
+
+def link_prediction(
+    lineitem: DataFrame,
+    min_weight: int = TRI_MIN_WEIGHT,
+    hub_cap: int = LP_HUB_CAP,
+    topk: int = LP_TOPK,
+) -> DataFrame:
+    """Predict missing co-purchase edges: for part pairs NOT currently
+    linked, score how strongly their neighborhoods overlap — the classic
+    recommendation / knowledge-graph-completion primitive (reference has
+    no graph surface; extends the north-star suite alongside
+    part_triangles and source_pagerank).
+
+    Scores per candidate pair (u, v), common neighbor w ranges over
+    enumerated wedges u—w—v:
+    - cn        = |common neighbors|  (integer, exact)
+    - ra_micro  = Σ_w floor(1e6 / deg(w))  — the resource-allocation
+      index (Zhou/Lü/Zhang 2009) in FIXED-POINT integers: hubs shared by
+      everyone contribute ~0, discriminative shared neighbors dominate.
+      Integer DIV + integer SUM → bit-exact in any engine and any
+      aggregation order (the pagerank determinism lesson).
+    - jaccard   = cn / (deg(u) + deg(v) - cn), one exact rational per
+      output row, rounded to 6 dp AFTER ranking on integers.
+
+    Scale design (100 TB posture):
+    - Wedge enumeration is a SELF-EQUI-JOIN of the adjacency list on the
+      center vertex — one shuffle on w; per-center cost is deg(w)².
+      Centers with deg > hub_cap are EXCLUDED before the join: their RA
+      contribution floors to ≤ 1e6/hub_cap anyway, and they are exactly
+      the vertices whose wedge fan-out is quadratic poison.  This is the
+      hot-shingle DF-cap pattern from dedup.py applied to graphs — the
+      cap is part of the operator's defined semantics (scores are
+      "non-hub common neighbors"), applied identically in the oracle.
+    - Known edges are removed with one LEFT ANTI join on the oriented
+      (lo, hi) pair key.
+    - Ranking is integer-first (ra_micro DESC, cn DESC, pa, pb) with a
+      bounded top-k → TakeOrderedAndProject, no global sort.
+    """
+    li = lineitem.select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+    )
+    edges = (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_weight)
+        .select("pa", "pb")
+        # feeds adjacency (x2), the anti-join leg, and degrees — truncate
+        # so the pair-join does not re-run per consumer (plan-audit lesson)
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(
+        F.col("pa").alias("w"), F.col("pb").alias("nbr")
+    ).unionAll(edges.select(F.col("pb").alias("w"), F.col("pa").alias("nbr")))
+    deg = adj.groupBy("w").agg(F.count("*").alias("d"))
+    centers = adj.join(
+        deg.filter(F.col("d") <= hub_cap), "w"
+    )  # (w, nbr, d): non-hub centers only
+    cand = (
+        centers.alias("x")
+        .join(
+            centers.alias("y"),
+            (F.col("x.w") == F.col("y.w"))
+            & (F.col("x.nbr") < F.col("y.nbr")),
+        )
+        .groupBy(
+            F.col("x.nbr").alias("pa"), F.col("y.nbr").alias("pb")
+        )
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(F.expr(f"{RA_SCALE} DIV x.d")).alias("ra_micro"),
+        )
+        .join(edges, ["pa", "pb"], "left_anti")
+    )
+    du = deg.select(F.col("w").alias("pa"), F.col("d").alias("da"))
+    dv = deg.select(F.col("w").alias("pb"), F.col("d").alias("db"))
+    scored = (
+        cand.join(du, "pa")
+        .join(dv, "pb")
+        .select(
+            "pa",
+            "pb",
+            "cn",
+            "ra_micro",
+            F.round(
+                F.col("cn")
+                / (F.col("da") + F.col("db") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("ra_micro"), F.desc("cn"), "pa", "pb"
+    ).limit(topk)
+
+
+def link_prediction_sql(
+    min_weight: int = TRI_MIN_WEIGHT,
+    hub_cap: int = LP_HUB_CAP,
+    topk: int = LP_TOPK,
+) -> str:
+    """DuckDB replay: identical edge support filter, hub-capped wedge
+    join, integer RA accumulation, anti-join, and integer-first top-k."""
+    return f"""
+        WITH pairs AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ),
+        e0 AS MATERIALIZED (
+            SELECT pa, pb FROM pairs GROUP BY pa, pb
+            HAVING count(*) >= {min_weight}
+        ),
+        adj AS MATERIALIZED (
+            SELECT pa AS w, pb AS nbr FROM e0
+            UNION ALL SELECT pb AS w, pa AS nbr FROM e0
+        ),
+        deg AS MATERIALIZED (
+            SELECT w, count(*) AS d FROM adj GROUP BY w
+        ),
+        centers AS (
+            SELECT adj.w, adj.nbr, deg.d FROM adj JOIN deg USING (w)
+            WHERE deg.d <= {hub_cap}
+        ),
+        cand AS (
+            SELECT x.nbr AS pa, y.nbr AS pb,
+                   count(*) AS cn,
+                   sum({RA_SCALE} // x.d)::BIGINT AS ra_micro
+            FROM centers x JOIN centers y
+              ON x.w = y.w AND x.nbr < y.nbr
+            GROUP BY x.nbr, y.nbr
+        ),
+        fresh AS (
+            SELECT c.* FROM cand c ANTI JOIN e0
+              ON c.pa = e0.pa AND c.pb = e0.pb
+        )
+        SELECT f.pa, f.pb, f.cn, f.ra_micro,
+               round(f.cn / (da.d + db.d - f.cn), 6) AS jaccard
+        FROM fresh f
+        JOIN deg da ON da.w = f.pa
+        JOIN deg db ON db.w = f.pb
+        ORDER BY f.ra_micro DESC, f.cn DESC, f.pa, f.pb
+        LIMIT {topk}
+    """

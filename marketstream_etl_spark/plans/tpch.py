@@ -694,3 +694,13 @@ def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators.graph import part_triangles
 
     return part_triangles(load_table(spark, sf_dir, "lineitem"))
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-edge prediction over the part co-purchase graph
+    (operators/graph.py::link_prediction): hub-capped wedge enumeration,
+    fixed-point resource-allocation scores, anti-join against known
+    edges, integer-first top-k."""
+    from marketstream_etl_spark.operators.graph import link_prediction
+
+    return link_prediction(load_table(spark, sf_dir, "lineitem"))

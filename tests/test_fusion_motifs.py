@@ -231,3 +231,32 @@ def test_novelty_short_doc_and_monotone_coverage(spark):
     # every new_grams <= n_grams
     for r in rows:
         assert 0 <= r["new_grams"] <= r["n_grams"]
+
+
+# --------------------------------------------------------- link prediction
+def test_link_prediction_path_graph(spark):
+    """Path 1-2-3 (both edges weight 2): the one candidate is (1,3) via
+    center 2 (deg 2) -> cn=1, ra_micro=500000, jaccard=1/(1+1-1)=1."""
+    from marketstream_etl_spark.operators.graph import link_prediction
+
+    li = _lineitem(spark, {10: [1, 2], 11: [1, 2], 12: [2, 3], 13: [2, 3]})
+    rows = link_prediction(li).collect()
+    assert [(r.pa, r.pb, r.cn, r.ra_micro, r.jaccard) for r in rows] == [
+        (1, 3, 1, 500000, 1.0)
+    ]
+
+
+def test_link_prediction_excludes_known_edges(spark):
+    """A complete triangle has no missing edges -> empty prediction."""
+    from marketstream_etl_spark.operators.graph import link_prediction
+
+    li = _lineitem(spark, {10: [1, 2, 3], 11: [1, 2, 3]})
+    assert link_prediction(li).collect() == []
+
+
+def test_link_prediction_hub_cap_drops_quadratic_centers(spark):
+    """With hub_cap=1 the degree-2 path center is excluded -> no wedges."""
+    from marketstream_etl_spark.operators.graph import link_prediction
+
+    li = _lineitem(spark, {10: [1, 2], 11: [1, 2], 12: [2, 3], 13: [2, 3]})
+    assert link_prediction(li, hub_cap=1).collect() == []
