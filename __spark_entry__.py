@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_quantiles_grouped": advanced.q_hdr_quantiles_grouped,
         "link_prediction": tpch.q_link_prediction,
         "bollinger_breaches": analytics.q_bollinger_breaches,
+        "readability_scores": training_data.q_readability_scores,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1394,6 +1395,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _dedup.NGRAM_JACCARD_SQL,
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
         "pii_redaction": _text.pii_redaction_sql(),
+        "readability_scores": _text.readability_sql(),
         "cms_heavy_hitters": _sketch.cms_heavy_hitters_sql(),
         "pattern_similarity": _patterns.pattern_similarity_sql(TRADES_CTE),
         # final streamed sketch == batch sketch (algebraic merge), same oracle

@@ -333,3 +333,136 @@ def analyze_documents_sql() -> str:
             {fingerprint_sql("text")} AS fingerprint
         FROM documents
     """
+
+
+# --- readability ------------------------------------------------------------
+# Flesch/Kincaid readability from three integer counts (words, sentences,
+# syllable proxy = [aeiouy]+ groups per word, min 1).  The counts are exact
+# integers in both engines; the two classic formulas are evaluated with an
+# IDENTICAL explicit expression tree on the exactly-represented integer
+# ratios, then fixed-pointed (floor(x*1e4+0.5)) so banding is an INTEGER
+# comparison — no knife-edge float thresholds (the bollinger lesson).
+
+FK_BANDS = (  # (upper fk_grade bound in 1e-4 units, label)
+    (50_000, "easy"),  # grade <= 5
+    (90_000, "medium"),  # grade <= 9
+    (130_000, "hard"),  # grade <= 13
+)
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """Per-document readability: word/sentence/syllable counts, the
+    Kincaid grade level and Flesch reading-ease score, and an integer-
+    banded difficulty label — the curation signal that pairs with
+    quality_features for audience-targeted corpus filtering.
+
+    Scale: pure built-in column expressions (split / regexp / transform /
+    aggregate) — a map-only stage inside the parquet scan, no shuffle,
+    no UDF."""
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != ""
+    )
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+    )
+    n_syll = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.lit(1),
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+            ),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast(
+        "double"
+    )
+    spw = F.col("n_syllables").cast("double") / F.col("nw")
+    fk = (F.lit(0.39) * wps + F.lit(11.8) * spw) - F.lit(15.59)
+    ease = (F.lit(206.835) - F.lit(1.015) * wps) - F.lit(84.6) * spw
+    fp = lambda x: F.floor(x * F.lit(1e4) + F.lit(0.5)).cast("long")
+    scored = base.withColumn(
+        "nw", F.greatest(F.lit(1), F.col("n_words")).cast("double")
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        fp(fk).alias("fk_fp"),
+        fp(ease).alias("ease_fp"),
+    )
+    band = F.when(F.col("fk_fp") <= FK_BANDS[0][0], FK_BANDS[0][1])
+    for bound, label in FK_BANDS[1:]:
+        band = band.when(F.col("fk_fp") <= bound, label)
+    band = band.otherwise("very_hard")
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.col("fk_fp").cast("double") / F.lit(1e4)).alias("fk_grade"),
+        (F.col("ease_fp").cast("double") / F.lit(1e4)).alias("flesch_ease"),
+        band.alias("band"),
+    ).orderBy("doc_id")
+
+
+def readability_sql() -> str:
+    """DuckDB replay: identical counts, identical expression tree on the
+    ratios, identical fixed-point banding."""
+    bands = " ".join(
+        f"WHEN fk_fp <= {bound} THEN '{label}'"
+        for bound, label in FK_BANDS
+    )
+    return f"""
+        WITH w AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS words,
+                   greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                       AS n_sentences
+            FROM documents
+        ),
+        counts AS (
+            SELECT doc_id,
+                   len(words) AS n_words,
+                   n_sentences,
+                   CAST(coalesce(list_sum(list_transform(words,
+                       x -> greatest(1,
+                            len(regexp_extract_all(x, '[aeiouy]+'))))), 0)
+                       AS BIGINT) AS n_syllables
+            FROM w
+        ),
+        scored AS (
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CAST(floor(((CAST('0.39' AS DOUBLE)
+                                * (n_words::DOUBLE / n_sentences::DOUBLE)
+                                + CAST('11.8' AS DOUBLE)
+                                * (n_syllables::DOUBLE
+                                   / greatest(1, n_words)::DOUBLE))
+                               - CAST('15.59' AS DOUBLE)
+                              ) * 1e4 + 0.5) AS BIGINT) AS fk_fp,
+                   CAST(floor(((CAST('206.835' AS DOUBLE)
+                                - CAST('1.015' AS DOUBLE)
+                                * (n_words::DOUBLE / n_sentences::DOUBLE))
+                               - CAST('84.6' AS DOUBLE)
+                               * (n_syllables::DOUBLE
+                                  / greatest(1, n_words)::DOUBLE)
+                              ) * 1e4 + 0.5) AS BIGINT) AS ease_fp
+            FROM counts
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               fk_fp::DOUBLE / 1e4 AS fk_grade,
+               ease_fp::DOUBLE / 1e4 AS flesch_ease,
+               CASE {bands} ELSE 'very_hard' END AS band
+        FROM scored ORDER BY doc_id
+    """

@@ -1732,3 +1732,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         approx_rows=table_row_count(sf_dir, "embeddings"),
     )
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch/Kincaid readability per document (operators/text.py::
+    readability): exact integer counts, fixed-point scores, integer-banded
+    difficulty labels — map-only inside the scan."""
+    return text.readability(load_table(spark, sf_dir, "documents"))

@@ -214,3 +214,36 @@ def test_repetition_ratio_bounds_and_known_values(spark):
     assert got[1] == round(1 - 3 / 7, 6)
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_readability_hand_computed(spark):
+    """'The cat sat. It ran!': 5 words, 2 sentences, 5 syllable groups →
+    FK = .39·2.5 + 11.8·1 − 15.59 = −2.815, ease = 206.835 − 1.015·2.5
+    − 84.6 = 119.6975, band easy."""
+    from pyspark.sql import Row
+
+    from marketstream_etl_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="The cat sat. It ran!")]
+    )
+    r = readability(docs).collect()[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (5, 2, 5)
+    assert r.fk_grade == -2.815
+    assert r.flesch_ease == 119.6975
+    assert r.band == "easy"
+
+
+def test_readability_empty_and_unpunctuated(spark):
+    """No terminator → 1 sentence floor; empty text → zero counts, the
+    guarded ratios stay finite."""
+    from pyspark.sql import Row
+
+    from marketstream_etl_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="banana banana"), Row(doc_id=2, text="")]
+    )
+    out = {r.doc_id: r for r in readability(docs).collect()}
+    assert out[1].n_sentences == 1 and out[1].n_syllables == 6
+    assert out[2].n_words == 0 and out[2].fk_grade is not None
