@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": tpch.q_link_prediction,
         "bollinger_breaches": analytics.q_bollinger_breaches,
         "readability_scores": training_data.q_readability_scores,
+        "mad_outliers": training_data.q_mad_outliers,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1396,6 +1397,42 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
         "pii_redaction": _text.pii_redaction_sql(),
         "readability_scores": _text.readability_sql(),
+        # robust per-source outlier gate: integer-cleared z>3.5 test
+        # (13490·d > 35000·m4), medians exact in half-units
+        "mad_outliers": """
+            WITH base AS (
+                SELECT source, n_chars FROM documents
+            ),
+            med AS MATERIALIZED (
+                SELECT source,
+                       CAST(median(n_chars) * 2 AS BIGINT) AS m2
+                FROM base GROUP BY source
+            ),
+            d AS MATERIALIZED (
+                SELECT b.source, med.m2,
+                       abs(b.n_chars * 2 - med.m2) AS d
+                FROM base b JOIN med USING (source)
+            ),
+            mad AS MATERIALIZED (
+                SELECT source, CAST(median(d) * 2 AS BIGINT) AS m4
+                FROM d GROUP BY source
+            ),
+            flagged AS (
+                SELECT d.source, d.m2, mad.m4, d.d,
+                       CASE WHEN d.d * 13490 > mad.m4 * 35000
+                                 AND mad.m4 > 0
+                            THEN 1 ELSE 0 END AS is_out
+                FROM d JOIN mad USING (source)
+            )
+            SELECT source, count(*) AS n_docs,
+                   max(m2)::DOUBLE / 2.0 AS med_chars,
+                   max(m4)::DOUBLE / 4.0 AS mad_chars,
+                   CAST(sum(is_out) AS BIGINT) AS n_outliers,
+                   round(CASE WHEN max(m4) > 0 THEN
+                       CAST('1.349' AS DOUBLE) * max(d)::DOUBLE
+                       / max(m4)::DOUBLE END, 6) AS z_max
+            FROM flagged GROUP BY source ORDER BY source
+        """,
         "cms_heavy_hitters": _sketch.cms_heavy_hitters_sql(),
         "pattern_similarity": _patterns.pattern_similarity_sql(TRADES_CTE),
         # final streamed sketch == batch sketch (algebraic merge), same oracle

@@ -1739,3 +1739,71 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     readability): exact integer counts, fixed-point scores, integer-banded
     difficulty labels — map-only inside the scan."""
     return text.readability(load_table(spark, sf_dir, "documents"))
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source length-outlier gate: median / MAD of n_chars per
+    source, flag docs with robust z = 0.6745·|x−med|/MAD > 3.5 (the
+    Iglewicz-Hoberg modified z rule) — the outlier filter that, unlike
+    mean/stddev gates, is not dragged by the outliers it hunts.
+
+    Cross-engine determinism: medians of INTEGERS interpolate to exact
+    half-units in IEEE doubles (k or k+0.5) in both engines, so 2·median
+    is an exact BIGINT.  With m2 = 2·med, d = |2x − m2| (BIGINT),
+    m4 = 2·median(d) = 4·MAD (BIGINT), the flag is the EXACT integer test
+        13490·d > 35000·m4
+    (the z>3.5 inequality cleared of all divisions).  Reported z_max is
+    IEEE from the same integers, NULL when m4 = 0 (integer guard).
+
+    Scale: two tiny per-source aggregates broadcast-joined back onto the
+    scan — exact medians per group need a shuffle of (source, n_chars)
+    pairs only; at 100 TB swap the exact percentile for the HDR sketch
+    (operators/sketch.py) without changing the flag contract."""
+    base = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    med = base.groupBy("source").agg(
+        (F.expr("percentile(n_chars, 0.5)") * 2)
+        .cast("long")
+        .alias("m2")
+    )
+    d = base.join(F.broadcast(med), "source").select(
+        "source",
+        "m2",
+        F.abs(F.col("n_chars") * 2 - F.col("m2")).alias("d"),
+    )
+    mad = d.groupBy("source").agg(
+        (F.expr("percentile(d, 0.5)") * 2).cast("long").alias("m4")
+    )
+    flagged = d.join(F.broadcast(mad), "source").select(
+        "source",
+        "m2",
+        "m4",
+        "d",
+        (
+            (F.col("d") * 13490 > F.col("m4") * 35000)
+            & (F.col("m4") > 0)
+        ).cast("long").alias("is_out"),
+    )
+    zmax = F.when(
+        F.col("m4") > 0,
+        F.lit(1.349) * F.col("d_max").cast("double")
+        / F.col("m4").cast("double"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("m2").alias("m2"),
+            F.max("m4").alias("m4"),
+            F.sum("is_out").alias("n_outliers"),
+            F.max("d").alias("d_max"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            (F.col("m2").cast("double") / F.lit(2.0)).alias("med_chars"),
+            (F.col("m4").cast("double") / F.lit(4.0)).alias("mad_chars"),
+            "n_outliers",
+            F.round(zmax, 6).alias("z_max"),
+        )
+        .orderBy("source")
+    )

@@ -247,3 +247,31 @@ def test_readability_empty_and_unpunctuated(spark):
     out = {r.doc_id: r for r in readability(docs).collect()}
     assert out[1].n_sentences == 1 and out[1].n_syllables == 6
     assert out[2].n_words == 0 and out[2].fk_grade is not None
+
+
+def test_mad_outliers_hand_computed(spark, monkeypatch):
+    """Source with lengths [10,10,10,10,1000]: med=10, MAD=0 for the
+    four 10s... median of deviations [0,0,0,0,1980] (half-units) = 0 →
+    m4=0 → no flags, z NULL.  Source b [10,12,14,16,100]: med=14,
+    devs |2x-28| = [8,4,0,4,172], median=4 → m4=8 (MAD=2);
+    flag iff 13490·d > 35000·8=280000 → only d=172 → 1 outlier,
+    z_max = 1.349·172/8 = 29.0035."""
+    import pandas as pd
+
+    from marketstream_etl_spark.plans import training_data as td
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["a"] * 5 + ["b"] * 5,
+            "n_chars": [10, 10, 10, 10, 1000, 10, 12, 14, 16, 100],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    monkeypatch.setattr(
+        td, "load_table", lambda spark_, sf_dir_, name: df
+    )
+    out = {r.source: r for r in td.q_mad_outliers(spark, "unused").collect()}
+    assert out["a"].n_outliers == 0 and out["a"].z_max is None
+    b = out["b"]
+    assert (b.med_chars, b.mad_chars, b.n_outliers) == (14.0, 2.0, 1)
+    assert b.z_max == 29.0035
