@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger_breaches": analytics.q_bollinger_breaches,
         "readability_scores": training_data.q_readability_scores,
         "mad_outliers": training_data.q_mad_outliers,
+        "kfold_assign": training_data.q_kfold_assign,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1397,6 +1398,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _dedup.minhash_lsh_pairs_sql(),
         "pii_redaction": _text.pii_redaction_sql(),
         "readability_scores": _text.readability_sql(),
+        # deterministic hash k-fold + stratification chi audit
+        "kfold_assign": f"""
+            WITH cells AS MATERIALIZED (
+                SELECT {_h32_sql("CAST(doc_id AS VARCHAR)")} % 5 AS fold,
+                       lang, count(*) AS n_docs
+                FROM documents GROUP BY 1, 2
+            ),
+            totals AS (
+                SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_total
+                FROM cells GROUP BY lang
+            )
+            SELECT c.fold, c.lang, c.n_docs, t.lang_total,
+                   round(c.n_docs::DOUBLE / t.lang_total::DOUBLE, 6)
+                       AS share,
+                   round(((c.n_docs * 5 - t.lang_total)
+                          * (c.n_docs * 5 - t.lang_total))::DOUBLE
+                         / (t.lang_total * 5)::DOUBLE, 6) AS chi_term
+            FROM cells c JOIN totals t USING (lang)
+            ORDER BY c.fold, c.lang
+        """,
         # robust per-source outlier gate: integer-cleared z>3.5 test
         # (13490·d > 35000·m4), medians exact in half-units
         "mad_outliers": """

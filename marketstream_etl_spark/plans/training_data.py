@@ -1807,3 +1807,55 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+KFOLD_K = 5
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k=5) with a
+    stratification audit: fold = h32(doc_id) mod k — stable across runs,
+    machines, and engines, the property sklearn-style RNG splits lack —
+    and per (fold, lang) cell counts with each cell's chi-square
+    contribution against the uniform expectation, the balance check that
+    certifies the folds are usable for stratified eval.
+
+    Determinism: cell/lang counts are integers; the chi term
+    (n − T/k)²/(T/k) is cleared to ((k·n − T)²)/(k·T) — an exact BIGINT
+    numerator over one double division, identical trees both engines.
+
+    Scale: one groupBy on (fold, lang) — pre-aggregated map-side — plus a
+    broadcast join of per-lang totals; no shuffle of raw docs."""
+    from marketstream_etl_spark.functions.hashing import h32
+
+    k = KFOLD_K
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    cells = (
+        docs.select(
+            (h32(F.col("doc_id").cast("string")) % k).alias("fold"), "lang"
+        )
+        .groupBy("fold", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("lang_total"))
+    d = F.col("n_docs") * k - F.col("lang_total")
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "lang_total",
+            F.round(
+                F.col("n_docs").cast("double")
+                / F.col("lang_total").cast("double"),
+                6,
+            ).alias("share"),
+            F.round(
+                (d * d).cast("double")
+                / (F.col("lang_total") * k).cast("double"),
+                6,
+            ).alias("chi_term"),
+        )
+        .orderBy("fold", "lang")
+    )

