@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": training_data.q_readability_scores,
         "mad_outliers": training_data.q_mad_outliers,
         "kfold_assign": training_data.q_kfold_assign,
+        "hll_set_ops": training_data.q_hll_set_ops,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1472,6 +1473,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _novelty.ngram_novelty_sql(),
         "hll_cardinality": _sketch.hll_cardinality_sql(),
         "bloom_contamination": _sketch.bloom_contamination_sql(),
+        "hll_set_ops": _sketch.hll_set_ops_sql(),
         "winnowing_pairs": _winnow.winnowing_pairs_sql(),
         "streaming_hll": _sketch.hll_cardinality_sql(),
         "hdr_quantiles": _sketch.hdr_quantiles_sql(),

@@ -1124,3 +1124,253 @@ def hdr_quantiles_grouped_sql() -> str:
                 AND target_rank <= exact_rank_hi) AS within
         FROM audit ORDER BY flag, q_ppm
     """
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra across sources (union / intersection / Jaccard)
+# ---------------------------------------------------------------------------
+#
+# The fourth sketch capability: theta-sketch-style SET OPERATIONS from the
+# same HLL registers hll_cardinality builds.  For every source pair the
+# union sketch is the register-wise MAX (exact HLL mergeability); the
+# intersection is inclusion-exclusion over the FIXED-POINT integer
+# estimates (est_a + est_b - est_union, clamped at 0) so the arithmetic
+# is BIGINT-exact in both engines; estimated Jaccard = inter/union.  At
+# 100 TB this is how cross-crawl overlap is actually measured: per-source
+# sketches are 1024 rows each regardless of corpus size, the pair matrix
+# is |sources|^2 * m rows — constant-bounded — while the exact audit
+# columns (exact distinct intersection/union) are the verification side
+# only.
+
+
+def hll_set_ops(docs: DataFrame) -> DataFrame:
+    """Pairwise source overlap from merged HLL sketches, audited exactly.
+
+    Output per source pair (a < b): union_e4 / inter_e4 (fixed-point
+    estimates), jacc_est, exact_union, exact_inter, jacc_exact,
+    union_err_ppm (sketch-vs-exact audit, the hll_cardinality
+    convention)."""
+    shift_unit = 1 << (HLL_WBITS + 1)
+    keyed = (
+        _hll_keyed(docs)
+        .select("source", "shingle", "h")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    regs = (
+        _hll_hashed(keyed)
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+        .localCheckpoint(eager=False)
+    )
+
+    def est_e4(fr, t_filled):
+        t_scaled = t_filled + (HLL_M - fr) * F.lit(shift_unit).cast("long")
+        return F.floor(
+            F.lit(HLL_NUMERATOR) / t_scaled.cast("double") * 10000.0 + 0.5
+        ).cast("long")
+
+    t_term = F.expr(
+        f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - m_j)"
+    )
+    per = regs.groupBy("source").agg(
+        F.count("*").alias("fr"), F.sum(t_term).alias("t_filled")
+    )
+    per_est = per.select(
+        "source", est_e4(F.col("fr"), F.col("t_filled")).alias("e4")
+    )
+    # bounded pair frame: |sources| is small by construction (crawl
+    # feeds); the < self-join is nested-loop over a tiny dimension
+    srcs = per_est.select("source")
+    sp = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+        )
+    )
+    pr = (
+        sp.join(F.broadcast(regs).alias("ra"), F.col("ra.source") == F.col("sa"))
+        .select("sa", "sb", "bucket", "m_j")
+        .unionAll(
+            sp.join(
+                F.broadcast(regs).alias("rb"),
+                F.col("rb.source") == F.col("sb"),
+            ).select("sa", "sb", "bucket", "m_j")
+        )
+    )
+    union_sketch = (
+        pr.groupBy("sa", "sb", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("fr"), F.sum(t_term).alias("t_filled"))
+        .select(
+            "sa",
+            "sb",
+            est_e4(F.col("fr"), F.col("t_filled")).alias("union_e4"),
+        )
+    )
+    s = keyed.select("source", "shingle")
+    ex = s.groupBy("source").agg(F.count("*").alias("ex"))
+    inter = (
+        s.alias("x")
+        .join(
+            s.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("sa"), F.col("y.source").alias("sb")
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    base = (
+        union_sketch.join(
+            F.broadcast(per_est).select(
+                F.col("source").alias("sa"), F.col("e4").alias("ea")
+            ),
+            "sa",
+        )
+        .join(
+            F.broadcast(per_est).select(
+                F.col("source").alias("sb"), F.col("e4").alias("eb")
+            ),
+            "sb",
+        )
+        .join(
+            F.broadcast(ex).select(
+                F.col("source").alias("sa"), F.col("ex").alias("exa")
+            ),
+            "sa",
+        )
+        .join(
+            F.broadcast(ex).select(
+                F.col("source").alias("sb"), F.col("ex").alias("exb")
+            ),
+            "sb",
+        )
+        .join(inter, ["sa", "sb"], "left")
+        .na.fill({"exact_inter": 0})
+    )
+    inter_e4 = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("ea") + F.col("eb") - F.col("union_e4"),
+    )
+    exact_union = F.col("exa") + F.col("exb") - F.col("exact_inter")
+    return base.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "union_e4",
+        inter_e4.alias("inter_e4"),
+        F.round(
+            inter_e4.cast("double") / F.col("union_e4").cast("double"), 6
+        ).alias("jacc_est"),
+        exact_union.alias("exact_union"),
+        "exact_inter",
+        F.round(
+            F.col("exact_inter").cast("double")
+            / exact_union.cast("double"),
+            6,
+        ).alias("jacc_exact"),
+        F.expr(
+            "(1000000 * abs(union_e4 - (exa + exb - exact_inter) * 10000))"
+            " DIV ((exa + exb - exact_inter) * 10000)"
+        ).alias("union_err_ppm"),
+    ).orderBy("source_a", "source_b")
+
+
+def hll_set_ops_sql() -> str:
+    """DuckDB replay of hll_set_ops: identical registers, register-max
+    union per pair, integer inclusion-exclusion, exact audits."""
+    from marketstream_etl_spark.functions.hashing import h60_sql
+
+    from marketstream_etl_spark.operators.dedup import SHINGLE_K
+
+    rho = _rho_case(f"(h // {HLL_M})", "({w} >> {k})")
+    shift_unit = 1 << (HLL_WBITS + 1)
+    sh = shingles_sql(tokens_sql("text"), SHINGLE_K)
+    est = (
+        f"CAST(floor(CAST({HLL_NUMERATOR!r} AS DOUBLE) "
+        f"/ CAST(t_filled + ({HLL_M} - fr) * CAST({shift_unit} AS BIGINT) "
+        f"AS DOUBLE) * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    return f"""
+        WITH docsh AS (
+            SELECT DISTINCT doc_id, unnest({sh}) AS shingle
+            FROM documents
+        ),
+        sp0 AS MATERIALIZED (
+            SELECT DISTINCT d.source, s.shingle
+            FROM docsh s JOIN documents d USING (doc_id)
+        ),
+        keyed AS (
+            SELECT source, shingle, {h60_sql("shingle")} AS h FROM sp0
+        ),
+        regs AS MATERIALIZED (
+            SELECT source, h % {HLL_M} AS bucket, max({rho}) AS m_j
+            FROM keyed GROUP BY 1, 2
+        ),
+        per AS MATERIALIZED (
+            SELECT source,
+                   count(*) AS fr,
+                   sum((CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - m_j)))
+                       AS t_filled
+            FROM regs GROUP BY source
+        ),
+        per_est AS (SELECT source, {est} AS e4 FROM per),
+        spair AS (
+            SELECT a.source AS sa, b.source AS sb
+            FROM per_est a JOIN per_est b ON a.source < b.source
+        ),
+        pr AS (
+            SELECT p.sa, p.sb, r.bucket, r.m_j
+            FROM spair p JOIN regs r ON r.source = p.sa
+            UNION ALL
+            SELECT p.sa, p.sb, r.bucket, r.m_j
+            FROM spair p JOIN regs r ON r.source = p.sb
+        ),
+        usk AS (
+            SELECT sa, sb, fr, t_filled FROM (
+                SELECT sa, sb,
+                       count(*) AS fr,
+                       sum((CAST(1 AS BIGINT) << ({HLL_WBITS + 1} - m_j)))
+                           AS t_filled
+                FROM (
+                    SELECT sa, sb, bucket, max(m_j) AS m_j
+                    FROM pr GROUP BY 1, 2, 3
+                ) GROUP BY sa, sb
+            )
+        ),
+        usk_est AS (SELECT sa, sb, {est} AS union_e4 FROM usk),
+        ex AS MATERIALIZED (
+            SELECT source, CAST(count(*) AS BIGINT) AS ex
+            FROM sp0 GROUP BY source
+        ),
+        inter AS (
+            SELECT x.source AS sa, y.source AS sb,
+                   CAST(count(*) AS BIGINT) AS exact_inter
+            FROM sp0 x JOIN sp0 y
+              ON x.shingle = y.shingle AND x.source < y.source
+            GROUP BY 1, 2
+        )
+        SELECT u.sa AS source_a, u.sb AS source_b, u.union_e4,
+               greatest(0, pa.e4 + pb.e4 - u.union_e4) AS inter_e4,
+               round(greatest(0, pa.e4 + pb.e4 - u.union_e4)::DOUBLE
+                     / u.union_e4::DOUBLE, 6) AS jacc_est,
+               (xa.ex + xb.ex - coalesce(i.exact_inter, 0)) AS exact_union,
+               coalesce(i.exact_inter, 0) AS exact_inter,
+               round(coalesce(i.exact_inter, 0)::DOUBLE
+                     / (xa.ex + xb.ex - coalesce(i.exact_inter, 0))::DOUBLE,
+                     6) AS jacc_exact,
+               (1000000 * abs(u.union_e4
+                    - (xa.ex + xb.ex - coalesce(i.exact_inter, 0)) * 10000))
+                   // ((xa.ex + xb.ex - coalesce(i.exact_inter, 0)) * 10000)
+                   AS union_err_ppm
+        FROM usk_est u
+        JOIN per_est pa ON pa.source = u.sa
+        JOIN per_est pb ON pb.source = u.sb
+        JOIN ex xa ON xa.source = u.sa
+        JOIN ex xb ON xb.source = u.sb
+        LEFT JOIN inter i ON i.sa = u.sa AND i.sb = u.sb
+        ORDER BY source_a, source_b
+    """

@@ -1859,3 +1859,12 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra (operators/sketch.py::hll_set_ops): pairwise
+    source union/intersection/Jaccard from register-max sketch merges
+    with integer inclusion-exclusion, audited against exact overlap."""
+    from marketstream_etl_spark.operators.sketch import hll_set_ops
+
+    return hll_set_ops(load_table(spark, sf_dir, "documents"))

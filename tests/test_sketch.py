@@ -220,3 +220,30 @@ def test_hdr_grouped_brackets_every_group(spark, sf_dir):
     for flag, qs in by_flag.items():
         assert sorted(qs) == [500000, 900000, 990000, 999000], flag
     assert len(by_flag) >= 2
+
+
+def test_hll_set_ops_identical_and_disjoint_sources(spark):
+    """Two sources with the SAME text share every shingle: exact Jaccard
+    1, estimated Jaccard 1 (register-max union == each sketch), err 0.
+    A disjoint third source: exact_inter 0 with every other."""
+    from pyspark.sql import Row
+
+    from marketstream_etl_spark.operators.sketch import hll_set_ops
+
+    same = "alpha beta gamma delta epsilon zeta"
+    other = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=same, source="s1"),
+            Row(doc_id=2, text=same, source="s2"),
+            Row(doc_id=3, text=other, source="s3"),
+        ]
+    )
+    out = {(r.source_a, r.source_b): r for r in hll_set_ops(docs).collect()}
+    twin = out[("s1", "s2")]
+    assert twin.jacc_exact == 1.0 and twin.jacc_est == 1.0
+    # (no err_ppm bound here: the raw estimator is biased on near-empty
+    # registers; the sf0.01 oracle run audits err at realistic fill)
+    for pair in [("s1", "s3"), ("s2", "s3")]:
+        assert out[pair].exact_inter == 0
+        assert out[pair].jacc_exact == 0.0
