@@ -180,3 +180,105 @@ def bm25_search_sql(
         FROM ranked WHERE rank <= {k}
         ORDER BY query_id, rank
     """
+
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+# Per-document top-k salient terms — the standard corpus-summarization /
+# topic-tagging primitive next to BM25's query-time ranking.  Smoothed
+# sklearn-style idf: idf(t) = ln((1 + N) / (1 + df(t))) + 1, score =
+# (tf / dl) * idf, rounded to 6 dp with a term tie-break before ranking
+# (the repo-wide convention that keeps cross-engine float noise out of
+# orderings).
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_keywords(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Top-k keywords per document by smoothed TF-IDF.
+
+    Output: (doc_id, term, tfidf, rank), rank by score desc / term asc.
+
+    Scale: postings are ONE explode + groupBy (shared with BM25 through
+    the rotation cache, so a pipeline running both pays the tokenize
+    once); df is a term-keyed partial agg; N is a 1-row broadcast; the
+    idf attach is a shuffle equi-join on term (the full vocabulary is
+    NOT broadcast — at the 100 TB posture it is multi-GB); top-k per doc
+    is the salted two-phase ranking, no single reducer."""
+    key = _cache_key(docs)
+    hit = _lookup("bm25_postings", key, current=docs)
+    if hit is not None:
+        post = hit[0]
+    else:
+        post = _postings(docs).persist()
+        _rotate_caches("bm25_postings", key, [post], _input_paths(docs))
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = post.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = dl.agg(F.count("*").cast("double").alias("n_docs"))
+    idf = (
+        F.log(
+            (F.lit(1.0) + F.col("n_docs"))
+            / (F.lit(1.0) + F.col("df").cast("double"))
+        )
+        + F.lit(1.0)
+    )
+    scored = (
+        post.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf").cast("double") / F.col("dl").cast("double"))
+                * idf,
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    return (
+        top_k_per_key(
+            scored,
+            key="doc_id",
+            order_by=[F.desc("tfidf"), F.col("term")],
+            k=k,
+            salt_src="term",
+        )
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def tfidf_keywords_sql(k: int = TFIDF_TOP_K) -> str:
+    """DuckDB replay: identical postings, smoothed idf, rounding, and
+    (score, term) ranking."""
+    return f"""
+        WITH post AS MATERIALIZED (
+            SELECT doc_id, t AS term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({tokens_sql("text")}) AS t
+                  FROM documents)
+            GROUP BY doc_id, t
+        ),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+        dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+        scored AS (
+            SELECT p.doc_id, p.term,
+                   round((p.tf::DOUBLE / d.dl::DOUBLE)
+                         * (ln((CAST(1.0 AS DOUBLE) + s.n_docs)
+                                / (CAST(1.0 AS DOUBLE) + f.df::DOUBLE))
+                            + CAST(1.0 AS DOUBLE)), 6) AS tfidf
+            FROM post p
+            JOIN dfreq f USING (term)
+            JOIN dl d USING (doc_id)
+            CROSS JOIN stats s
+        ),
+        ranked AS (
+            SELECT doc_id, term, tfidf,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term) AS rank
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY doc_id, rank
+    """

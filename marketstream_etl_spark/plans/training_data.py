@@ -1048,6 +1048,17 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relevance.bm25_search(load_table(spark, sf_dir, "documents"))
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k TF-IDF keywords (operators/relevance.py::
+    tfidf_keywords): the corpus-summarization / topic-tagging twin of
+    BM25 — shares its postings frame through the rotation cache, attaches
+    idf by a term-keyed shuffle join (vocabulary never broadcast), and
+    ranks with the salted two-phase top-k."""
+    from marketstream_etl_spark.operators import relevance
+
+    return relevance.tfidf_keywords(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_collapse_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-collapsed corpus with multiplicity weights
     (operators/dedup.py::collapse_weighted): one representative per

@@ -53,3 +53,47 @@ def test_length_normalization_prefers_shorter_doc(spark):
     out = bm25_search(corpus, n_queries=1, k=2).collect()
     assert [r["doc_id"] for r in out] == [1, 2]
     assert out[0]["bm25"] > out[1]["bm25"]
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+
+from marketstream_etl_spark.operators.relevance import tfidf_keywords  # noqa: E402
+import math  # noqa: E402
+
+
+def test_tfidf_rare_term_is_top_keyword(spark):
+    """At equal tf, a term unique to one doc must beat a corpus-wide
+    term on idf."""
+    corpus = docs_df(spark, [
+        "common xylophone",
+        "common filler words",
+        "common more filler",
+    ])
+    out = tfidf_keywords(corpus, k=1).collect()
+    top0 = {r["doc_id"]: r["term"] for r in out}
+    assert top0[0] == "xylophone"
+
+
+def test_tfidf_value_matches_closed_form(spark):
+    """doc 0 = 'a a b': tf(a)=2/3, tf(b)=1/3; df(a)=2, df(b)=1, N=2."""
+    corpus = docs_df(spark, ["a a b", "a c"])
+    out = {(r["doc_id"], r["term"]): r["tfidf"]
+           for r in tfidf_keywords(corpus, k=10).collect()}
+    n = 2.0
+    idf_a = math.log((1.0 + n) / (1.0 + 2.0)) + 1.0
+    idf_b = math.log((1.0 + n) / (1.0 + 1.0)) + 1.0
+    assert out[(0, "a")] == round((2.0 / 3.0) * idf_a, 6)
+    assert out[(0, "b")] == round((1.0 / 3.0) * idf_b, 6)
+
+
+def test_tfidf_rank_is_dense_per_doc_and_capped(spark):
+    corpus = docs_df(spark, [
+        "one two three four five six seven",
+        "one two alpha",
+    ])
+    out = tfidf_keywords(corpus, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    for ranks in by_doc.values():
+        assert ranks == sorted(ranks) and ranks[0] == 1
+        assert len(ranks) <= 3
