@@ -1073,3 +1073,155 @@ def q_hdr_quantiles_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators.sketch import hdr_quantiles_grouped
 
     return hdr_quantiles_grouped(load_table(spark, sf_dir, "lineitem"))
+
+
+# --- Benford first-digit audit ----------------------------------------------
+# Fraud/quality screen over a value column: the first-significant-digit
+# distribution of organically-grown amounts follows Benford's law,
+# p(d) = log10(1 + 1/d).  Fabricated or truncated data does not.  The
+# audit emits per-digit observed/expected shares and a chi-square statistic
+# against the 0.05 critical value for 8 degrees of freedom.
+#
+# Cross-engine determinism: the digit is taken from the BIGINT decimal
+# string of floor(value) (integer→string is exact in both engines — no
+# float formatting, no log10 on data); the expected shares are the SAME
+# hardcoded double literals on both sides; each chi-square contribution is
+# fixed-pointed (floor(x*1e6+0.5)) BEFORE summation so the total is an
+# order-independent BIGINT sum — the token_drift discipline.
+
+BENFORD_P = {  # repr(log10(1 + 1/d)) — identical literals on both engines
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+BENFORD_CHI2_CRIT_FP = 15_507_000  # chi2(0.05, dof=8) = 15.507 in 1e-6 units
+
+
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of orders.o_totalprice.
+
+    Output: one row per leading digit 1-9 — observed count, observed and
+    expected shares, the digit's chi-square contribution, the corpus-wide
+    chi-square total, and the pass/fail verdict at the 0.05 level.
+
+    Scale: one map-side digit projection inside the scan, a 9-group hash
+    aggregate, then two 1-row broadcast frames (total count, fixed-point
+    chi-square sum) joined back onto the 9-row result — no window over
+    the fact table, no driver collect."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.filter(F.col("o_totalprice") >= 1.0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n_obs"))
+    )
+    # digits spine: a missing digit still contributes (0-exp)^2/exp
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    counts = (
+        spine.join(counts, "digit", "left")
+        .select("digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs"))
+    )
+    total = counts.agg(F.sum("n_obs").alias("n_total"))
+    p = F.element_at(
+        F.create_map(
+            *[x for d, lit in BENFORD_P.items()
+              for x in (F.lit(d), F.lit(float(lit)))]
+        ),
+        F.col("digit"),
+    )
+    with_exp = counts.join(F.broadcast(total)).select(
+        "digit",
+        "n_obs",
+        "n_total",
+        p.alias("p_exp"),
+        (F.col("n_total").cast("double") * p).alias("exp_cnt"),
+    )
+    chi_part = (
+        (F.col("n_obs").cast("double") - F.col("exp_cnt"))
+        * (F.col("n_obs").cast("double") - F.col("exp_cnt"))
+        / F.col("exp_cnt")
+    )
+    fixed = with_exp.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        "p_exp",
+        F.floor(chi_part * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "chi2_fp"
+        ),
+    )
+    chi_total = fixed.agg(F.sum("chi2_fp").alias("chi2_total_fp"))
+    return (
+        fixed.join(F.broadcast(chi_total))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(
+                F.col("n_obs").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("obs_share"),
+            F.col("p_exp").alias("exp_share"),
+            (F.col("chi2_fp").cast("double") / F.lit(1e6)).alias("chi2_part"),
+            (F.col("chi2_total_fp").cast("double") / F.lit(1e6)).alias(
+                "chi2_total"
+            ),
+            (F.col("chi2_total_fp") <= F.lit(BENFORD_CHI2_CRIT_FP)).alias(
+                "benford_ok"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+def benford_audit_sql() -> str:
+    """DuckDB replay: identical digit extraction, identical double
+    literals, identical fixed-point chi-square summation."""
+    p_case = " ".join(
+        f"WHEN {d} THEN CAST({lit} AS DOUBLE)"
+        for d, lit in BENFORD_P.items()
+    )
+    return f"""
+        WITH counts0 AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+                   count(*) AS n_obs
+            FROM orders WHERE o_totalprice >= CAST(1.0 AS DOUBLE)
+            GROUP BY 1
+        ),
+        counts AS (
+            SELECT s.digit, coalesce(c.n_obs, 0) AS n_obs
+            FROM (SELECT unnest(range(1, 10))::INTEGER AS digit) s
+            LEFT JOIN counts0 c USING (digit)
+        ),
+        total AS (SELECT sum(n_obs) AS n_total FROM counts),
+        fixed AS (
+            SELECT digit, n_obs, t.n_total,
+                   CASE digit {p_case} END AS p_exp,
+                   CAST(floor(
+                       (n_obs::DOUBLE - t.n_total::DOUBLE
+                            * (CASE digit {p_case} END))
+                       * (n_obs::DOUBLE - t.n_total::DOUBLE
+                            * (CASE digit {p_case} END))
+                       / (t.n_total::DOUBLE * (CASE digit {p_case} END))
+                       * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS chi2_fp
+            FROM counts CROSS JOIN total t
+        ),
+        chi AS (SELECT sum(chi2_fp) AS chi2_total_fp FROM fixed)
+        SELECT digit, n_obs,
+               round(n_obs::DOUBLE / n_total::DOUBLE, 6) AS obs_share,
+               p_exp AS exp_share,
+               chi2_fp::DOUBLE / 1e6 AS chi2_part,
+               c.chi2_total_fp::DOUBLE / 1e6 AS chi2_total,
+               c.chi2_total_fp <= {BENFORD_CHI2_CRIT_FP} AS benford_ok
+        FROM fixed CROSS JOIN chi c
+        ORDER BY digit
+    """

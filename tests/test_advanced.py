@@ -119,3 +119,49 @@ def test_symbol_affinity_lift_math(spark, tmp_path):
     r = out[0]
     assert (r["symbol_a"], r["symbol_b"]) == ("AA", "BB")
     assert r["n_both"] == 2 and r["lift"] == 1.0
+
+
+# --- Benford audit -----------------------------------------------------------
+
+def test_benford_audit_semantics(spark, sf_dir):
+    from marketstream_etl_spark.plans.advanced import (
+        BENFORD_CHI2_CRIT_FP,
+        q_benford_audit,
+    )
+    from marketstream_etl_spark.sources.tables import load_table
+
+    rows = q_benford_audit(spark, sf_dir).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    n_priced = (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_totalprice >= 1.0")
+        .count()
+    )
+    assert sum(r["n_obs"] for r in rows) == n_priced
+    # every row carries the same total; total == sum of fixed-point parts
+    totals = {r["chi2_total"] for r in rows}
+    assert len(totals) == 1
+    total = totals.pop()
+    assert abs(total - sum(r["chi2_part"] for r in rows)) < 1e-9
+    ok = {r["benford_ok"] for r in rows}.pop()
+    assert ok == (round(total * 1e6) <= BENFORD_CHI2_CRIT_FP)
+
+
+def test_benford_digit_extraction_is_string_of_floor(spark):
+    """floor→bigint→string digit extraction: 0.xx values are filtered,
+    9999.99 → '9', 1000000.5 → '1'."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0.5,), (9999.99,), (1000000.5,), (1.0,)], ["v"]
+    )
+    digit = F.substring(
+        F.floor(F.col("v")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    got = (
+        df.filter(F.col("v") >= 1.0)
+        .select(digit.alias("d"))
+        .orderBy("d")
+        .collect()
+    )
+    assert [r["d"] for r in got] == [1, 1, 9]
