@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_set_ops": training_data.q_hll_set_ops,
         "tfidf_keywords": training_data.q_tfidf_keywords,
         "benford_audit": advanced.q_benford_audit,
+        "key_skew_profile": advanced.q_key_skew_profile,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1682,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _relevance.bm25_search_sql(),
         "tfidf_keywords": _relevance.tfidf_keywords_sql(),
         "benford_audit": advanced.benford_audit_sql(),
+        "key_skew_profile": advanced.key_skew_profile_sql(),
         "hybrid_search_rrf": _fusion.hybrid_search_rrf_sql(),
         "dedup_collapse_weighted": _dedup.collapse_weighted_sql(),
         "streaming_ivf_assign": _stream_docs.stream_ivf_assign_sql(),

@@ -1225,3 +1225,137 @@ def benford_audit_sql() -> str:
         FROM fixed CROSS JOIN chi c
         ORDER BY digit
     """
+
+
+# --- join-key skew profile ---------------------------------------------------
+# The pre-flight diagnostic for the salting / AQE-skew-join decision
+# (functions/skew.py): per candidate join key, the key-frequency shape —
+# row count, distinct keys, heaviest key, top-1 share, max/mean skew
+# ratio, and the Gini coefficient of the key-frequency distribution.
+#
+# Scale design: per-key counts are ONE partial-aggregated groupBy; those
+# counts are immediately re-grouped into a COUNT-OF-COUNTS histogram
+# (multiplicity → number of keys), so everything downstream runs on a
+# frame bounded by the number of DISTINCT multiplicities (hundreds, not
+# keys — the global window below is over that bounded frame, never the
+# fact table).  The Gini is computed from the grouped histogram in exact
+# BIGINT arithmetic (closed-form run contribution c·(m·prior + m(m+1)/2)),
+# fixed-pointed by integer division — no float accumulation anywhere.
+
+SKEW_PROFILE_KEYS = (  # (table, key column)
+    ("events", "user_id"),
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+)
+
+
+def _skew_profile_one(df: DataFrame, table: str, col: str) -> DataFrame:
+    counts = df.groupBy(F.col(col).alias("k")).agg(
+        F.count("*").alias("cnt")
+    )
+    hist = counts.groupBy("cnt").agg(F.count("*").alias("m"))
+    # prior = keys with a strictly smaller multiplicity.  The histogram is
+    # bounded (distinct multiplicity values), so a broadcast non-equi
+    # self-join beats a no-partition global window — no single-reducer
+    # WindowExec anywhere in the plan.
+    lower = hist.select(
+        F.col("cnt").alias("cnt_lo"), F.col("m").alias("m_lo")
+    )
+    runs = (
+        hist.join(
+            F.broadcast(lower), F.col("cnt_lo") < F.col("cnt"), "left"
+        )
+        .groupBy("cnt", "m")
+        .agg(F.coalesce(F.sum("m_lo"), F.lit(0)).alias("prior"))
+    )
+    # m*(m+1) is always even — integer div keeps the whole rank sum BIGINT
+    contrib = F.col("cnt") * (
+        F.col("m") * F.col("prior") + F.expr("div(m * (m + 1), 2)")
+    )
+    agg = runs.agg(
+        F.sum(F.col("cnt") * F.col("m")).alias("n_rows"),
+        F.sum("m").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum(contrib).alias("s_rank"),
+    )
+    return agg.select(
+        F.lit(f"{table}.{col}").alias("key_col"),
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_keys").cast("double"),
+            6,
+        ).alias("avg_cnt"),
+        (
+            F.expr("div(max_cnt * n_keys * 1000000, n_rows)").cast("double")
+            / F.lit(1e6)
+        ).alias("skew_ratio"),
+        F.round(
+            F.col("max_cnt").cast("double") / F.col("n_rows").cast("double"),
+            6,
+        ).alias("top1_share"),
+        (
+            F.expr(
+                "div((2 * s_rank - (n_keys + 1) * n_rows) * 1000000,"
+                " n_keys * n_rows)"
+            ).cast("double")
+            / F.lit(1e6)
+        ).alias("gini"),
+    )
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile over the three highest-traffic join keys.
+
+    One row per key column: n_rows, n_keys, max_cnt, avg_cnt, skew_ratio
+    (max/mean, fixed-point), top1_share, and the Gini coefficient of the
+    key-frequency distribution — the inputs to the broadcast/salt/AQE
+    triage a 100 TB join plan starts from."""
+    parts = [
+        _skew_profile_one(load_table(spark, sf_dir, t), t, c)
+        for t, c in SKEW_PROFILE_KEYS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key_col")
+
+
+def key_skew_profile_sql() -> str:
+    """DuckDB replay: identical count-of-counts histogram, exact BIGINT
+    rank sum, identical integer-division fixed-points."""
+    selects = []
+    for t, c in SKEW_PROFILE_KEYS:
+        selects.append(f"""
+        SELECT '{t}.{c}' AS key_col, n_rows, n_keys, max_cnt,
+               round(n_rows::DOUBLE / n_keys::DOUBLE, 6) AS avg_cnt,
+               ((max_cnt * n_keys * 1000000) // n_rows)::DOUBLE / 1e6
+                   AS skew_ratio,
+               round(max_cnt::DOUBLE / n_rows::DOUBLE, 6) AS top1_share,
+               (((2 * s_rank - (n_keys + 1) * n_rows) * 1000000)
+                   // (n_keys * n_rows))::DOUBLE / 1e6 AS gini
+        FROM (
+            SELECT sum(cnt * m) AS n_rows, sum(m) AS n_keys,
+                   max(cnt) AS max_cnt,
+                   sum(cnt * (m * prior + (m * (m + 1)) // 2)) AS s_rank
+            FROM (
+                SELECT h.cnt, h.m,
+                       coalesce(sum(l.m), 0) AS prior
+                FROM (
+                    SELECT cnt, count(*) AS m
+                    FROM (SELECT {c}, count(*) AS cnt
+                          FROM {t} GROUP BY {c})
+                    GROUP BY cnt
+                ) h
+                LEFT JOIN (
+                    SELECT cnt, count(*) AS m
+                    FROM (SELECT {c}, count(*) AS cnt
+                          FROM {t} GROUP BY {c})
+                    GROUP BY cnt
+                ) l ON l.cnt < h.cnt
+                GROUP BY h.cnt, h.m
+            )
+        )""")
+    body = "\n        UNION ALL\n".join(selects)
+    return f"{body}\n        ORDER BY key_col"

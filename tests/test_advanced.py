@@ -165,3 +165,28 @@ def test_benford_digit_extraction_is_string_of_floor(spark):
         .collect()
     )
     assert [r["d"] for r in got] == [1, 1, 9]
+
+
+# --- key skew profile ----------------------------------------------------------
+
+def test_skew_profile_hand_computed(spark):
+    """keys a,a,a,a,b,c: counts [4,1,1] -> skew 2.0, gini 1/3 (floored
+    fixed-point), top1 4/6."""
+    from marketstream_etl_spark.plans.advanced import _skew_profile_one
+
+    df = spark.createDataFrame([(k,) for k in "aaaabc"], ["k"])
+    r = _skew_profile_one(df, "t", "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_cnt"]) == (6, 3, 4)
+    assert r["avg_cnt"] == 2.0
+    assert r["skew_ratio"] == 2.0
+    assert r["top1_share"] == round(4 / 6, 6)
+    assert r["gini"] == 0.333333
+
+
+def test_skew_profile_uniform_keys_gini_zero(spark):
+    from marketstream_etl_spark.plans.advanced import _skew_profile_one
+
+    df = spark.createDataFrame([(k,) for k in "aabbcc"], ["k"])
+    r = _skew_profile_one(df, "t", "k").collect()[0]
+    assert r["gini"] == 0.0
+    assert r["skew_ratio"] == 1.0
