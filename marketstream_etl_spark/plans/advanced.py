@@ -1359,3 +1359,98 @@ def key_skew_profile_sql() -> str:
         )""")
     body = "\n        UNION ALL\n".join(selects)
     return f"{body}\n        ORDER BY key_col"
+
+
+# --- conversion attribution ---------------------------------------------------
+# First-touch / last-touch attribution: every purchase is credited to the
+# first and to the most recent preceding non-purchase touch (click / view /
+# signup / error) of the same user in the canonical (ts, event_id) order.
+# The funnel/retention family's missing sibling — the revenue-credit query
+# every event pipeline ships.
+
+ATTRIBUTION_TOUCHES = ("click", "view", "signup", "error")
+
+
+def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (model, touch_type): attributed conversions and value.
+
+    Output: (model 'first'|'last', touch_type with 'none' for untouched
+    purchases, conversions, value_sum).
+
+    Scale: ONE shuffle on user_id feeds both running first/last touch
+    windows (same window spec, shared exchange); the rollup is a
+    bounded-key hash aggregate.  No self-join of the event stream against
+    itself, no driver-side loop."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    touch = F.when(
+        F.col("event_type").isin(*ATTRIBUTION_TOUCHES),
+        F.struct("ts", "event_id", "event_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        F.first(touch, ignorenulls=True).over(w)["event_type"].alias(
+            "first_touch"
+        ),
+        F.last(touch, ignorenulls=True).over(w)["event_type"].alias(
+            "last_touch"
+        ),
+    ).filter(F.col("event_type") == "purchase")
+    first = marked.groupBy(
+        F.lit("first").alias("model"),
+        F.coalesce("first_touch", F.lit("none")).alias("touch_type"),
+    )
+    last = marked.groupBy(
+        F.lit("last").alias("model"),
+        F.coalesce("last_touch", F.lit("none")).alias("touch_type"),
+    )
+    aggs = [
+        F.count("*").alias("conversions"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    ]
+    return (
+        first.agg(*aggs)
+        .unionByName(last.agg(*aggs))
+        .orderBy("model", "touch_type")
+    )
+
+
+def attribution_touch_sql() -> str:
+    """DuckDB replay: IGNORE NULLS running first/last over the identical
+    (ts, event_id) order, identical rollup."""
+    touches = ", ".join(f"'{t}'" for t in ATTRIBUTION_TOUCHES)
+    return f"""
+        WITH marked AS (
+            SELECT event_type, value,
+                   first_value(CASE WHEN event_type IN ({touches})
+                                    THEN event_type END IGNORE NULLS)
+                       OVER w AS first_touch,
+                   last_value(CASE WHEN event_type IN ({touches})
+                                   THEN event_type END IGNORE NULLS)
+                       OVER w AS last_touch
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        conv AS (SELECT * FROM marked WHERE event_type = 'purchase')
+        SELECT 'first' AS model,
+               coalesce(first_touch, 'none') AS touch_type,
+               count(*) AS conversions,
+               round(sum(value), 6) AS value_sum
+        FROM conv GROUP BY 2
+        UNION ALL
+        SELECT 'last', coalesce(last_touch, 'none'), count(*),
+               round(sum(value), 6)
+        FROM conv GROUP BY 2
+        ORDER BY model, touch_type
+    """

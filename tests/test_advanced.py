@@ -190,3 +190,41 @@ def test_skew_profile_uniform_keys_gini_zero(spark):
     r = _skew_profile_one(df, "t", "k").collect()[0]
     assert r["gini"] == 0.0
     assert r["skew_ratio"] == 1.0
+
+
+# --- attribution ---------------------------------------------------------------
+
+def test_attribution_first_vs_last_touch(spark, sf_dir):
+    """Constructed journey: click@1, view@2, purchase@3(v=10),
+    signup@4, purchase@5(v=5).  First-touch credits both purchases to
+    click; last-touch credits view and signup one each."""
+    from marketstream_etl_spark.plans import advanced
+    from marketstream_etl_spark.sources import tables as tbl
+
+    rows = [
+        (1, 1, 1_000, "click", 0.0, "{}"),
+        (2, 1, 2_000, "view", 0.0, "{}"),
+        (3, 1, 3_000, "purchase", 10.0, "{}"),
+        (4, 1, 4_000, "signup", 0.0, "{}"),
+        (5, 1, 5_000, "purchase", 5.0, "{}"),
+        (6, 2, 1_000, "purchase", 7.0, "{}"),  # untouched purchase
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    orig = tbl.load_table
+    try:
+        tbl.load_table = lambda sp, sf, name: ev  # noqa: ARG005
+        advanced.load_table = tbl.load_table
+        out = {
+            (r["model"], r["touch_type"]): (r["conversions"], r["value_sum"])
+            for r in advanced.q_attribution_touch(spark, "ignored").collect()
+        }
+    finally:
+        tbl.load_table = orig
+        advanced.load_table = orig
+    assert out[("first", "click")] == (2, 15.0)
+    assert out[("first", "none")] == (1, 7.0)
+    assert out[("last", "view")] == (1, 10.0)
+    assert out[("last", "signup")] == (1, 5.0)
+    assert out[("last", "none")] == (1, 7.0)
