@@ -432,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": advanced.q_benford_audit,
         "key_skew_profile": advanced.q_key_skew_profile,
         "attribution_touch": advanced.q_attribution_touch,
+        "containment_pairs": training_data.q_containment_pairs,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1686,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_audit": advanced.benford_audit_sql(),
         "key_skew_profile": advanced.key_skew_profile_sql(),
         "attribution_touch": advanced.attribution_touch_sql(),
+        "containment_pairs": _dedup.CONTAINMENT_PAIRS_SQL,
         "hybrid_search_rrf": _fusion.hybrid_search_rrf_sql(),
         "dedup_collapse_weighted": _dedup.collapse_weighted_sql(),
         "streaming_ivf_assign": _stream_docs.stream_ivf_assign_sql(),

@@ -864,3 +864,77 @@ def collapse_weighted_sql() -> str:
         WHERE d.doc_id = coalesce(c.cluster_rep, d.doc_id)
         ORDER BY d.doc_id
     """
+
+
+# --- asymmetric containment ---------------------------------------------------
+# Jaccard misses the quote/excerpt shape: a short document fully embedded
+# in a long one has tiny |A∩B| / |A∪B| but containment |A∩B| / |A| ≈ 1.
+# This is the dedup signal for boilerplate expansion, quoted reposts, and
+# partial crawls — the standard complement to symmetric near-dup passes
+# (cf. Broder's containment vs resemblance distinction).
+
+CONTAINMENT_NUM = 7  # threshold 0.7 as the exact rational 7/10
+CONTAINMENT_DEN = 10
+
+
+def containment_pairs(docs: DataFrame) -> DataFrame:
+    """Doc pairs (doc_a < doc_b) where the SMALLER shingle set is >= 70%
+    contained in the other.
+
+    Output: (doc_a, doc_b, inter, containment) with containment =
+    inter / min(|A|, |B|), rounded 6 dp for display; the FILTER itself is
+    the exact integer cross-multiplication 10·inter >= 7·min(|A|,|B|) —
+    no float threshold knife-edge.
+
+    Scale: same inverted-index discipline as n-gram Jaccard — the shared
+    DF-capped (doc, shingle) frame self-joins on shingle only, so no
+    document pair is considered unless it shares a surviving shingle."""
+    kept = _doc_shingles(docs)
+    sizes = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = kept.alias("a")
+    b = kept.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    small = F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("inter") * F.lit(CONTAINMENT_DEN)
+            >= F.lit(CONTAINMENT_NUM) * small
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.round(F.col("inter").cast("double") / small.cast("double"), 6)
+            .alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+    WITH {_DOC_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter,
+           round(inter::DOUBLE / least(sa.n, sb.n)::DOUBLE, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * {CONTAINMENT_DEN} >= {CONTAINMENT_NUM} * least(sa.n, sb.n)
+    ORDER BY doc_a, doc_b
+"""

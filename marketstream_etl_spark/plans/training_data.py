@@ -75,6 +75,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (operators/dedup.py::
+    containment_pairs): the quote/excerpt dedup signal — small doc >= 70%
+    embedded in a larger one — filtered by exact integer
+    cross-multiplication over the shared DF-capped inverted index."""
+    return dedup.containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup pairs; exact-Jaccard verify on candidates only."""
     return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))

@@ -153,3 +153,51 @@ def test_collapse_weighted_preserves_mass_and_reps(spark):
     out = {r["doc_id"]: r["dup_weight"] for r in collapse_weighted(docs, pairs).collect()}
     assert out == {1: 3, 4: 1, 5: 2}
     assert sum(out.values()) == 6
+
+
+# --- containment ---------------------------------------------------------------
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A 4-token quote inside a 40-token host doc: containment fires,
+    Jaccard at the same corpus stays silent for that pair."""
+    from pyspark.sql import Row
+    from marketstream_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha bravo charlie delta echo foxtrot"
+    host = quote + " " + " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(20))
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=quote),
+        Row(doc_id=1, text=host),
+        Row(doc_id=2, text=other),
+    ])
+    cont = {(r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(docs).collect()}
+    assert cont[(0, 1)] == 1.0          # every quote shingle is in host
+    jac = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs).collect()}
+    assert (0, 1) not in jac            # symmetric measure misses it
+
+
+def test_containment_threshold_is_exact_integer(spark):
+    """10 shingles, 7 shared -> containment 0.7 passes (>=); 6 shared
+    fails — the integer cross-multiplication boundary."""
+    from pyspark.sql import Row
+    from marketstream_etl_spark.operators.dedup import containment_pairs
+
+    # doc 0: tokens t0..t11 -> 10 shingles; doc 1 shares first 9 tokens
+    # (7 shingles) plus disjoint tail
+    base = [f"t{i}" for i in range(12)]
+    shared7 = base[:9] + [f"u{i}" for i in range(30)]
+    shared6 = base[:8] + [f"v{i}" for i in range(30)]
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=" ".join(base)),
+        Row(doc_id=1, text=" ".join(shared7)),
+        Row(doc_id=2, text=" ".join(shared6)),
+    ])
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in containment_pairs(docs).collect()}
+    assert got.get((0, 1)) == 0.7
+    assert (0, 2) not in got
