@@ -269,6 +269,16 @@ def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_join(spark, sf_dir)
 
 
+def _stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked interval join: unmatched buys flush with NULL
+    sell columns once a later batch's watermark passes their horizon (a
+    two-file sentinel stream supplies the later batch on bounded replay);
+    the appended output equals the batch left interval join."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_join_outer
+
+    return file_stream_join_outer(spark, sf_dir)
+
+
 def _stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session_window sessionization; final state on
     bounded replay equals the batch gaps-and-islands plan."""
@@ -433,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": advanced.q_key_skew_profile,
         "attribution_touch": advanced.q_attribution_touch,
         "containment_pairs": training_data.q_containment_pairs,
+        "streaming_join_outer": _stream_join_outer,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1688,6 +1699,26 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_profile": advanced.key_skew_profile_sql(),
         "attribution_touch": advanced.attribution_touch_sql(),
         "containment_pairs": _dedup.CONTAINMENT_PAIRS_SQL,
+        # batch equivalence of the watermarked left-outer interval join:
+        # every real buy either pairs within its 1-hour horizon or is
+        # flushed unmatched by the sentinel-advanced watermark
+        "streaming_join_outer": f"""
+            WITH trades AS ({TRADES_CTE}),
+            buys AS (SELECT symbol, price, "timestamp" AS bt
+                     FROM trades WHERE side = 'B'),
+            sells AS (SELECT symbol, price, "timestamp" AS st
+                      FROM trades WHERE side = 'S'),
+            joined AS (
+                SELECT b.symbol, b.price AS buy_price, s.price AS sell_price
+                FROM buys b LEFT JOIN sells s
+                  ON b.symbol = s.symbol
+                 AND s.st >= b.bt AND s.st <= b.bt + 3600000000000
+            )
+            SELECT symbol, count(sell_price) AS n_pairs,
+                   count(*) - count(sell_price) AS n_unmatched,
+                   round(avg(sell_price - buy_price), 6) AS avg_spread
+            FROM joined GROUP BY symbol ORDER BY symbol
+        """,
         "hybrid_search_rrf": _fusion.hybrid_search_rrf_sql(),
         "dedup_collapse_weighted": _dedup.collapse_weighted_sql(),
         "streaming_ivf_assign": _stream_docs.stream_ivf_assign_sql(),

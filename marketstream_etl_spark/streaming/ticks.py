@@ -704,3 +704,121 @@ def file_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("symbol")
+
+
+def file_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark-driven state
+    eviction — the semantics Structured Streaming adds on top of the inner
+    join: a buy with no sell in its 1-hour horizon is emitted with NULL
+    sell columns once the watermark passes buy_time + 1h.
+
+    Outer rows only flush when a LATER microbatch runs with an advanced
+    watermark, so a bounded single-batch replay would silently degrade to
+    the inner join.  The fixture therefore unions a two-file SENTINEL
+    stream (far-future B and S rows, maxFilesPerTrigger=1): batch 1 drains
+    the real data plus sentinel file 1 (advancing both side's watermarks
+    40 days past the real horizon), batch 2 processes sentinel file 2 and
+    flushes every unmatched real buy.  The sentinels themselves stay in
+    state (the watermark never passes their own horizon) and are excluded
+    from the result.
+
+    Scale: state is bounded by the watermark exactly as the inner join;
+    the sentinel trick is test-harness plumbing for bounded replay, not a
+    production requirement (a live stream always has a next batch)."""
+    import os
+
+    from marketstream_etl_spark.plans.trades_view import trades_from_events
+    from marketstream_etl_spark.sources.tables import (
+        load_table,
+        warehouse_path,
+    )
+
+    day_ns = 86_400_000_000_000
+    real_max_ns = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    sent_dir = warehouse_path(spark, "join_outer_sentinel", sf_dir)
+    marker = os.path.join(sent_dir, "_done")
+    if not os.path.exists(marker):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(sent_dir, exist_ok=True)
+        for i, ts in ((1, real_max_ns + 40 * day_ns),
+                      (2, real_max_ns + 41 * day_ns)):
+            tbl = pa.table(
+                {
+                    "symbol": ["ZZB", "ZZS"],
+                    "price": pa.array([0.0, 0.0], pa.float64()),
+                    "side": ["B", "S"],
+                    "ts_ns": pa.array([ts, ts], pa.int64()),
+                }
+            )
+            dst = os.path.join(sent_dir, f"sent{i}.parquet")
+            pq.write_table(tbl, dst)
+            # file-source order is by modification time, oldest first —
+            # pin it so sent1 always rides batch 1
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+        open(marker, "w").close()
+    sent = (
+        spark.readStream.schema(
+            "symbol string, price double, side string, ts_ns long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "sent*.parquet")
+        .parquet(sent_dir)
+    )
+    events = stream_events(spark, sf_dir)
+    trades = trades_from_events(events).select(
+        "symbol", "price", "side", F.col("timestamp").alias("ts_ns")
+    )
+    allt = trades.unionByName(sent).withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+    buys = (
+        allt.filter(F.col("side") == "B")
+        .select(
+            F.col("symbol").alias("b_symbol"),
+            F.col("price").alias("buy_price"),
+            F.col("event_time").alias("buy_time"),
+        )
+        .withWatermark("buy_time", "30 days")
+    )
+    sells = (
+        allt.filter(F.col("side") == "S")
+        .select(
+            F.col("symbol").alias("s_symbol"),
+            F.col("price").alias("sell_price"),
+            F.col("event_time").alias("sell_time"),
+        )
+        .withWatermark("sell_time", "30 days")
+    )
+    pairs = buys.join(
+        sells,
+        (F.col("b_symbol") == F.col("s_symbol"))
+        & (F.col("sell_time") >= F.col("buy_time"))
+        & (F.col("sell_time") <= F.col("buy_time") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    name = f"stream_join_outer_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(~F.col("b_symbol").isin("ZZB", "ZZS"))
+        .groupBy(F.col("b_symbol").alias("symbol"))
+        .agg(
+            F.count("sell_price").alias("n_pairs"),
+            (F.count("*") - F.count("sell_price")).alias("n_unmatched"),
+            F.round(
+                F.avg(F.col("sell_price") - F.col("buy_price")), 6
+            ).alias("avg_spread"),
+        )
+        .orderBy("symbol")
+    )

@@ -283,3 +283,49 @@ def test_stream_anomaly_matches_batch_zscore(spark, sf_dir):
         .collect()
     ]
     assert streamed == batch
+
+
+def test_file_stream_join_outer_equals_batch_left_join(spark, sf_dir):
+    """LEFT OUTER watermarked join on bounded replay: matched pairs equal
+    the batch interval join; every buy with no in-horizon sell must be
+    flushed exactly once by the sentinel-advanced watermark."""
+    from marketstream_etl_spark.plans.trades_view import load_trades
+    from marketstream_etl_spark.streaming.ticks import file_stream_join_outer
+
+    streamed = {
+        r["symbol"]: (r["n_pairs"], r["n_unmatched"], r["avg_spread"])
+        for r in file_stream_join_outer(spark, sf_dir).collect()
+    }
+
+    t = load_trades(spark, sf_dir)
+    buys = t.filter(F.col("side") == "B").select(
+        F.col("symbol").alias("b_symbol"),
+        F.col("price").alias("buy_price"),
+        F.col("timestamp").alias("buy_ts"),
+    )
+    sells = t.filter(F.col("side") == "S").select(
+        F.col("symbol").alias("s_symbol"),
+        F.col("price").alias("sell_price"),
+        F.col("timestamp").alias("sell_ts"),
+    )
+    batch = {
+        r["symbol"]: (r["n_pairs"], r["n_unmatched"], r["avg_spread"])
+        for r in buys.join(
+            sells,
+            (F.col("b_symbol") == F.col("s_symbol"))
+            & (F.col("sell_ts") >= F.col("buy_ts"))
+            & (F.col("sell_ts") <= F.col("buy_ts") + 3_600_000_000_000),
+            "left",
+        )
+        .groupBy(F.col("b_symbol").alias("symbol"))
+        .agg(
+            F.count("sell_price").alias("n_pairs"),
+            (F.count("*") - F.count("sell_price")).alias("n_unmatched"),
+            F.round(F.avg(F.col("sell_price") - F.col("buy_price")), 6).alias(
+                "avg_spread"
+            ),
+        )
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+    assert sum(v[1] for v in streamed.values()) > 0  # outer rows exercised
