@@ -1491,15 +1491,28 @@ def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.functions.hashing import h32, shingles, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    is_bench = h32(F.col("doc_id").cast("string")) % 20 == 0
+    # the bench flag is applied BEFORE the explode on each side, so the
+    # bench pass re-tokenizes only the ~5% benchmark slice and the corpus
+    # pass only the remainder — one logical scan each, instead of
+    # exploding the full corpus twice (the unpersisted shared frame would
+    # be recomputed per consumer, and persisting doc×13-gram rows is
+    # exactly the multi-TB materialization the 100 TB posture forbids)
+    bench = (
+        docs.filter(is_bench)
+        .select(
+            F.explode(
+                F.array_distinct(shingles(tokens(F.col("text")), 13))
+            ).alias("s")
+        )
+        .distinct()
+    )
+    corpus = docs.filter(~is_bench).select(
         "doc_id",
-        (h32(F.col("doc_id").cast("string")) % 20 == 0).alias("is_bench"),
         F.explode(
             F.array_distinct(shingles(tokens(F.col("text")), 13))
         ).alias("s"),
     )
-    bench = sh.filter("is_bench").select("s").distinct()
-    corpus = sh.filter(~F.col("is_bench"))
     frac = (
         F.floor(
             F.col("n_hits").cast("double")
