@@ -1900,3 +1900,109 @@ def q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators.sketch import hll_set_ops
 
     return hll_set_ops(load_table(spark, sf_dir, "documents"))
+
+
+ZIPF_TOP_K = 500
+
+
+def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: the log-log
+    rank/frequency regression a corpus-quality screen runs next to the
+    Benford audit — natural text fits ln(freq) ≈ a + slope·ln(rank) with
+    slope near −1 and high R²; template spam, boilerplate floods, and
+    synthetic filler bend the tail.
+
+    Output: one row — n_terms, the fitted slope/intercept/R² (rounded),
+    and the frequency mass the top-K carries.
+
+    Scale shape: token counts are ONE partial-aggregated groupBy; the
+    top-K selection compiles to TakeOrderedAndProject (no global sort);
+    ranks are assigned by a broadcast non-equi self-join on the K-row
+    frame (no single-partition window); the regression is a built-in
+    linear-moment aggregate over K rows."""
+    from marketstream_etl_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n_tokens"))
+    top = counts.orderBy(F.desc("cnt"), "token").limit(ZIPF_TOP_K)
+    other = top.select(
+        F.col("token").alias("t2"), F.col("cnt").alias("c2")
+    )
+    ranked = (
+        top.join(
+            F.broadcast(other),
+            (F.col("c2") > F.col("cnt"))
+            | ((F.col("c2") == F.col("cnt")) & (F.col("t2") < F.col("token"))),
+            "left",
+        )
+        .groupBy("token", "cnt")
+        .agg((F.count("t2") + F.lit(1)).alias("rank"))
+    )
+    return (
+        ranked.agg(
+            F.count("*").alias("n_terms"),
+            F.sum("cnt").alias("topk_tokens"),
+            F.round(
+                F.regr_slope(F.log("cnt"), F.log("rank")), 6
+            ).alias("zipf_slope"),
+            F.round(
+                F.regr_intercept(F.log("cnt"), F.log("rank")), 6
+            ).alias("zipf_intercept"),
+            F.round(F.regr_r2(F.log("cnt"), F.log("rank")), 6).alias(
+                "zipf_r2"
+            ),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "n_terms",
+            "topk_tokens",
+            "n_tokens",
+            F.round(
+                F.col("topk_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("topk_mass"),
+            "zipf_slope",
+            "zipf_intercept",
+            "zipf_r2",
+        )
+    )
+
+
+def zipf_audit_sql() -> str:
+    """DuckDB replay: identical counts, TakeOrdered top-K, broadcast-rank
+    self-join, and regr_* moments."""
+    from marketstream_etl_spark.functions.hashing import tokens_sql
+
+    return f"""
+        WITH counts AS MATERIALIZED (
+            SELECT t AS token, count(*) AS cnt
+            FROM (SELECT unnest({tokens_sql("text")}) AS t FROM documents)
+            GROUP BY t
+        ),
+        total AS (SELECT sum(cnt) AS n_tokens FROM counts),
+        top AS MATERIALIZED (
+            SELECT token, cnt FROM counts
+            ORDER BY cnt DESC, token LIMIT {ZIPF_TOP_K}
+        ),
+        ranked AS (
+            SELECT a.token, a.cnt, count(b.token) + 1 AS rank
+            FROM top a
+            LEFT JOIN top b
+              ON b.cnt > a.cnt OR (b.cnt = a.cnt AND b.token < a.token)
+            GROUP BY a.token, a.cnt
+        )
+        SELECT count(*) AS n_terms,
+               sum(cnt) AS topk_tokens,
+               t.n_tokens,
+               round(sum(cnt)::DOUBLE / t.n_tokens::DOUBLE, 6) AS topk_mass,
+               round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+               round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
+               round(regr_r2(ln(cnt), ln(rank)), 6) AS zipf_r2
+        FROM ranked CROSS JOIN total t GROUP BY t.n_tokens
+    """

@@ -275,3 +275,24 @@ def test_mad_outliers_hand_computed(spark, monkeypatch):
     b = out["b"]
     assert (b.med_chars, b.mad_chars, b.n_outliers) == (14.0, 2.0, 1)
     assert b.z_max == 29.0035
+
+
+# --- Zipf audit ----------------------------------------------------------------
+
+def test_zipf_audit_perfect_power_law(spark, sf_dir, monkeypatch):
+    """Counts 60/r for r=1..6 are an exact power law: ln(cnt) =
+    ln(60) - 1·ln(rank), so the fit must return slope -1 and R² 1."""
+    from pyspark.sql import Row
+    from marketstream_etl_spark.plans import training_data as td
+
+    words = []
+    for r, n in enumerate([60, 30, 20, 15, 12, 10], start=1):
+        words += [f"w{r:02d}"] * n
+    docs_frame = spark.createDataFrame([Row(doc_id=0, text=" ".join(words))])
+    monkeypatch.setattr(td, "load_table", lambda sp, sf, name: docs_frame)
+    row = td.q_zipf_audit(spark, "ignored").collect()[0]
+    assert row["n_terms"] == 6
+    assert row["n_tokens"] == sum([60, 30, 20, 15, 12, 10])
+    assert row["topk_mass"] == 1.0
+    assert row["zipf_slope"] == -1.0
+    assert row["zipf_r2"] == 1.0
