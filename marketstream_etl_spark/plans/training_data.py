@@ -2006,3 +2006,85 @@ def zipf_audit_sql() -> str:
                round(regr_r2(ln(cnt), ln(rank)), 6) AS zipf_r2
         FROM ranked CROSS JOIN total t GROUP BY t.n_tokens
     """
+
+
+def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: Shannon entropy of the token
+    distribution, normalized entropy (H / ln(vocab)), and type-token
+    ratio — the mixture-design diagnostic that separates diverse prose
+    sources from template mills before source weights are chosen.
+
+    Determinism: each term's −p·ln(p) contribution is fixed-pointed
+    (floor(x·1e9 + 0.5)) BEFORE the per-source sum, so the total is an
+    order-independent BIGINT sum — the token_drift discipline.
+
+    Scale: one (source, token) partial-aggregated groupBy, then a
+    per-source roll-up; nothing is broadcast, nothing is collected."""
+    from marketstream_etl_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = tok.groupBy("source").agg(F.sum("cnt").alias("n_tokens"))
+    p = F.col("cnt").cast("double") / F.col("n_tokens").cast("double")
+    contrib = F.floor(-p * F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    per_src = (
+        tok.join(totals, "source")
+        .select("source", "n_tokens", contrib.alias("h_fp"))
+        .groupBy("source", "n_tokens")
+        .agg(F.sum("h_fp").alias("h_fp"), F.count("*").alias("n_terms"))
+    )
+    ent = F.col("h_fp").cast("double") / F.lit(1e9)
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "n_terms",
+        F.round(ent, 6).alias("entropy"),
+        # single-term source: H/ln(1) is 0/0 — surfaced as NULL in BOTH
+        # engines (ANSI mode would throw, DuckDB would return inf)
+        F.when(
+            F.col("n_terms") > 1,
+            F.round(ent / F.log(F.col("n_terms").cast("double")), 6),
+        ).alias("norm_entropy"),
+        F.round(
+            F.col("n_terms").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+    ).orderBy("source")
+
+
+def source_entropy_sql() -> str:
+    """DuckDB replay: identical fixed-point per-term contributions and
+    BIGINT summation."""
+    from marketstream_etl_spark.functions.hashing import tokens_sql
+
+    return f"""
+        WITH tok AS (
+            SELECT source, t, count(*) AS cnt
+            FROM (SELECT source, unnest({tokens_sql("text")}) AS t
+                  FROM documents)
+            GROUP BY source, t
+        ),
+        totals AS (SELECT source, sum(cnt) AS n_tokens FROM tok GROUP BY source),
+        per_src AS (
+            SELECT tok.source, n_tokens,
+                   sum(CAST(floor(
+                       -(cnt::DOUBLE / n_tokens::DOUBLE)
+                       * ln(cnt::DOUBLE / n_tokens::DOUBLE)
+                       * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS h_fp,
+                   count(*) AS n_terms
+            FROM tok JOIN totals USING (source)
+            GROUP BY tok.source, n_tokens
+        )
+        SELECT source, n_tokens, n_terms,
+               round(h_fp::DOUBLE / 1e9, 6) AS entropy,
+               CASE WHEN n_terms > 1
+                    THEN round((h_fp::DOUBLE / 1e9) / ln(n_terms::DOUBLE), 6)
+               END AS norm_entropy,
+               round(n_terms::DOUBLE / n_tokens::DOUBLE, 6)
+                   AS type_token_ratio
+        FROM per_src ORDER BY source
+    """

@@ -296,3 +296,26 @@ def test_zipf_audit_perfect_power_law(spark, sf_dir, monkeypatch):
     assert row["topk_mass"] == 1.0
     assert row["zipf_slope"] == -1.0
     assert row["zipf_r2"] == 1.0
+
+
+def test_source_entropy_uniform_and_degenerate(spark, monkeypatch):
+    """Uniform 4-token source: H = ln(4), norm_entropy 1.  Single-token
+    source: H = 0 and norm_entropy is NULL (ln(1) division)."""
+    import math
+    from pyspark.sql import Row
+    from marketstream_etl_spark.plans import training_data as td
+
+    docs_frame = spark.createDataFrame([
+        Row(doc_id=0, text="a b c d", source="uniform"),
+        Row(doc_id=1, text="x x x x", source="degenerate"),
+    ])
+    monkeypatch.setattr(td, "load_table", lambda sp, sf, name: docs_frame)
+    rows = {r["source"]: r for r in td.q_source_entropy(spark, "x").collect()}
+    u = rows["uniform"]
+    assert u["n_tokens"] == 4 and u["n_terms"] == 4
+    assert u["entropy"] == round(math.log(4), 6)
+    assert u["norm_entropy"] == 1.0
+    assert u["type_token_ratio"] == 1.0
+    d = rows["degenerate"]
+    assert d["entropy"] == 0.0 and d["n_terms"] == 1
+    assert d["norm_entropy"] is None  # H/ln(1) -> 0/0, surfaced as NULL
