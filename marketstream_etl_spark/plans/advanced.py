@@ -1454,3 +1454,133 @@ def attribution_touch_sql() -> str:
         FROM conv GROUP BY 2
         ORDER BY model, touch_type
     """
+
+
+# --- PSI drift -----------------------------------------------------------------
+# Population Stability Index between two segments' value distributions:
+# PSI = Σ_buckets (p_a − p_b)·ln(p_a / p_b).  The model-monitoring
+# companion to token_drift's chi-square — PSI < 0.1 is conventionally
+# "stable", 0.1-0.25 "shifting", > 0.25 "drifted".
+#
+# Determinism: equi-width buckets on data-independent constants (50-wide,
+# top bucket open, mirroring price_histogram); shares are clamped at 1e-4
+# (the standard zero-bucket guard) with IDENTICAL double literals; each
+# bucket's contribution is fixed-pointed before the BIGINT sum.
+
+PSI_BUCKET_WIDTH = 50.0
+PSI_N_BUCKETS = 10  # buckets 0..9, top open-ended
+PSI_CLAMP = 1e-4
+PSI_BANDS_FP = ((100_000, "stable"), (250_000, "shifting"))  # 1e-6 units
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the `value` distribution: click events (reference segment)
+    vs purchase events (comparison segment), per equi-width bucket, plus
+    the total PSI and its conventional band.
+
+    Scale: one map-side bucket projection, one (segment, bucket) hash
+    aggregate, a 2-row totals broadcast, and a 10-row spine join — the
+    fact table is scanned ONCE and never windowed."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(PSI_BUCKET_WIDTH)),
+        F.lit(PSI_N_BUCKETS - 1),
+    ).cast("int")
+    seg = ev.groupBy(
+        F.col("event_type").alias("segment"), bucket.alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    totals = seg.groupBy("segment").agg(F.sum("n").alias("n_seg"))
+    spine = spark.range(PSI_N_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    share = (
+        F.coalesce(F.col("n"), F.lit(0)).cast("double")
+        / F.col("n_seg").cast("double")
+    )
+    clamped = F.greatest(share, F.lit(PSI_CLAMP))
+
+    def _side(name: str, alias: str) -> DataFrame:
+        part = seg.filter(F.col("segment") == name).drop("segment")
+        tot = totals.filter(F.col("segment") == name).drop("segment")
+        return spine.join(part, "bucket", "left").join(
+            F.broadcast(tot)
+        ).select("bucket", clamped.alias(alias))
+
+    both = _side("click", "p_a").join(_side("purchase", "p_b"), "bucket")
+    contrib = (F.col("p_a") - F.col("p_b")) * F.log(
+        F.col("p_a") / F.col("p_b")
+    )
+    fixed = both.select(
+        "bucket",
+        F.round("p_a", 6).alias("share_click"),
+        F.round("p_b", 6).alias("share_purchase"),
+        F.floor(contrib * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "psi_fp"
+        ),
+    )
+    total = fixed.agg(F.sum("psi_fp").alias("psi_total_fp"))
+    band = F.when(
+        F.col("psi_total_fp") < PSI_BANDS_FP[0][0], PSI_BANDS_FP[0][1]
+    ).when(
+        F.col("psi_total_fp") < PSI_BANDS_FP[1][0], PSI_BANDS_FP[1][1]
+    ).otherwise("drifted")
+    return (
+        fixed.join(F.broadcast(total))
+        .select(
+            "bucket",
+            "share_click",
+            "share_purchase",
+            (F.col("psi_fp").cast("double") / F.lit(1e6)).alias("psi_part"),
+            (F.col("psi_total_fp").cast("double") / F.lit(1e6)).alias(
+                "psi_total"
+            ),
+            band.alias("band"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def psi_drift_sql() -> str:
+    """DuckDB replay: identical buckets, clamps, fixed-point contributions
+    and banding."""
+    bands = (
+        f"WHEN psi_total_fp < {PSI_BANDS_FP[0][0]} THEN '{PSI_BANDS_FP[0][1]}' "
+        f"WHEN psi_total_fp < {PSI_BANDS_FP[1][0]} THEN '{PSI_BANDS_FP[1][1]}' "
+    )
+    side = """
+        SELECT s.bucket,
+               greatest(coalesce(n, 0)::DOUBLE / n_seg::DOUBLE,
+                        CAST({clamp} AS DOUBLE)) AS {alias}
+        FROM (SELECT unnest(range(0, {nb}))::INTEGER AS bucket) s
+        LEFT JOIN (
+            SELECT CAST(least(floor(value / CAST({w} AS DOUBLE)), {top})
+                        AS INTEGER) AS bucket, count(*) AS n
+            FROM events WHERE event_type = '{seg}' GROUP BY 1
+        ) c USING (bucket)
+        CROSS JOIN (
+            SELECT count(*) AS n_seg FROM events WHERE event_type = '{seg}'
+        ) t
+    """
+    a = side.format(clamp=PSI_CLAMP, alias="p_a", nb=PSI_N_BUCKETS,
+                    w=PSI_BUCKET_WIDTH, top=PSI_N_BUCKETS - 1, seg="click")
+    b = side.format(clamp=PSI_CLAMP, alias="p_b", nb=PSI_N_BUCKETS,
+                    w=PSI_BUCKET_WIDTH, top=PSI_N_BUCKETS - 1, seg="purchase")
+    return f"""
+        WITH fixed AS (
+            SELECT a.bucket,
+                   round(p_a, 6) AS share_click,
+                   round(p_b, 6) AS share_purchase,
+                   CAST(floor((p_a - p_b) * ln(p_a / p_b) * 1e6
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS psi_fp
+            FROM ({a}) a JOIN ({b}) b USING (bucket)
+        ),
+        tot AS (SELECT sum(psi_fp) AS psi_total_fp FROM fixed)
+        SELECT bucket, share_click, share_purchase,
+               psi_fp::DOUBLE / 1e6 AS psi_part,
+               psi_total_fp::DOUBLE / 1e6 AS psi_total,
+               CASE {bands} ELSE 'drifted' END AS band
+        FROM fixed CROSS JOIN tot
+        ORDER BY bucket
+    """

@@ -228,3 +228,43 @@ def test_attribution_first_vs_last_touch(spark, sf_dir):
     assert out[("last", "view")] == (1, 10.0)
     assert out[("last", "signup")] == (1, 5.0)
     assert out[("last", "none")] == (1, 7.0)
+
+
+# --- PSI drift -------------------------------------------------------------------
+
+def test_psi_identical_distributions_is_zero(spark, monkeypatch):
+    """Same bucket shape in both segments -> every contribution 0,
+    band 'stable'."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows = []
+    eid = 0
+    for seg in ("click", "purchase"):
+        for v, n in ((10.0, 4), (60.0, 2), (120.0, 2)):
+            for _ in range(n):
+                rows.append((eid, 1, 1000 + eid, seg, v, "{}"))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_psi_drift(spark, "x").collect()
+    assert len(out) == adv.PSI_N_BUCKETS
+    assert all(r["psi_total"] == 0.0 and r["band"] == "stable" for r in out)
+    assert all(r["psi_part"] == 0.0 for r in out)
+
+
+def test_psi_disjoint_distributions_drifted(spark, monkeypatch):
+    """Mass fully moved to a different bucket -> clamped log-ratio blows
+    past 0.25 and the band reads 'drifted'."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows = [(i, 1, 1000 + i, "click", 10.0, "{}") for i in range(10)]
+    rows += [(100 + i, 1, 2000 + i, "purchase", 210.0, "{}") for i in range(10)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_psi_drift(spark, "x").collect()
+    assert out[0]["band"] == "drifted"
+    assert out[0]["psi_total"] > 0.25
