@@ -1584,3 +1584,92 @@ def psi_drift_sql() -> str:
         FROM fixed CROSS JOIN tot
         ORDER BY bucket
     """
+
+
+def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types within user
+    sessions (30-min gap, the q_sessionization convention): for every
+    (from_type → to_type) pair — including the terminal '<end>' state —
+    the transition count and row-normalized probability.  The sequence
+    statistic behind next-action models and funnel-shape monitoring.
+
+    Scale: ONE shuffle on user_id feeds both the session-id cumulative
+    sum and the lead() lookahead (same window spec, shared exchange);
+    transition counts are a bounded-key hash aggregate (|types|² + end
+    states), and the row totals ride a tiny broadcast join back on."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", _ts_us_ns())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > SESSION_GAP_NS), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    pairs = sess.select(
+        F.col("event_type").alias("from_type"),
+        F.coalesce(
+            F.lead("event_type").over(ws), F.lit("<end>")
+        ).alias("to_type"),
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("n_from").cast("double"), 6
+            ).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def session_transitions_sql() -> str:
+    """DuckDB replay: identical session ids, lead lookahead, and
+    row-normalized shares."""
+    return f"""
+        WITH ev AS (
+            SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type
+            FROM events
+        ),
+        flagged AS (
+            SELECT *, CASE WHEN lag(ts_ns) OVER w IS NULL
+                             OR ts_ns - lag(ts_ns) OVER w > {SESSION_GAP_NS}
+                           THEN 1 ELSE 0 END AS new_sess
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+        ),
+        sess AS (
+            SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+                ORDER BY ts_ns, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+            FROM flagged
+        ),
+        pairs AS (
+            SELECT event_type AS from_type,
+                   coalesce(lead(event_type) OVER (
+                       PARTITION BY user_id, session_id
+                       ORDER BY ts_ns, event_id), '<end>') AS to_type
+            FROM sess
+        ),
+        counts AS (
+            SELECT from_type, to_type, count(*) AS n
+            FROM pairs GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type), 6)
+                   AS prob
+        FROM counts
+        ORDER BY from_type, to_type
+    """

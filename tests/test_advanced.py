@@ -268,3 +268,32 @@ def test_psi_disjoint_distributions_drifted(spark, monkeypatch):
     out = adv.q_psi_drift(spark, "x").collect()
     assert out[0]["band"] == "drifted"
     assert out[0]["psi_total"] > 0.25
+
+
+# --- session transitions ---------------------------------------------------------
+
+def test_session_transitions_hand_computed(spark, monkeypatch):
+    """One user, two sessions (gap > 30 min): click->view->purchase then
+    click-><end>; probabilities row-normalize per from-state."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    m = 60_000_000_000  # one minute in ns
+    rows = [
+        (1, 1, 0 * m, "click", 0.0, "{}"),
+        (2, 1, 1 * m, "view", 0.0, "{}"),
+        (3, 1, 2 * m, "purchase", 0.0, "{}"),
+        (4, 1, 90 * m, "click", 0.0, "{}"),  # new session (88-min gap)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in adv.q_session_transitions(spark, "x").collect()
+    }
+    assert got[("click", "view")] == (1, 0.5)
+    assert got[("click", "<end>")] == (1, 0.5)
+    assert got[("view", "purchase")] == (1, 1.0)
+    assert got[("purchase", "<end>")] == (1, 1.0)
+    assert len(got) == 4
