@@ -1673,3 +1673,49 @@ def session_transitions_sql() -> str:
         FROM counts
         ORDER BY from_type, to_type
     """
+
+
+HOUR_NS = 3_600_000_000_000
+
+
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sliding-window COUNT(DISTINCT): for every event, how many
+    distinct users touched its event_type in the trailing hour — the
+    live-audience gauge dashboards poll, and the one rolling aggregate
+    partial sums cannot express (distinct is not decomposable, so it is
+    a value-bounded RANGE frame over a set state).
+
+    Scale: one shuffle on event_type; per-row state is the distinct-user
+    SET of a 1-hour frame (bounded by hourly active users per type, not
+    corpus size).  At much larger per-window cardinalities the HLL-sketch
+    family (hll_cardinality / streaming_hll) is the documented fallback —
+    this op is the exact twin the sketch is audited against."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", _ts_us_ns())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts")
+        .rangeBetween(-HOUR_NS, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.size(F.collect_set("user_id").over(w)).alias("hourly_users"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def rolling_distinct_users_sql() -> str:
+    """DuckDB replay: native DISTINCT window aggregate over the identical
+    closed RANGE frame."""
+    return f"""
+        SELECT event_id, event_type, epoch_ns(ts) AS ts,
+               CAST(count(DISTINCT user_id) OVER (
+                   PARTITION BY event_type ORDER BY epoch_ns(ts)
+                   RANGE BETWEEN {HOUR_NS} PRECEDING AND CURRENT ROW)
+               AS INTEGER) AS hourly_users
+        FROM events
+        ORDER BY event_id
+    """

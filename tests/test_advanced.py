@@ -297,3 +297,28 @@ def test_session_transitions_hand_computed(spark, monkeypatch):
     assert got[("view", "purchase")] == (1, 1.0)
     assert got[("purchase", "<end>")] == (1, 1.0)
     assert len(got) == 4
+
+
+# --- rolling distinct -----------------------------------------------------------
+
+def test_rolling_distinct_users_range_frame(spark, monkeypatch):
+    """Events at 0, 30m, 61m for users 1,2,1: the third row's trailing
+    hour holds only the 30m event (user 2) and itself (user 1) -> 2;
+    a boundary event exactly 1h later than the first INCLUDES it
+    (closed frame)."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    m = 60_000_000_000
+    rows = [
+        (1, 1, 0 * m, "click", 0.0, "{}"),
+        (2, 2, 30 * m, "click", 0.0, "{}"),
+        (3, 1, 61 * m, "click", 0.0, "{}"),
+        (4, 3, 60 * m, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    got = {r["event_id"]: r["hourly_users"]
+           for r in adv.q_rolling_distinct_users(spark, "x").collect()}
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
