@@ -1719,3 +1719,72 @@ def rolling_distinct_users_sql() -> str:
         FROM events
         ORDER BY event_id
     """
+
+
+def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time out-of-orderness profile per event_type — the
+    measurement that CALIBRATES every watermark in streaming/: for each
+    event, lateness = running max event-time over arrival order
+    (event_id) minus its own event-time; the audit reports the late
+    fraction and the max / mean / p95 lateness in milliseconds.  A
+    `withWatermark(delay)` drops exactly the rows whose lateness exceeds
+    delay, so this table IS the delay-vs-loss curve's raw input.
+
+    Scale: one shuffle on event_type; the running max is a rows-frame
+    window on the same exchange; lateness stays integer ns end-to-end
+    (p95 uses the exact interpolated percentile both engines define
+    identically on integers)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", _ts_us_ns())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.select(
+        "event_type",
+        (F.max("ts").over(w) - F.col("ts")).alias("late_ns"),
+    )
+    ms = 1_000_000.0
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("late_ns") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late"),
+            F.round(
+                F.max("late_ns").cast("double") / F.lit(ms), 6
+            ).alias("max_late_ms"),
+            F.round(
+                F.avg(F.col("late_ns").cast("double")) / F.lit(ms), 6
+            ).alias("avg_late_ms"),
+            F.round(
+                F.percentile(F.col("late_ns"), 0.95) / F.lit(ms), 6
+            ).alias("p95_late_ms"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def lateness_audit_sql() -> str:
+    """DuckDB replay: identical running max over arrival order, integer
+    lateness, quantile_cont p95."""
+    return """
+        WITH late AS (
+            SELECT event_type,
+                   max(epoch_ns(ts)) OVER (PARTITION BY event_type
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - epoch_ns(ts) AS late_ns
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(CASE WHEN late_ns > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_late,
+               round(max(late_ns)::DOUBLE / 1000000.0, 6) AS max_late_ms,
+               round(avg(late_ns::DOUBLE) / 1000000.0, 6) AS avg_late_ms,
+               round(quantile_cont(late_ns, 0.95) / 1000000.0, 6)
+                   AS p95_late_ms
+        FROM late GROUP BY event_type ORDER BY event_type
+    """

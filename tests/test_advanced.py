@@ -322,3 +322,26 @@ def test_rolling_distinct_users_range_frame(spark, monkeypatch):
     got = {r["event_id"]: r["hourly_users"]
            for r in adv.q_rolling_distinct_users(spark, "x").collect()}
     assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+# --- lateness audit ----------------------------------------------------------------
+
+def test_lateness_audit_running_max_semantics(spark, monkeypatch):
+    """Arrival order 1,2,3 with event-times 10m,5m,20m: event 2 is 5min
+    late vs the running max, events 1 and 3 are on time."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    m = 60_000_000_000
+    rows = [
+        (1, 1, 10 * m, "click", 0.0, "{}"),
+        (2, 1, 5 * m, "click", 0.0, "{}"),
+        (3, 1, 20 * m, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    r = adv.q_lateness_audit(spark, "x").collect()[0]
+    assert (r["n_events"], r["n_late"]) == (3, 1)
+    assert r["max_late_ms"] == 5 * 60 * 1000.0
+    assert r["avg_late_ms"] == round(5 * 60 * 1000.0 / 3, 6)
