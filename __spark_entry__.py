@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_transitions": advanced.q_session_transitions,
         "rolling_distinct_users": advanced.q_rolling_distinct_users,
         "lateness_audit": advanced.q_lateness_audit,
+        "padding_efficiency": training_data.q_padding_efficiency,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1709,6 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         "session_transitions": advanced.session_transitions_sql(),
         "rolling_distinct_users": advanced.rolling_distinct_users_sql(),
         "lateness_audit": advanced.lateness_audit_sql(),
+        "padding_efficiency": training_data.padding_efficiency_sql(),
         "attribution_touch": advanced.attribution_touch_sql(),
         "containment_pairs": _dedup.CONTAINMENT_PAIRS_SQL,
         # batch equivalence of the watermarked left-outer interval join:

@@ -2088,3 +2088,85 @@ def source_entropy_sql() -> str:
                    AS type_token_ratio
         FROM per_src ORDER BY source
     """
+
+
+PAD_BUCKETS = (128, 256, 512, 1024)
+
+
+def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: assign each document to the
+    smallest power-of-two context bucket that holds its token count
+    (docs over the top bucket are truncated to it) and report per bucket
+    the doc count, real tokens, padded slots, pad waste, truncated
+    tokens, and packing efficiency — the numbers that decide bucket
+    boundaries before large-scale batch assembly (sequence_packing's
+    planning twin).
+
+    Scale: token counts are a map-side size(split) inside the scan; the
+    report is one bounded-key hash aggregate."""
+    from marketstream_etl_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    bucket = F.when(F.lit(False), F.lit(0))
+    for b in PAD_BUCKETS:
+        bucket = bucket.when(n_tok <= b, F.lit(b))
+    bucket = bucket.otherwise(F.lit(PAD_BUCKETS[-1]))
+    kept = F.least(n_tok, F.lit(PAD_BUCKETS[-1]))
+    per = (
+        docs.select(
+            bucket.alias("bucket"),
+            n_tok.alias("n_tok"),
+            kept.alias("kept"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept").alias("real_tokens"),
+            F.sum(F.col("n_tok") - F.col("kept")).alias("truncated_tokens"),
+        )
+    )
+    slots = F.col("bucket").cast("long") * F.col("n_docs")
+    return per.select(
+        "bucket",
+        "n_docs",
+        "real_tokens",
+        "truncated_tokens",
+        slots.alias("padded_slots"),
+        (slots - F.col("real_tokens")).alias("pad_waste"),
+        F.round(
+            F.col("real_tokens").cast("double") / slots.cast("double"), 6
+        ).alias("efficiency"),
+    ).orderBy("bucket")
+
+
+def padding_efficiency_sql() -> str:
+    """DuckDB replay: identical bucket CASE chain and integer accounting."""
+    from marketstream_etl_spark.functions.hashing import tokens_sql
+
+    cases = " ".join(
+        f"WHEN n_tok <= {b} THEN {b}" for b in PAD_BUCKETS
+    )
+    return f"""
+        WITH counted AS (
+            SELECT len({tokens_sql("text")}) AS n_tok FROM documents
+        ),
+        assigned AS (
+            SELECT CASE {cases} ELSE {PAD_BUCKETS[-1]} END AS bucket,
+                   n_tok,
+                   least(n_tok, {PAD_BUCKETS[-1]}) AS kept
+            FROM counted
+        ),
+        per AS (
+            SELECT bucket, count(*) AS n_docs,
+                   CAST(sum(kept) AS BIGINT) AS real_tokens,
+                   CAST(sum(n_tok - kept) AS BIGINT) AS truncated_tokens
+            FROM assigned GROUP BY bucket
+        )
+        SELECT bucket, n_docs, real_tokens, truncated_tokens,
+               bucket * n_docs AS padded_slots,
+               bucket * n_docs - real_tokens AS pad_waste,
+               round(real_tokens::DOUBLE / (bucket * n_docs)::DOUBLE, 6)
+                   AS efficiency
+        FROM per ORDER BY bucket
+    """

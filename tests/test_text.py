@@ -319,3 +319,25 @@ def test_source_entropy_uniform_and_degenerate(spark, monkeypatch):
     d = rows["degenerate"]
     assert d["entropy"] == 0.0 and d["n_terms"] == 1
     assert d["norm_entropy"] is None  # H/ln(1) -> 0/0, surfaced as NULL
+
+
+def test_padding_efficiency_buckets_and_truncation(spark, monkeypatch):
+    """Docs of 100 / 200 / 2000 tokens: buckets 128, 256, and the top
+    bucket with 976 truncated tokens; integer accounting must balance."""
+    from pyspark.sql import Row
+    from marketstream_etl_spark.plans import training_data as td
+
+    def doc(i, n):
+        return Row(doc_id=i, text=" ".join(["tok"] * n))
+
+    docs_frame = spark.createDataFrame([doc(0, 100), doc(1, 200), doc(2, 2000)])
+    monkeypatch.setattr(td, "load_table", lambda sp, sf, name: docs_frame)
+    rows = {r["bucket"]: r for r in td.q_padding_efficiency(spark, "x").collect()}
+    assert set(rows) == {128, 256, 1024}
+    assert rows[128]["n_docs"] == 1 and rows[128]["pad_waste"] == 28
+    assert rows[256]["real_tokens"] == 200 and rows[256]["pad_waste"] == 56
+    top = rows[1024]
+    assert top["truncated_tokens"] == 2000 - 1024
+    assert top["real_tokens"] == 1024 and top["pad_waste"] == 0
+    assert top["efficiency"] == 1.0
+    assert rows[128]["efficiency"] == round(100 / 128, 6)
