@@ -269,6 +269,15 @@ def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_join(spark, sf_dir)
 
 
+def _stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor: complete-mode (segment, bucket)
+    histogram (bounded 2×10 state) drained into the shared fixed-point
+    PSI core — bit-identical to the batch psi_drift on bounded replay."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_psi
+
+    return file_stream_psi(spark, sf_dir)
+
+
 def _stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER watermarked interval join: unmatched buys flush with NULL
     sell columns once a later batch's watermark passes their horizon (a
@@ -451,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": advanced.q_rolling_distinct_users,
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
+        "streaming_psi": _stream_psi,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1711,6 +1721,9 @@ def oracle_sql() -> dict[str, str]:
         "rolling_distinct_users": advanced.rolling_distinct_users_sql(),
         "lateness_audit": advanced.lateness_audit_sql(),
         "padding_efficiency": training_data.padding_efficiency_sql(),
+        # the streaming twin's final complete-mode state equals the batch
+        # (segment, bucket) histogram, so it shares psi_drift's oracle
+        "streaming_psi": advanced.psi_drift_sql(),
         "attribution_touch": advanced.attribution_touch_sql(),
         "containment_pairs": _dedup.CONTAINMENT_PAIRS_SQL,
         # batch equivalence of the watermarked left-outer interval join:

@@ -1473,24 +1473,18 @@ PSI_CLAMP = 1e-4
 PSI_BANDS_FP = ((100_000, "stable"), (250_000, "shifting"))  # 1e-6 units
 
 
-def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI of the `value` distribution: click events (reference segment)
-    vs purchase events (comparison segment), per equi-width bucket, plus
-    the total PSI and its conventional band.
-
-    Scale: one map-side bucket projection, one (segment, bucket) hash
-    aggregate, a 2-row totals broadcast, and a 10-row spine join — the
-    fact table is scanned ONCE and never windowed."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    bucket = F.least(
+def psi_bucket_col() -> F.Column:
+    """The shared equi-width bucket projection (batch + streaming)."""
+    return F.least(
         F.floor(F.col("value") / F.lit(PSI_BUCKET_WIDTH)),
         F.lit(PSI_N_BUCKETS - 1),
     ).cast("int")
-    seg = ev.groupBy(
-        F.col("event_type").alias("segment"), bucket.alias("bucket")
-    ).agg(F.count("*").alias("n"))
+
+
+def psi_from_counts(spark: SparkSession, seg: DataFrame) -> DataFrame:
+    """PSI report from a (segment, bucket, n) counts frame — the shared
+    core of the batch query and the streaming twin (whose final complete-
+    mode state is exactly such a counts frame)."""
     totals = seg.groupBy("segment").agg(F.sum("n").alias("n_seg"))
     spine = spark.range(PSI_N_BUCKETS).select(
         F.col("id").cast("int").alias("bucket")
@@ -1540,6 +1534,24 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the `value` distribution: click events (reference segment)
+    vs purchase events (comparison segment), per equi-width bucket, plus
+    the total PSI and its conventional band.
+
+    Scale: one map-side bucket projection, one (segment, bucket) hash
+    aggregate, a 2-row totals broadcast, and a 10-row spine join — the
+    fact table is scanned ONCE and never windowed."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    seg = ev.groupBy(
+        F.col("event_type").alias("segment"),
+        psi_bucket_col().alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+    return psi_from_counts(spark, seg)
 
 
 def psi_drift_sql() -> str:

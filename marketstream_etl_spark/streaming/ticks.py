@@ -822,3 +822,40 @@ def file_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def file_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor: the (segment, bucket) histogram runs
+    as a real complete-mode streaming aggregation (bounded state —
+    2 segments × 10 buckets), and the PSI report is computed from the
+    drained final state through the SAME fixed-point core as the batch
+    query (plans/advanced.psi_from_counts), so on bounded replay the
+    streamed statistic is bit-identical to the batch one.
+
+    This is the serve-into-stream shape a production drift monitor uses:
+    per-batch the sink holds current bucket occupancy; the PSI math reads
+    the sink, not the stream."""
+    from marketstream_etl_spark.plans.advanced import (
+        psi_bucket_col,
+        psi_from_counts,
+    )
+
+    events = stream_events(spark, sf_dir)
+    seg_stream = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.col("event_type").alias("segment"),
+            psi_bucket_col().alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"stream_psi_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        seg_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return psi_from_counts(spark, spark.table(name))

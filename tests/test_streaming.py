@@ -329,3 +329,14 @@ def test_file_stream_join_outer_equals_batch_left_join(spark, sf_dir):
     }
     assert streamed == batch and len(streamed) > 0
     assert sum(v[1] for v in streamed.values()) > 0  # outer rows exercised
+
+
+def test_file_stream_psi_equals_batch(spark, sf_dir):
+    """Streaming complete-mode histogram + shared PSI core must be
+    bit-identical to the batch psi_drift on bounded replay."""
+    from marketstream_etl_spark.plans.advanced import q_psi_drift
+    from marketstream_etl_spark.streaming.ticks import file_stream_psi
+
+    streamed = [tuple(r) for r in file_stream_psi(spark, sf_dir).collect()]
+    batch = [tuple(r) for r in q_psi_drift(spark, sf_dir).collect()]
+    assert streamed == batch and len(streamed) == 10
