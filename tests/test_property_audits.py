@@ -1,0 +1,102 @@
+"""Property-style invariants for the late-r6 statistical audit ops:
+Gini bounds and extremes, entropy bounds, PSI non-negativity/symmetry
+of contribution structure, containment vs Jaccard dominance, transition
+row-stochasticity — constructed inputs, exact assertions."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _skew_one(spark, keys):
+    from marketstream_etl_spark.plans.advanced import _skew_profile_one
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    return _skew_profile_one(df, "t", "k").collect()[0]
+
+
+def test_gini_bounds_and_monotonicity(spark):
+    """0 for uniform; grows with concentration; < 1 always; max_cnt/avg
+    ratio consistent."""
+    uniform = _skew_one(spark, list("abcd") * 3)
+    assert uniform["gini"] == 0.0
+    mild = _skew_one(spark, list("aab") + list("cd"))
+    heavy = _skew_one(spark, list("aaaaaaaab") + list("cd"))
+    assert 0.0 <= mild["gini"] < heavy["gini"] < 1.0
+    assert heavy["skew_ratio"] > mild["skew_ratio"] > 1.0
+
+
+def test_entropy_never_exceeds_log_vocab(spark, monkeypatch):
+    from math import log
+
+    from marketstream_etl_spark.plans import training_data as td
+
+    docs_frame = spark.createDataFrame([
+        Row(doc_id=0, text="a a a b c", source="s1"),
+        Row(doc_id=1, text="x y z x y z q q q q", source="s2"),
+    ])
+    monkeypatch.setattr(td, "load_table", lambda sp, sf, name: docs_frame)
+    for r in td.q_source_entropy(spark, "x").collect():
+        assert 0.0 <= r["entropy"] <= round(log(r["n_terms"]), 6) + 1e-9
+        assert r["norm_entropy"] is None or 0.0 <= r["norm_entropy"] <= 1.0
+
+
+def test_psi_contributions_are_nonnegative(spark, monkeypatch):
+    """Each (p_a-p_b)·ln(p_a/p_b) term is >= 0 (same sign factors), so
+    psi_part >= 0 and the total equals the part sum."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows, eid = [], 0
+    for seg, vals in (("click", [10.0] * 6 + [60.0] * 4),
+                      ("purchase", [10.0] * 2 + [60.0] * 8)):
+        for v in vals:
+            rows.append((eid, 1, 1000 + eid, seg, v, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_psi_drift(spark, "x").collect()
+    assert all(r["psi_part"] >= 0.0 for r in out)
+    total = out[0]["psi_total"]
+    assert abs(total - sum(r["psi_part"] for r in out)) < 1e-9
+
+
+def test_containment_dominates_jaccard(spark):
+    """For every emitted pair, containment >= the pair's Jaccard would
+    be (inter/min >= inter/union); and containment <= 1."""
+    from marketstream_etl_spark.operators.dedup import containment_pairs
+
+    texts = [
+        "alpha bravo charlie delta echo foxtrot golf hotel",
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo",
+        "alpha bravo charlie xray yankee zulu whiskey victor",
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    for r in containment_pairs(docs).collect():
+        assert 0.7 <= r["containment"] <= 1.0
+
+
+def test_transition_rows_sum_to_one(spark, monkeypatch):
+    from collections import defaultdict
+
+    from marketstream_etl_spark.plans import advanced as adv
+
+    m = 60_000_000_000
+    rows = []
+    seq = ["click", "view", "click", "purchase", "view", "view", "click"]
+    for i, t in enumerate(seq):
+        rows.append((i, 1, i * m, t, 0.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    sums = defaultdict(float)
+    for r in adv.q_session_transitions(spark, "x").collect():
+        sums[r["from_type"]] += r["prob"]
+    for s in sums.values():
+        # probs are rounded to 6 dp before summing: three 1/3 rows sum
+        # to 0.999999, so the bound is per-row rounding error
+        assert abs(s - 1.0) <= 5e-6
