@@ -1128,6 +1128,9 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         spine.join(counts, "digit", "left")
         .select("digit", F.coalesce("n_obs", F.lit(0)).alias("n_obs"))
+        # 9 rows feeding three consumers (total, chi parts, final join) —
+        # checkpoint so the orders scan runs once, not per consumer
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("n_obs").alias("n_total"))
     p = F.element_at(
@@ -1253,7 +1256,13 @@ def _skew_profile_one(df: DataFrame, table: str, col: str) -> DataFrame:
     counts = df.groupBy(F.col(col).alias("k")).agg(
         F.count("*").alias("cnt")
     )
-    hist = counts.groupBy("cnt").agg(F.count("*").alias("m"))
+    # bounded frame (distinct multiplicities), self-joined below —
+    # checkpoint so the per-key count aggregation runs once per key column
+    hist = (
+        counts.groupBy("cnt")
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint(eager=False)
+    )
     # prior = keys with a strictly smaller multiplicity.  The histogram is
     # bounded (distinct multiplicity values), so a broadcast non-equi
     # self-join beats a no-partition global window — no single-reducer
@@ -1406,21 +1415,36 @@ def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_touch"
         ),
     ).filter(F.col("event_type") == "purchase")
-    first = marked.groupBy(
-        F.lit("first").alias("model"),
-        F.coalesce("first_touch", F.lit("none")).alias("touch_type"),
+    # both models fan out of ONE pass over the conversions (a 2-way
+    # explode), so the windowed event scan is never repeated
+    fanned = marked.select(
+        "value",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("first").alias("model"),
+                    F.coalesce("first_touch", F.lit("none")).alias(
+                        "touch_type"
+                    ),
+                ),
+                F.struct(
+                    F.lit("last").alias("model"),
+                    F.coalesce("last_touch", F.lit("none")).alias(
+                        "touch_type"
+                    ),
+                ),
+            )
+        ).alias("mt"),
     )
-    last = marked.groupBy(
-        F.lit("last").alias("model"),
-        F.coalesce("last_touch", F.lit("none")).alias("touch_type"),
-    )
-    aggs = [
-        F.count("*").alias("conversions"),
-        F.round(F.sum("value"), 6).alias("value_sum"),
-    ]
     return (
-        first.agg(*aggs)
-        .unionByName(last.agg(*aggs))
+        fanned.groupBy(
+            F.col("mt.model").alias("model"),
+            F.col("mt.touch_type").alias("touch_type"),
+        )
+        .agg(
+            F.count("*").alias("conversions"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
         .orderBy("model", "touch_type")
     )
 
@@ -1485,6 +1509,9 @@ def psi_from_counts(spark: SparkSession, seg: DataFrame) -> DataFrame:
     """PSI report from a (segment, bucket, n) counts frame — the shared
     core of the batch query and the streaming twin (whose final complete-
     mode state is exactly such a counts frame)."""
+    # ≤ 2×10 rows feeding four consumers (two sides × counts/totals) —
+    # checkpoint so the fact-table histogram aggregation runs exactly once
+    seg = seg.localCheckpoint(eager=False)
     totals = seg.groupBy("segment").agg(F.sum("n").alias("n_seg"))
     spine = spark.range(PSI_N_BUCKETS).select(
         F.col("id").cast("int").alias("bucket")
@@ -1628,8 +1655,12 @@ def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("event_type").over(ws), F.lit("<end>")
         ).alias("to_type"),
     )
-    counts = pairs.groupBy("from_type", "to_type").agg(
-        F.count("*").alias("n")
+    # bounded at |types|² + end states, feeding both the totals agg and
+    # the final join — checkpoint so the windowed scan runs once
+    counts = (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     totals = counts.groupBy("from_type").agg(F.sum("n").alias("n_from"))
     return (

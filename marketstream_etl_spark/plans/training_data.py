@@ -1923,10 +1923,13 @@ def q_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.functions.hashing import tokens
 
     docs = load_table(spark, sf_dir, "documents")
+    # vocab-bounded frame feeding the total agg AND the top-K select —
+    # checkpoint so the corpus explode+aggregate runs once
     counts = (
         docs.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     total = counts.agg(F.sum("cnt").alias("n_tokens"))
     top = counts.orderBy(F.desc("cnt"), "token").limit(ZIPF_TOP_K)
