@@ -472,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
         "streaming_psi": _stream_psi,
+        "volume_bars": analytics.q_volume_bars,
+        "purged_kfold": analytics.q_purged_kfold,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1735,6 +1737,65 @@ def oracle_sql() -> dict[str, str]:
         # the streaming twin's final complete-mode state equals the batch
         # (segment, bucket) histogram, so it shares psi_drift's oracle
         "streaming_psi": advanced.psi_drift_sql(),
+        # volume bars: identical cumulative-volume bar ids and struct
+        # open/close (first/last by (ts, trade_id) within the bar)
+        "volume_bars": f"""
+            WITH trades AS ({TRADES_CTE}),
+            c AS (
+                SELECT symbol, price, volume, timestamp, trade_id,
+                       (sum(volume) OVER (PARTITION BY symbol
+                            ORDER BY timestamp, trade_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - volume) // {analytics.VOLUME_BAR_SIZE} AS bar
+                FROM trades
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY symbol, bar
+                           ORDER BY timestamp, trade_id) AS rn_a,
+                       row_number() OVER (PARTITION BY symbol, bar
+                           ORDER BY timestamp DESC, trade_id DESC) AS rn_d
+                FROM c
+            )
+            SELECT symbol, CAST(bar AS BIGINT) AS bar,
+                   round(max(CASE WHEN rn_a = 1 THEN price END), 4) AS open,
+                   round(max(price), 4) AS high,
+                   round(min(price), 4) AS low,
+                   round(max(CASE WHEN rn_d = 1 THEN price END), 4) AS close,
+                   CAST(sum(volume) AS BIGINT) AS bar_volume,
+                   count(*) AS n_trades
+            FROM r GROUP BY symbol, bar ORDER BY symbol, bar
+        """,
+        # purged k-fold: residue counts -> per-fold test/embargo/train
+        "purged_kfold": f"""
+            WITH trades AS ({TRADES_CTE}),
+            res AS (
+                SELECT (timestamp // {analytics.PURGE_BLOCK_NS})
+                           % {analytics.PURGE_K} AS r,
+                       count(*) AS n
+                FROM trades GROUP BY 1
+            ),
+            total AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM res),
+            folds AS (SELECT unnest(range({analytics.PURGE_K})) AS fold)
+            SELECT f.fold,
+                   CAST(coalesce(t.n, 0) AS BIGINT) AS n_test,
+                   CAST(coalesce(p.n, 0) + coalesce(q.n, 0) AS BIGINT)
+                       AS n_embargoed,
+                   CAST(tt.n_total - coalesce(t.n, 0) - coalesce(p.n, 0)
+                        - coalesce(q.n, 0) AS BIGINT) AS n_train,
+                   round((tt.n_total - coalesce(t.n, 0) - coalesce(p.n, 0)
+                          - coalesce(q.n, 0))::DOUBLE
+                         / tt.n_total::DOUBLE, 6) AS train_frac
+            FROM folds f
+            LEFT JOIN res t ON t.r = f.fold
+            LEFT JOIN res p
+              ON p.r = (f.fold + 1) % {analytics.PURGE_K}
+            LEFT JOIN res q
+              ON q.r = (f.fold - 1 + {analytics.PURGE_K})
+                       % {analytics.PURGE_K}
+            CROSS JOIN total tt
+            ORDER BY f.fold
+        """,
         "attribution_touch": advanced.attribution_touch_sql(),
         "containment_pairs": _dedup.CONTAINMENT_PAIRS_SQL,
         # batch equivalence of the watermarked left-outer interval join:

@@ -953,3 +953,111 @@ def q_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+# --- information-driven bars -------------------------------------------------
+
+VOLUME_BAR_SIZE = 10_000  # shares per bar (~10 bars/symbol at sf0.01)
+
+
+def q_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume bars: per symbol, a new bar every VOLUME_BAR_SIZE shares of
+    cumulative traded volume (López de Prado's information-driven
+    sampling — equal-information bars instead of equal-time bars, so
+    busy regimes get more bars and quiet ones fewer).
+
+    bar_id = (running volume BEFORE the trade) DIV bar size — integer
+    arithmetic end-to-end; open/close are struct min/max exactly like
+    q_ohlc_bars (no window sort in the aggregate).
+
+    Scale: ONE shuffle on symbol feeds the cumulative-volume window; the
+    (symbol, bar) hash aggregate reuses the same partitioning map-side."""
+    t = load_trades(spark, sf_dir, fan_out=True)
+    cum = t.withColumn(
+        "bar",
+        F.expr(
+            f"div(sum(volume) over (partition by symbol "
+            f"order by timestamp, trade_id "
+            f"rows between unbounded preceding and current row) - volume, "
+            f"{VOLUME_BAR_SIZE})"
+        ),
+    )
+    key = F.struct("timestamp", "trade_id", "price")
+    return (
+        cum.groupBy("symbol", "bar")
+        .agg(
+            F.round(F.min(key).getField("price"), 4).alias("open"),
+            F.round(F.max("price"), 4).alias("high"),
+            F.round(F.min("price"), 4).alias("low"),
+            F.round(F.max(key).getField("price"), 4).alias("close"),
+            F.sum("volume").alias("bar_volume"),
+            F.count("*").alias("n_trades"),
+        )
+        .orderBy("symbol", "bar")
+    )
+
+
+# --- purged k-fold with embargo ----------------------------------------------
+
+PURGE_K = 5
+PURGE_BLOCK_NS = 86_400_000_000_000  # 1-day blocks; the embargo unit
+
+
+def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged k-fold with embargo for time-series CV (López de Prado):
+    contiguous 1-day blocks are assigned round-robin to K folds; for each
+    test fold, training rows in the ±1 ADJACENT block residues are
+    EMBARGOED (dropped) so serially-correlated samples cannot leak across
+    the train/test boundary.  Output per fold: test / embargoed / train
+    row counts and the train fraction.
+
+    Scale: fold membership is pure modular arithmetic on the timestamp —
+    map-side, no shuffle; the report derives every fold's numbers from a
+    K-row residue-count frame (one tiny hash aggregate), so the fact
+    table is scanned exactly once."""
+    t = load_trades(spark, sf_dir, fan_out=True)
+    res = (
+        t.groupBy(
+            F.pmod(
+                F.expr(f"div(timestamp, {PURGE_BLOCK_NS})"), F.lit(PURGE_K)
+            ).alias("r")
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    spine = spark.range(PURGE_K).select(F.col("id").alias("fold"))
+
+    def _res_as(alias: str, col: str) -> DataFrame:
+        return res.select(F.col("r").alias(f"r_{alias}"),
+                          F.col("n").alias(col))
+
+    total = res.agg(F.sum("n").alias("n_total"))
+    out = (
+        spine.join(
+            _res_as("t", "n_test"), F.col("r_t") == F.col("fold"), "left"
+        )
+        .join(
+            _res_as("p", "n_prev"),
+            F.col("r_p") == F.pmod(F.col("fold") + 1, F.lit(PURGE_K)),
+            "left",
+        )
+        .join(
+            _res_as("q", "n_next"),
+            F.col("r_q")
+            == F.pmod(F.col("fold") - 1 + PURGE_K, F.lit(PURGE_K)),
+            "left",
+        )
+        .join(F.broadcast(total))
+    )
+    n_test = F.coalesce("n_test", F.lit(0))
+    n_emb = F.coalesce("n_prev", F.lit(0)) + F.coalesce("n_next", F.lit(0))
+    n_train = F.col("n_total") - n_test - n_emb
+    return out.select(
+        "fold",
+        n_test.alias("n_test"),
+        n_emb.alias("n_embargoed"),
+        n_train.alias("n_train"),
+        F.round(
+            n_train.cast("double") / F.col("n_total").cast("double"), 6
+        ).alias("train_frac"),
+    ).orderBy("fold")

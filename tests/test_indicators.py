@@ -201,3 +201,53 @@ def test_wilder_closed_form_matches_recursion(spark):
     # single-row symbols produce no change rows and are absent
     df1 = trades_df(spark, {"C": [(9.0, 1)]})
     assert by_symbol(compute_rsi_wilder(df1, period=14)) == {}
+
+
+# --- volume bars / purged k-fold ----------------------------------------------
+
+def test_volume_bars_equal_information_sampling(spark, monkeypatch):
+    """Volumes 6k,6k,6k with bar size 10k: cumulative-before values
+    0,6k,12k -> bars 0,0,1; the bar break follows VOLUME, not time."""
+    from marketstream_etl_spark.plans import analytics as an
+
+    rows = [
+        (1, 1, 1_000, "AAA", 10.0, 6000, "B", "M", False),
+        (2, 2, 2_000, "AAA", 20.0, 6000, "S", "M", False),
+        (3, 3, 3_000, "AAA", 30.0, 6000, "B", "M", False),
+    ]
+    t = spark.createDataFrame(rows, [
+        "trade_id", "order_id", "timestamp", "symbol", "price", "volume",
+        "side", "type", "is_pro",
+    ])
+    monkeypatch.setattr(an, "load_trades", lambda sp, sf, fan_out=False: t)
+    got = {(r["symbol"], r["bar"]): (r["open"], r["close"], r["bar_volume"],
+                                     r["n_trades"])
+           for r in an.q_volume_bars(spark, "x").collect()}
+    assert got[("AAA", 0)] == (10.0, 20.0, 12000, 2)
+    assert got[("AAA", 1)] == (30.0, 30.0, 6000, 1)
+
+
+def test_purged_kfold_embargo_accounting(spark, monkeypatch):
+    """Blocks 0..4 with 10 rows each, K=5: every fold tests 10 rows,
+    embargoes 20 (both neighbors), trains 20 -> train_frac 0.4; and
+    test+embargo+train == total for every fold."""
+    from marketstream_etl_spark.plans import analytics as an
+
+    day = an.PURGE_BLOCK_NS
+    rows = []
+    tid = 0
+    for b in range(5):
+        for i in range(10):
+            rows.append((tid, tid, b * day + i, "AAA", 1.0, 1, "B", "M",
+                         False))
+            tid += 1
+    t = spark.createDataFrame(rows, [
+        "trade_id", "order_id", "timestamp", "symbol", "price", "volume",
+        "side", "type", "is_pro",
+    ])
+    monkeypatch.setattr(an, "load_trades", lambda sp, sf, fan_out=False: t)
+    out = an.q_purged_kfold(spark, "x").collect()
+    assert len(out) == 5
+    for r in out:
+        assert (r["n_test"], r["n_embargoed"], r["n_train"]) == (10, 20, 20)
+        assert r["train_frac"] == 0.4
