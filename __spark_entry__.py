@@ -474,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_psi": _stream_psi,
         "volume_bars": analytics.q_volume_bars,
         "purged_kfold": analytics.q_purged_kfold,
+        "microstructure": analytics.q_microstructure,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -1765,6 +1766,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(volume) AS BIGINT) AS bar_volume,
                    count(*) AS n_trades
             FROM r GROUP BY symbol, bar ORDER BY symbol, bar
+        """,
+        # microstructure panel: identical lag windows, moment aggregates,
+        # and the covariance-sign no-estimate case
+        "microstructure": f"""
+            WITH trades AS ({TRADES_CTE}),
+            d0 AS (
+                SELECT symbol, timestamp, trade_id, price, volume,
+                       lag(price) OVER w AS p_prev,
+                       price - lag(price) OVER w AS dp,
+                       CAST(CASE WHEN side = 'B' THEN volume
+                                 ELSE -volume END AS DOUBLE) AS signed_vol
+                FROM trades
+                WINDOW w AS (PARTITION BY symbol ORDER BY timestamp, trade_id)
+            ),
+            d AS (
+                SELECT *, lag(dp) OVER (PARTITION BY symbol
+                    ORDER BY timestamp, trade_id) AS dp_prev
+                FROM d0
+            )
+            SELECT symbol, count(*) AS n_changes,
+                   round(CASE WHEN covar_samp(dp, dp_prev)
+                                   < CAST(0 AS DOUBLE)
+                              THEN CAST(2.0 AS DOUBLE)
+                                   * sqrt(-covar_samp(dp, dp_prev)) END, 6)
+                       AS roll_spread,
+                   round(regr_slope(dp, signed_vol) * 1e6, 6)
+                       AS kyle_lambda_x1e6,
+                   round(avg(abs(dp) / p_prev / volume::DOUBLE) * 1e6, 6)
+                       AS amihud_x1e6
+            FROM d
+            WHERE dp IS NOT NULL AND p_prev > 0 AND volume > 0
+            GROUP BY symbol ORDER BY symbol
         """,
         # purged k-fold: residue counts -> per-fold test/embargo/train
         "purged_kfold": f"""

@@ -1061,3 +1061,68 @@ def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_train.cast("double") / F.col("n_total").cast("double"), 6
         ).alias("train_frac"),
     ).orderBy("fold")
+
+
+# --- microstructure estimators -------------------------------------------------
+
+def q_microstructure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol market-microstructure estimator panel:
+
+    - Roll (1984) effective spread: 2·sqrt(−cov(Δp_t, Δp_{t−1})) from the
+      serial covariance of consecutive price changes (NULL when the
+      covariance is nonnegative — the model's no-estimate case);
+    - Kyle's lambda: price impact as regr_slope(Δp, signed volume), the
+      tick-rule sign taken from the trade side;
+    - Amihud illiquidity: avg(|Δp| / p_prev / volume), scaled 1e6.
+
+    One shuffle on symbol: the lag window produces Δp and the lagged Δp,
+    then every estimator folds in the SAME hash aggregate — three
+    estimators, one pass.  Doubles are rounded; the sqrt/cov/regr
+    moments are the shared IEEE expression tree both engines evaluate
+    identically (symbol_beta precedent)."""
+    from pyspark.sql import Window
+
+    t = load_trades(spark, sf_dir, fan_out=True)
+    w = Window.partitionBy("symbol").orderBy("timestamp", "trade_id")
+    d = (
+        t.select("symbol", "timestamp", "trade_id", "price", "volume", "side")
+        .withColumn("p_prev", F.lag("price").over(w))
+        .withColumn("dp", F.col("price") - F.col("p_prev"))
+        .withColumn("dp_prev", F.lag("dp").over(w))
+        .withColumn(
+            "signed_vol",
+            F.when(F.col("side") == "B", F.col("volume")).otherwise(
+                -F.col("volume")
+            ).cast("double"),
+        )
+        # parser-default 0.0 prices / volumes would hit ANSI division —
+        # the same nonpositive-close guard the statistics series uses
+        .filter(
+            F.col("dp").isNotNull()
+            & (F.col("p_prev") > 0)
+            & (F.col("volume") > 0)
+        )
+    )
+    cov = F.covar_samp("dp", "dp_prev")
+    return (
+        d.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_changes"),
+            F.round(
+                F.when(cov < 0, F.lit(2.0) * F.sqrt(-cov)), 6
+            ).alias("roll_spread"),
+            F.round(F.regr_slope("dp", "signed_vol") * F.lit(1e6), 6).alias(
+                "kyle_lambda_x1e6"
+            ),
+            F.round(
+                F.avg(
+                    F.abs(F.col("dp"))
+                    / F.col("p_prev")
+                    / F.col("volume").cast("double")
+                )
+                * F.lit(1e6),
+                6,
+            ).alias("amihud_x1e6"),
+        )
+        .orderBy("symbol")
+    )

@@ -251,3 +251,35 @@ def test_purged_kfold_embargo_accounting(spark, monkeypatch):
     for r in out:
         assert (r["n_test"], r["n_embargoed"], r["n_train"]) == (10, 20, 20)
         assert r["train_frac"] == 0.4
+
+
+def test_microstructure_roll_spread_closed_form(spark, monkeypatch):
+    """Alternating +1/-1 price bounce (bid-ask bounce): dp alternates
+    +1,-1 -> cov(dp, dp_prev) = -sample var -> Roll spread ~ 2*sqrt(cov).
+    A monotone ramp has positive serial covariance -> NULL spread."""
+    from marketstream_etl_spark.plans import analytics as an
+
+    rows = []
+    tid = 0
+    # BOUNCE: 10, 11, 10, 11, ... (dp alternates +1/-1)
+    for i in range(10):
+        rows.append((tid, tid, 1000 + tid, "BOUNCE",
+                     10.0 + (i % 2), 100, "B" if i % 2 else "S", "M",
+                     False))
+        tid += 1
+    # RAMP: strictly rising by 1 (dp constant +1 -> cov 0, no estimate)
+    for i in range(10):
+        rows.append((tid, tid, 1000 + tid, "RAMP", 10.0 + i, 100, "B",
+                     "M", False))
+        tid += 1
+    t = spark.createDataFrame(rows, [
+        "trade_id", "order_id", "timestamp", "symbol", "price", "volume",
+        "side", "type", "is_pro",
+    ])
+    monkeypatch.setattr(an, "load_trades", lambda sp, sf, fan_out=False: t)
+    got = {r["symbol"]: r for r in an.q_microstructure(spark, "x").collect()}
+    assert got["RAMP"]["roll_spread"] is None  # cov >= 0 -> no estimate
+    b = got["BOUNCE"]
+    assert b["roll_spread"] is not None and 1.9 < b["roll_spread"] <= 2.3
+    # amihud: avg(|1| / p_prev / 100) * 1e6 — positive and bounded
+    assert 0 < b["amihud_x1e6"] < 1e4
