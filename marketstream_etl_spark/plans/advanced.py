@@ -1244,6 +1244,11 @@ def benford_audit_sql() -> str:
 # fact table).  The Gini is computed from the grouped histogram in exact
 # BIGINT arithmetic (closed-form run contribution c·(m·prior + m(m+1)/2)),
 # fixed-pointed by integer division — no float accumulation anywhere.
+# BIGINT headroom: the Gini numerator (2·s_rank − (n_keys+1)·n_rows)·1e6
+# needs |s_rank| ≲ 4.6e12 after scaling — fine through ~billions of rows
+# per key column; at extreme (n_keys·n_rows > ~1e13) scale, drop the 1e6
+# fixed-point and divide as DOUBLE (the exact-integer path exists for the
+# cross-engine oracle gate, not as a scale requirement).
 
 SKEW_PROFILE_KEYS = (  # (table, key column)
     ("events", "user_id"),
