@@ -379,6 +379,22 @@ def q_vwap_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ohlc_aggs():
+    """The struct-key OHLC aggregate block shared by time bars and volume
+    bars: open/close are min/max of a (timestamp, trade_id, price) struct
+    (lexicographic, trade_id unique so price never participates) — plain
+    re-aggregable partials, no window sort."""
+    key = F.struct("timestamp", "trade_id", "price")
+    return [
+        F.round(F.min(key).getField("price"), 4).alias("open"),
+        F.round(F.max("price"), 4).alias("high"),
+        F.round(F.min("price"), 4).alias("low"),
+        F.round(F.max(key).getField("price"), 4).alias("close"),
+        F.sum("volume").alias("bar_volume"),
+        F.count("*").alias("n_trades"),
+    ]
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-minute OHLCV bars per symbol — the time-series resample every
     market pipeline ships but the reference never built (its indicators
@@ -395,18 +411,10 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer DIV — ns magnitudes exceed double's 2^53 mantissa, so a
     # float divide would misplace boundary trades by one bar
     bar = F.expr("timestamp DIV 60000000000")
-    key = F.struct("timestamp", "trade_id", "price")
     return (
         t.withColumn("bar", bar)
         .groupBy("symbol", "bar")
-        .agg(
-            F.round(F.min(key).getField("price"), 4).alias("open"),
-            F.round(F.max("price"), 4).alias("high"),
-            F.round(F.min("price"), 4).alias("low"),
-            F.round(F.max(key).getField("price"), 4).alias("close"),
-            F.sum("volume").alias("bar_volume"),
-            F.count("*").alias("n_trades"),
-        )
+        .agg(*_ohlc_aggs())
         .orderBy("symbol", "bar")
     )
 
@@ -982,17 +990,9 @@ def q_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{VOLUME_BAR_SIZE})"
         ),
     )
-    key = F.struct("timestamp", "trade_id", "price")
     return (
         cum.groupBy("symbol", "bar")
-        .agg(
-            F.round(F.min(key).getField("price"), 4).alias("open"),
-            F.round(F.max("price"), 4).alias("high"),
-            F.round(F.min("price"), 4).alias("low"),
-            F.round(F.max(key).getField("price"), 4).alias("close"),
-            F.sum("volume").alias("bar_volume"),
-            F.count("*").alias("n_trades"),
-        )
+        .agg(*_ohlc_aggs())
         .orderBy("symbol", "bar")
     )
 

@@ -2000,14 +2000,17 @@ def zipf_audit_sql() -> str:
               ON b.cnt > a.cnt OR (b.cnt = a.cnt AND b.token < a.token)
             GROUP BY a.token, a.cnt
         )
+        -- scalar subqueries (not CROSS JOIN + GROUP BY): a degenerate
+        -- empty corpus must still emit ONE row, matching Spark's global agg
         SELECT count(*) AS n_terms,
                sum(cnt) AS topk_tokens,
-               t.n_tokens,
-               round(sum(cnt)::DOUBLE / t.n_tokens::DOUBLE, 6) AS topk_mass,
+               (SELECT n_tokens FROM total) AS n_tokens,
+               round(sum(cnt)::DOUBLE
+                     / (SELECT n_tokens FROM total)::DOUBLE, 6) AS topk_mass,
                round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
                round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
                round(regr_r2(ln(cnt), ln(rank)), 6) AS zipf_r2
-        FROM ranked CROSS JOIN total t GROUP BY t.n_tokens
+        FROM ranked
     """
 
 

@@ -310,6 +310,46 @@ def file_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("parse_error")
 
 
+# one definition of the buy→sell pairing semantics for BOTH the inner and
+# the LEFT OUTER variant — the outer row strictly subsumes the inner one,
+# and that claim only holds while they share this construction
+JOIN_WATERMARK = "30 days"
+JOIN_HORIZON = "INTERVAL 1 HOUR"
+
+
+def _interval_join(frame: DataFrame, how: str) -> DataFrame:
+    """Watermarked buy→sell interval join over a (symbol, price, side,
+    event_time) stream: sells within [buy_time, buy_time + 1h] of the
+    same symbol.  Both sides carry watermarks and the condition has an
+    event-time range bound, so state is evictable on an unbounded
+    stream."""
+    buys = (
+        frame.filter(F.col("side") == "B")
+        .select(
+            F.col("symbol").alias("b_symbol"),
+            F.col("price").alias("buy_price"),
+            F.col("event_time").alias("buy_time"),
+        )
+        .withWatermark("buy_time", JOIN_WATERMARK)
+    )
+    sells = (
+        frame.filter(F.col("side") == "S")
+        .select(
+            F.col("symbol").alias("s_symbol"),
+            F.col("price").alias("sell_price"),
+            F.col("event_time").alias("sell_time"),
+        )
+        .withWatermark("sell_time", JOIN_WATERMARK)
+    )
+    return buys.join(
+        sells,
+        (F.col("b_symbol") == F.col("s_symbol"))
+        & (F.col("sell_time") >= F.col("buy_time"))
+        & (F.col("sell_time") <= F.col("buy_time") + F.expr(JOIN_HORIZON)),
+        how,
+    )
+
+
 def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join (engine extension beyond the reference's
     streaming surface): buy ticks joined to sell ticks of the same symbol
@@ -329,31 +369,7 @@ def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades = trades_from_events(events).withColumn(
         "event_time", F.timestamp_micros(F.expr("timestamp div 1000"))
     )
-    buys = (
-        trades.filter(F.col("side") == "B")
-        .select(
-            F.col("symbol").alias("b_symbol"),
-            F.col("price").alias("buy_price"),
-            F.col("event_time").alias("buy_time"),
-        )
-        .withWatermark("buy_time", "30 days")
-    )
-    sells = (
-        trades.filter(F.col("side") == "S")
-        .select(
-            F.col("symbol").alias("s_symbol"),
-            F.col("price").alias("sell_price"),
-            F.col("event_time").alias("sell_time"),
-        )
-        .withWatermark("sell_time", "30 days")
-    )
-    pairs = buys.join(
-        sells,
-        (F.col("b_symbol") == F.col("s_symbol"))
-        & (F.col("sell_time") >= F.col("buy_time"))
-        & (F.col("sell_time") <= F.col("buy_time") + F.expr("INTERVAL 1 HOUR")),
-        "inner",
-    )
+    pairs = _interval_join(trades, "inner")
     name = f"stream_join_{abs(hash(sf_dir)) % 100000}"
     q = (
         pairs.writeStream.format("memory")
@@ -734,15 +750,19 @@ def file_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     day_ns = 86_400_000_000_000
-    real_max_ns = (
-        load_table(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
-    )
     sent_dir = warehouse_path(spark, "join_outer_sentinel", sf_dir)
     marker = os.path.join(sent_dir, "_done")
     if not os.path.exists(marker):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        # the batch max-ts scan is only needed to stamp the sentinel
+        # files — it must not re-run on warm invocations
+        real_max_ns = (
+            load_table(spark, sf_dir, "events")
+            .agg(F.max("ts"))
+            .collect()[0][0]
+        )
         os.makedirs(sent_dir, exist_ok=True)
         for i, ts in ((1, real_max_ns + 40 * day_ns),
                       (2, real_max_ns + 41 * day_ns)):
@@ -775,31 +795,7 @@ def file_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     allt = trades.unionByName(sent).withColumn(
         "event_time", F.timestamp_micros(F.expr("ts_ns div 1000"))
     )
-    buys = (
-        allt.filter(F.col("side") == "B")
-        .select(
-            F.col("symbol").alias("b_symbol"),
-            F.col("price").alias("buy_price"),
-            F.col("event_time").alias("buy_time"),
-        )
-        .withWatermark("buy_time", "30 days")
-    )
-    sells = (
-        allt.filter(F.col("side") == "S")
-        .select(
-            F.col("symbol").alias("s_symbol"),
-            F.col("price").alias("sell_price"),
-            F.col("event_time").alias("sell_time"),
-        )
-        .withWatermark("sell_time", "30 days")
-    )
-    pairs = buys.join(
-        sells,
-        (F.col("b_symbol") == F.col("s_symbol"))
-        & (F.col("sell_time") >= F.col("buy_time"))
-        & (F.col("sell_time") <= F.col("buy_time") + F.expr("INTERVAL 1 HOUR")),
-        "leftOuter",
-    )
+    pairs = _interval_join(allt, "leftOuter")
     name = f"stream_join_outer_{abs(hash(sf_dir)) % 100000}"
     q = (
         pairs.writeStream.format("memory")
