@@ -412,7 +412,13 @@ def _hll_report(regs: DataFrame, keyed: DataFrame) -> DataFrame:
 
 def hll_cardinality_sql() -> str:
     """DuckDB replay: identical h60 split, rho ladder, register maxima,
-    exact-integer harmonic sum, and the single shared double constant."""
+    exact-integer harmonic sum, and the single shared double constant.
+
+    t_scaled is CAST to BIGINT on output: DuckDB's sum(BIGINT) yields
+    HUGEINT, and a pandas/Arrow fetch converts HUGEINT to float64 — lossy
+    above 2^53.  t_scaled reaches ~2^61 (m * 2^(WBITS+1)), so without the
+    cast the driver-side fetch silently perturbs the value even though
+    fetchall() returns exact ints (the r06 gate's only two hash misses)."""
     from marketstream_etl_spark.functions.hashing import h60_sql
 
     from marketstream_etl_spark.operators.dedup import SHINGLE_K
@@ -462,8 +468,8 @@ def hll_cardinality_sql() -> str:
                s.filled_registers,
                CAST({HLL_M} - s.filled_registers AS BIGINT)
                    AS zero_registers,
-               s.t_filled + ({HLL_M} - s.filled_registers)
-                   * CAST({shift_unit} AS BIGINT) AS t_scaled,
+               CAST(s.t_filled + ({HLL_M} - s.filled_registers)
+                   * CAST({shift_unit} AS BIGINT) AS BIGINT) AS t_scaled,
                CAST(floor(CAST({HLL_NUMERATOR!r} AS DOUBLE)
                    / CAST(s.t_filled + ({HLL_M} - s.filled_registers)
                           * CAST({shift_unit} AS BIGINT) AS DOUBLE)

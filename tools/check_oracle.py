@@ -95,6 +95,7 @@ def main() -> int:
             continue
         try:
             rel = con.sql(oracles[name])
+            otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
             ocols = rel.columns
         except Exception as e:
@@ -102,6 +103,21 @@ def main() -> int:
             failures += 1
             continue
         problems = []
+        # HUGEINT guard: DuckDB sum(BIGINT) yields HUGEINT, and a
+        # pandas/Arrow fetch (which the external driver appears to use)
+        # converts HUGEINT to float64 — lossy above 2^53.  fetchall()
+        # stays exact, so this replica would silently PASS a query the
+        # driver fails (r06: hll_cardinality/streaming_hll).  Fail loudly
+        # instead and require a CAST(... AS BIGINT) in the oracle SQL.
+        for ci, tname in enumerate(otypes):
+            if tname in ("HUGEINT", "UHUGEINT") and any(
+                r[ci] is not None and abs(r[ci]) >= (1 << 53) for r in orows
+            ):
+                problems.append(
+                    f"col {ocols[ci]} is {tname} with |value| >= 2^53 "
+                    "(lossy under the driver's pandas fetch); CAST it "
+                    "to BIGINT in the oracle SQL"
+                )
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
