@@ -1147,11 +1147,15 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("p_exp"),
         (F.col("n_total").cast("double") * p).alias("exp_cnt"),
     )
-    chi_part = (
+    # n_total = 0 (empty / fully-filtered input) makes every exp_cnt 0 and
+    # chi_part 0/0 — NaN handling diverges across engines, so pin the
+    # degenerate case to 0 explicitly (mirrored in benford_audit_sql)
+    chi_part = F.when(
+        F.col("n_total") > 0,
         (F.col("n_obs").cast("double") - F.col("exp_cnt"))
         * (F.col("n_obs").cast("double") - F.col("exp_cnt"))
-        / F.col("exp_cnt")
-    )
+        / F.col("exp_cnt"),
+    ).otherwise(F.lit(0.0))
     fixed = with_exp.select(
         "digit",
         "n_obs",
@@ -1167,11 +1171,14 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "digit",
             "n_obs",
-            F.round(
-                F.col("n_obs").cast("double")
-                / F.col("n_total").cast("double"),
-                6,
-            ).alias("obs_share"),
+            F.when(
+                F.col("n_total") > 0,
+                F.round(
+                    F.col("n_obs").cast("double")
+                    / F.col("n_total").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("obs_share"),
             F.col("p_exp").alias("exp_share"),
             (F.col("chi2_fp").cast("double") / F.lit(1e6)).alias("chi2_part"),
             (F.col("chi2_total_fp").cast("double") / F.lit(1e6)).alias(
@@ -1209,18 +1216,22 @@ def benford_audit_sql() -> str:
         fixed AS (
             SELECT digit, n_obs, t.n_total,
                    CASE digit {p_case} END AS p_exp,
-                   CAST(floor(
+                   CASE WHEN t.n_total > 0 THEN CAST(floor(
                        (n_obs::DOUBLE - t.n_total::DOUBLE
                             * (CASE digit {p_case} END))
                        * (n_obs::DOUBLE - t.n_total::DOUBLE
                             * (CASE digit {p_case} END))
                        / (t.n_total::DOUBLE * (CASE digit {p_case} END))
-                       * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS chi2_fp
+                       * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   ELSE 0 END AS chi2_fp
             FROM counts CROSS JOIN total t
         ),
-        chi AS (SELECT sum(chi2_fp) AS chi2_total_fp FROM fixed)
+        chi AS (SELECT CAST(sum(chi2_fp) AS BIGINT) AS chi2_total_fp
+                FROM fixed)
         SELECT digit, n_obs,
-               round(n_obs::DOUBLE / n_total::DOUBLE, 6) AS obs_share,
+               CASE WHEN n_total > 0
+                    THEN round(n_obs::DOUBLE / n_total::DOUBLE, 6)
+                    ELSE CAST(0.0 AS DOUBLE) END AS obs_share,
                p_exp AS exp_share,
                chi2_fp::DOUBLE / 1e6 AS chi2_part,
                c.chi2_total_fp::DOUBLE / 1e6 AS chi2_total,
@@ -1448,7 +1459,17 @@ def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("conversions"),
-            F.round(F.sum("value"), 6).alias("value_sum"),
+            # fixed-point each value BEFORE the sum (token_drift
+            # discipline): round(sum(double),6) is an order-dependent
+            # float accumulation that can flip the 6th decimal at scale
+            (
+                F.sum(
+                    F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("value_sum"),
         )
         .orderBy("model", "touch_type")
     )
@@ -1475,11 +1496,13 @@ def attribution_touch_sql() -> str:
         SELECT 'first' AS model,
                coalesce(first_touch, 'none') AS touch_type,
                count(*) AS conversions,
-               round(sum(value), 6) AS value_sum
+               sum(CAST(floor(value * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   )::DOUBLE / 1e6 AS value_sum
         FROM conv GROUP BY 2
         UNION ALL
         SELECT 'last', coalesce(last_touch, 'none'), count(*),
-               round(sum(value), 6)
+               sum(CAST(floor(value * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   )::DOUBLE / 1e6
         FROM conv GROUP BY 2
         ORDER BY model, touch_type
     """
@@ -1517,19 +1540,26 @@ def psi_from_counts(spark: SparkSession, seg: DataFrame) -> DataFrame:
     # ≤ 2×10 rows feeding four consumers (two sides × counts/totals) —
     # checkpoint so the fact-table histogram aggregation runs exactly once
     seg = seg.localCheckpoint(eager=False)
-    totals = seg.groupBy("segment").agg(F.sum("n").alias("n_seg"))
     spine = spark.range(PSI_N_BUCKETS).select(
         F.col("id").cast("int").alias("bucket")
     )
-    share = (
+    # n_seg = 0 (a segment with zero rows) would otherwise produce an
+    # EMPTY totals frame whose no-condition join collapses the report to
+    # 0 rows, while the oracle's CROSS JOIN still emits 10 rows — so the
+    # totals side is a no-groupBy agg (always exactly 1 row, sum NULL→0)
+    # and the share is pinned to 0 (→ clamp) when the segment is empty.
+    share = F.when(
+        F.col("n_seg") > 0,
         F.coalesce(F.col("n"), F.lit(0)).cast("double")
-        / F.col("n_seg").cast("double")
-    )
+        / F.col("n_seg").cast("double"),
+    ).otherwise(F.lit(0.0))
     clamped = F.greatest(share, F.lit(PSI_CLAMP))
 
     def _side(name: str, alias: str) -> DataFrame:
         part = seg.filter(F.col("segment") == name).drop("segment")
-        tot = totals.filter(F.col("segment") == name).drop("segment")
+        tot = seg.filter(F.col("segment") == name).agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_seg")
+        )
         return spine.join(part, "bucket", "left").join(
             F.broadcast(tot)
         ).select("bucket", clamped.alias(alias))
@@ -1595,7 +1625,9 @@ def psi_drift_sql() -> str:
     )
     side = """
         SELECT s.bucket,
-               greatest(coalesce(n, 0)::DOUBLE / n_seg::DOUBLE,
+               greatest(CASE WHEN n_seg > 0
+                             THEN coalesce(n, 0)::DOUBLE / n_seg::DOUBLE
+                             ELSE CAST(0.0 AS DOUBLE) END,
                         CAST({clamp} AS DOUBLE)) AS {alias}
         FROM (SELECT unnest(range(0, {nb}))::INTEGER AS bucket) s
         LEFT JOIN (

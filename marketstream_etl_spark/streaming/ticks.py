@@ -757,12 +757,26 @@ def file_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow.parquet as pq
 
         # the batch max-ts scan is only needed to stamp the sentinel
-        # files — it must not re-run on warm invocations
-        real_max_ns = (
+        # files — it must not re-run on warm invocations.  Same scan also
+        # guards the sentinel namespace: the result filter drops symbols
+        # ZZB/ZZS, so a generated fixture that ever contains them as REAL
+        # symbols would silently lose their rows — fail loudly instead.
+        probe = (
             load_table(spark, sf_dir, "events")
-            .agg(F.max("ts"))
-            .collect()[0][0]
+            .agg(
+                F.max("ts").alias("max_ts"),
+                F.sum(
+                    F.upper("event_type").isin("ZZB", "ZZS").cast("int")
+                ).alias("n_sentinel_collisions"),
+            )
+            .collect()[0]
         )
+        real_max_ns = probe["max_ts"]
+        if (probe["n_sentinel_collisions"] or 0) > 0:
+            raise ValueError(
+                "events fixture contains symbol ZZB/ZZS — collides with "
+                "the outer-join sentinel namespace; pick new sentinels"
+            )
         os.makedirs(sent_dir, exist_ok=True)
         for i, ts in ((1, real_max_ns + 40 * day_ns),
                       (2, real_max_ns + 41 * day_ns)):

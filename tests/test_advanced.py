@@ -270,6 +270,90 @@ def test_psi_disjoint_distributions_drifted(spark, monkeypatch):
     assert out[0]["psi_total"] > 0.25
 
 
+def test_psi_empty_segment_keeps_full_spine(spark, monkeypatch):
+    """Zero 'purchase' rows: the report must still emit the full 10-row
+    spine with the empty side clamped (n_seg=0 used to produce an empty
+    totals frame whose no-condition join collapsed the report to 0 rows,
+    silently diverging from the oracle's CROSS JOIN)."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows = [(i, 1, 1000 + i, "click", 10.0, "{}") for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_psi_drift(spark, "x").collect()
+    assert len(out) == adv.PSI_N_BUCKETS
+    # every purchase-side share sits at the clamp; totals are finite
+    assert all(r["share_purchase"] == adv.PSI_CLAMP for r in out)
+    assert all(r["psi_total"] == out[0]["psi_total"] for r in out)
+    assert out[0]["band"] == "drifted"  # all mass vs clamp → huge PSI
+
+
+def test_benford_zero_qualifying_orders(spark, monkeypatch):
+    """All orders filtered out (o_totalprice < 1): chi-square is pinned
+    to a defined 0 verdict instead of 0/0 NaN (which diverges across
+    engines and throws under ANSI cast)."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    orders = spark.createDataFrame(
+        [(1, 0.25), (2, 0.5)], ["o_orderkey", "o_totalprice"]
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: orders)
+    out = adv.q_benford_audit(spark, "x").collect()
+    assert [r["digit"] for r in out] == list(range(1, 10))
+    assert all(r["n_obs"] == 0 for r in out)
+    assert all(r["obs_share"] == 0.0 for r in out)
+    assert all(r["chi2_part"] == 0.0 and r["chi2_total"] == 0.0 for r in out)
+    assert all(r["benford_ok"] for r in out)
+
+
+def test_psi_empty_segment_matches_oracle(spark, tmp_path):
+    """Cross-engine: the degenerate one-empty-segment corpus produces the
+    SAME 10 rows from the Spark plan and the DuckDB oracle."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marketstream_etl_spark.plans import advanced as adv
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    n = 6
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(list(range(n)), pa.int64()),
+                "ts": pa.array(
+                    [base + dt.timedelta(seconds=i) for i in range(n)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["click"] * n, pa.string()),
+                "value": pa.array([25.0 * i for i in range(n)], pa.float64()),
+                "props": pa.array(["{}"] * n, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = [
+        (r["bucket"], r["share_click"], r["share_purchase"],
+         round(r["psi_part"], 6), round(r["psi_total"], 6), r["band"])
+        for r in adv.q_psi_drift(spark, str(tmp_path)).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet'"
+    )
+    want = [
+        (r[0], r[1], r[2], round(r[3], 6), round(r[4], 6), r[5])
+        for r in con.execute(adv.psi_drift_sql()).fetchall()
+    ]
+    assert got == want
+
+
 # --- session transitions ---------------------------------------------------------
 
 def test_session_transitions_hand_computed(spark, monkeypatch):
