@@ -372,22 +372,48 @@ def main() -> None:
     extras["tpch_power_queries"] = len(tpch_names)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(total, 4),
-                "unit": "sec",
-                "cold_total": round(cold_total, 4),
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_runs": N_RUNS,
-                "all_runs": all_runs,
-                "extras": extras,
-                "extras_split": extras_split,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver captures only the LAST ~2000 chars of stdout and parses
+    # the JSON line out of that window; round 6's line outgrew it (extras
+    # + per-run triples) and the round recorded "parsed": null.  The
+    # printed line therefore stays compact (contract keys + cold_total +
+    # extras_total), and the full per-run/extras breakdown goes to
+    # BENCH_DETAIL.json next to this script.
+    detail = {
+        "metric": "headline_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "cold_total": round(cold_total, 4),
+        "queries": timings,
+        "sf": sf_val,
+        "n_runs": N_RUNS,
+        "all_runs": all_runs,
+        "extras": extras,
+        "extras_split": extras_split,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": round(total, 4),
+            "unit": "sec",
+            "cold_total": round(cold_total, 4),
+            "queries": timings,
+            "sf": sf_val,
+            "n_runs": N_RUNS,
+            "extras_total": round(sum(extras.values()), 4),
+            "detail": "BENCH_DETAIL.json",
+        }
+    )
+    assert len(line) <= 1900, (
+        f"bench JSON line is {len(line)} chars; the driver's tail capture "
+        "is 2000 — trim the queries dict or move more into BENCH_DETAIL"
+    )
+    print(line)
 
 
 if __name__ == "__main__":
