@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_audit": training_data.q_zipf_audit,
         "source_entropy": training_data.q_source_entropy,
         "session_transitions": advanced.q_session_transitions,
+        "funnel_steps": advanced.q_funnel_steps,
         "rolling_distinct_users": advanced.q_rolling_distinct_users,
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
@@ -1732,6 +1733,7 @@ def oracle_sql() -> dict[str, str]:
         "source_entropy": training_data.source_entropy_sql(),
         "psi_drift": advanced.psi_drift_sql(),
         "session_transitions": advanced.session_transitions_sql(),
+        "funnel_steps": advanced.funnel_steps_sql(),
         "rolling_distinct_users": advanced.rolling_distinct_users_sql(),
         "lateness_audit": advanced.lateness_audit_sql(),
         "padding_efficiency": training_data.padding_efficiency_sql(),

@@ -1868,3 +1868,191 @@ def lateness_audit_sql() -> str:
                    AS p95_late_ms
         FROM late GROUP BY event_type ORDER BY event_type
     """
+
+
+# --- ordered funnel ----------------------------------------------------------
+# Classic ordered-step conversion funnel: a user reaches step k only if the
+# step-k event occurs AFTER some event satisfying steps 1..k-1 in order
+# (an increasing subsequence in the canonical (ts, event_id) order).  The
+# missing sibling of retention_cohorts / session_transitions — the first
+# chart every event pipeline draws.
+#
+# Scale: ONE shuffle on user_id feeds a chain of running-max window
+# columns (same window spec → one Exchange+Sort, the window nodes pipeline
+# without re-sorting); the per-user reduction is a hash aggregate and the
+# report is 3 rows.  No self-joins of the event stream, no collect.
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per funnel step: users reaching the ordered prefix, conversion
+    from the previous step, and conversion from step 1.
+
+    Output: (step, step_name, n_users, conv_from_prev, conv_from_first)
+    — rates are fixed-pointed (floor(x*1e6+0.5)/1e6) and pinned to 0 for
+    empty upstream steps (degenerate-corpus discipline)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s1, s2, s3 = FUNNEL_STEPS
+    # staged projections: window expressions cannot nest, so each running
+    # max materializes as a column the next stage references.  The specs
+    # are identical, so Catalyst plans ONE Exchange+Sort and the Window
+    # nodes pipeline without re-sorting.
+    m1 = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.col("event_type") == s1).cast("int").alias("h1"),
+    ).withColumn("seen1", F.max("h1").over(w))
+    # chained running max: a purchase counts only if an in-order
+    # view→click prefix exists at-or-before it (the current row is a
+    # purchase, never a click, so the inclusive frame cannot self-satisfy)
+    m2 = m1.withColumn(
+        "h2",
+        ((F.col("event_type") == s2) & (F.col("seen1") == 1)).cast("int"),
+    ).withColumn("seen2", F.max("h2").over(w))
+    m3 = m2.withColumn(
+        "h3",
+        ((F.col("event_type") == s3) & (F.col("seen2") == 1)).cast("int"),
+    )
+    per_user = m3.groupBy("user_id").agg(
+        F.max("h1").alias("r1"),
+        F.max("h2").alias("r2"),
+        F.max("h3").alias("r3"),
+    )
+    counts = per_user.agg(
+        F.sum("r1").alias("n1"),
+        F.sum("r2").alias("n2"),
+        F.sum("r3").alias("n3"),
+    )
+
+    def _rate(num: F.Column, den: F.Column) -> F.Column:
+        return F.when(
+            den > 0,
+            F.floor(
+                num.cast("double") / den.cast("double") * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("double")
+            / F.lit(1e6),
+        ).otherwise(F.lit(0.0))
+
+    rows = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("step"),
+                    F.lit(s1).alias("step_name"),
+                    F.col("n1").alias("n_users"),
+                    F.lit(1.0).alias("conv_from_prev"),
+                    F.lit(1.0).alias("conv_from_first"),
+                ),
+                F.struct(
+                    F.lit(2).alias("step"),
+                    F.lit(s2).alias("step_name"),
+                    F.col("n2").alias("n_users"),
+                    _rate(F.col("n2"), F.col("n1")).alias("conv_from_prev"),
+                    _rate(F.col("n2"), F.col("n1")).alias("conv_from_first"),
+                ),
+                F.struct(
+                    F.lit(3).alias("step"),
+                    F.lit(s3).alias("step_name"),
+                    F.col("n3").alias("n_users"),
+                    _rate(F.col("n3"), F.col("n2")).alias("conv_from_prev"),
+                    _rate(F.col("n3"), F.col("n1")).alias("conv_from_first"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    # step-1 rates are defined as 1.0 only when the funnel is non-empty
+    return rows.withColumn(
+        "conv_from_prev",
+        F.when(F.col("n_users") > 0, F.col("conv_from_prev")).otherwise(
+            F.lit(0.0)
+        ),
+    ).withColumn(
+        "conv_from_first",
+        F.when(F.col("n_users") > 0, F.col("conv_from_first")).otherwise(
+            F.lit(0.0)
+        ),
+    ).orderBy("step")
+
+
+def funnel_steps_sql() -> str:
+    """DuckDB replay: identical chained running-max windows over the
+    canonical (ts, event_id) order, identical fixed-point rates."""
+    s1, s2, s3 = FUNNEL_STEPS
+    return f"""
+        WITH m1 AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN event_type = '{s1}' THEN 1 ELSE 0 END AS h1,
+                   max(CASE WHEN event_type = '{s1}' THEN 1 ELSE 0 END)
+                       OVER w AS seen1
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        m2 AS (
+            SELECT *,
+                   CASE WHEN event_type = '{s2}' AND seen1 = 1
+                        THEN 1 ELSE 0 END AS h2,
+                   max(CASE WHEN event_type = '{s2}' AND seen1 = 1
+                            THEN 1 ELSE 0 END) OVER w AS seen2
+            FROM m1
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        m3 AS (
+            SELECT *,
+                   CASE WHEN event_type = '{s3}' AND seen2 = 1
+                        THEN 1 ELSE 0 END AS h3
+            FROM m2
+        ),
+        per_user AS (
+            SELECT user_id, max(h1) AS r1, max(h2) AS r2, max(h3) AS r3
+            FROM m3 GROUP BY user_id
+        ),
+        counts AS (
+            SELECT CAST(sum(r1) AS BIGINT) AS n1,
+                   CAST(sum(r2) AS BIGINT) AS n2,
+                   CAST(sum(r3) AS BIGINT) AS n3
+            FROM per_user
+        )
+        SELECT step, step_name, n_users,
+               CASE WHEN n_users > 0 THEN conv_from_prev
+                    ELSE CAST(0.0 AS DOUBLE) END AS conv_from_prev,
+               CASE WHEN n_users > 0 THEN conv_from_first
+                    ELSE CAST(0.0 AS DOUBLE) END AS conv_from_first
+        FROM (
+            SELECT 1 AS step, '{s1}' AS step_name, n1 AS n_users,
+                   CAST(1.0 AS DOUBLE) AS conv_from_prev,
+                   CAST(1.0 AS DOUBLE) AS conv_from_first
+            FROM counts
+            UNION ALL
+            SELECT 2, '{s2}', n2,
+                   CASE WHEN n1 > 0 THEN floor(n2::DOUBLE / n1::DOUBLE * 1e6
+                        + CAST(0.5 AS DOUBLE)) / 1e6
+                        ELSE CAST(0.0 AS DOUBLE) END,
+                   CASE WHEN n1 > 0 THEN floor(n2::DOUBLE / n1::DOUBLE * 1e6
+                        + CAST(0.5 AS DOUBLE)) / 1e6
+                        ELSE CAST(0.0 AS DOUBLE) END
+            FROM counts
+            UNION ALL
+            SELECT 3, '{s3}', n3,
+                   CASE WHEN n2 > 0 THEN floor(n3::DOUBLE / n2::DOUBLE * 1e6
+                        + CAST(0.5 AS DOUBLE)) / 1e6
+                        ELSE CAST(0.0 AS DOUBLE) END,
+                   CASE WHEN n1 > 0 THEN floor(n3::DOUBLE / n1::DOUBLE * 1e6
+                        + CAST(0.5 AS DOUBLE)) / 1e6
+                        ELSE CAST(0.0 AS DOUBLE) END
+            FROM counts
+        )
+        ORDER BY step
+    """

@@ -429,3 +429,45 @@ def test_lateness_audit_running_max_semantics(spark, monkeypatch):
     assert (r["n_events"], r["n_late"]) == (3, 1)
     assert r["max_late_ms"] == 5 * 60 * 1000.0
     assert r["avg_late_ms"] == round(5 * 60 * 1000.0 / 3, 6)
+
+
+# --- funnel ------------------------------------------------------------------
+
+def test_funnel_ordered_semantics(spark, monkeypatch):
+    """Order matters: u1 completes view→click→purchase; u2 has the events
+    out of order (purchase first) and must stall at its in-order prefix;
+    u3 only views; u4 clicks without a prior view (reaches nothing)."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows = [  # (event_id, user_id, ts, event_type)
+        (1, 1, 100, "view"), (2, 1, 200, "click"), (3, 1, 300, "purchase"),
+        (4, 2, 100, "purchase"), (5, 2, 200, "view"), (6, 2, 300, "click"),
+        (7, 3, 100, "view"),
+        (8, 4, 100, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, u, t, ty, 1.0, "{}") for e, u, t, ty in rows],
+        ["event_id", "user_id", "ts", "event_type", "value", "props"],
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = {r["step"]: r for r in adv.q_funnel_steps(spark, "x").collect()}
+    assert out[1]["n_users"] == 3        # u1, u2, u3 viewed
+    assert out[2]["n_users"] == 2        # u1, u2 clicked after a view
+    assert out[3]["n_users"] == 1        # only u1 purchased in order
+    assert out[2]["conv_from_prev"] == 0.666667  # floor(2/3*1e6+0.5)/1e6
+    assert out[3]["conv_from_prev"] == 0.5
+    assert out[3]["conv_from_first"] == 0.333333
+    assert out[1]["conv_from_prev"] == 1.0
+
+
+def test_funnel_single_shuffle_plan(spark, sf_dir):
+    """The chained running-max windows must share ONE user_id exchange —
+    a second sort/exchange would double the dominant cost at scale."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    plan = (
+        adv.q_funnel_steps(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_user_exchanges = plan.count("hashpartitioning(user_id")
+    assert n_user_exchanges <= 2, plan  # window chain + groupBy reuse
