@@ -391,16 +391,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": advanced.q_asof_enrich,  # J2
         "bucketed_join": _bucketed_join,  # S7 + co-located join
         "partition_pruning": advanced.q_partition_pruning,  # F5/O5
-        "zorder_skipping": advanced.q_zorder_skipping,  # O5
         "generator_invariants": advanced.q_generator_invariants,  # S3/X7/X8
-        "python_datasource": advanced.q_python_datasource,  # S3
-        # r6 late rotation: part_triangles (degree-ordered motif counting,
-        # new graph-analytics class over the TPC-H tables) takes the
-        # scalar_functions slot — X5 stays evidenced in-gate by
-        # rsi_signals' ns→timestamp path; scalar_functions moves below
-        # the fold, still check_oracle-verified locally.
-        "part_triangles": tpch.q_part_triangles,
-        "weighted_sample": training_data.q_weighted_sample,  # X10
+        # r7 rotation: five driver-green rows move below the fold for the
+        # strongest r6 additions.  IN: benford_audit + attribution_touch
+        # (statistical-audit family, both hardened against degenerate
+        # inputs this round), key_skew_profile (the pre-flight salting/AQE
+        # diagnostic — the scale-engineering op), microstructure (Roll
+        # spread / Kyle lambda / Amihud panel), session_transitions
+        # (sequence statistics).  OUT: python_datasource (S3 stays
+        # evidenced by generator_invariants), zorder_skipping (O5 by
+        # partition_pruning), pattern_similarity (driver-green r5+r6),
+        # part_triangles (graph family keeps source_pagerank in-gate),
+        # weighted_sample (X10; sampling family keeps weighted_reservoir
+        # in-gate) — all still check_oracle-verified locally.
+        "benford_audit": advanced.q_benford_audit,
+        "key_skew_profile": advanced.q_key_skew_profile,
+        "attribution_touch": advanced.q_attribution_touch,
+        "microstructure": analytics.q_microstructure,
         "udaf_vwap": advanced.q_udaf_vwap,  # pandas UDAF surface
         # --- LLM training-data north star — 15 (rest after the fold) ---
         "text_analysis": training_data.q_text_analysis,
@@ -444,7 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays check_oracle-verified locally with its grouped/streaming
         # twins
         "psi_drift": advanced.q_psi_drift,
-        "pattern_similarity": advanced.q_pattern_similarity,
+        "session_transitions": advanced.q_session_transitions,
         "bm25_search": training_data.q_bm25_search,
         "lm_perplexity": training_data.q_lm_perplexity,
         "weighted_reservoir": training_data.q_weighted_reservoir,
@@ -461,21 +468,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_assign": training_data.q_kfold_assign,
         "hll_set_ops": training_data.q_hll_set_ops,
         "tfidf_keywords": training_data.q_tfidf_keywords,
-        "benford_audit": advanced.q_benford_audit,
-        "key_skew_profile": advanced.q_key_skew_profile,
-        "attribution_touch": advanced.q_attribution_touch,
         "containment_pairs": training_data.q_containment_pairs,
         "zipf_audit": training_data.q_zipf_audit,
         "source_entropy": training_data.q_source_entropy,
-        "session_transitions": advanced.q_session_transitions,
         "funnel_steps": advanced.q_funnel_steps,
+        "python_datasource": advanced.q_python_datasource,
+        "zorder_skipping": advanced.q_zorder_skipping,
+        "pattern_similarity": advanced.q_pattern_similarity,
+        "part_triangles": tpch.q_part_triangles,
+        "weighted_sample": training_data.q_weighted_sample,
         "rolling_distinct_users": advanced.q_rolling_distinct_users,
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
         "streaming_psi": _stream_psi,
         "volume_bars": analytics.q_volume_bars,
         "purged_kfold": analytics.q_purged_kfold,
-        "microstructure": analytics.q_microstructure,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,

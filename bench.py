@@ -82,6 +82,20 @@ EXTRAS = [
     "semantic_dedup",
     "hdr_quantiles",
     "hdr_quantiles_grouped",
+    # r7 additions (the late-r6 audit/market wave + funnel)
+    "psi_drift",
+    "benford_audit",
+    "key_skew_profile",
+    "attribution_touch",
+    "session_transitions",
+    "zipf_audit",
+    "source_entropy",
+    "rolling_distinct_users",
+    "microstructure",
+    "volume_bars",
+    "purged_kfold",
+    "containment_pairs",
+    "funnel_steps",
 ]
 
 
