@@ -141,10 +141,21 @@ def _setup_cluster_profile(spark, sf_dir: str) -> None:
     kmeans_fit(load_table(spark, sf_dir, "embeddings"))
 
 
+def _setup_winnowing(spark, sf_dir: str) -> None:
+    # fingerprint-index construction (shared generation cache)
+    from marketstream_etl_spark.operators.winnow import winnow_fps_cached
+    from marketstream_etl_spark.sources.tables import load_table
+
+    winnow_fps_cached(load_table(spark, sf_dir, "documents")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
 EXTRA_SETUP = {
     "source_pagerank": (_setup_pagerank, True),
     "ann_ivf_trained_recall": (_setup_ivf_recall, False),
     "cluster_profile": (_setup_cluster_profile, False),
+    "winnowing_pairs": (_setup_winnowing, True),
 }
 
 

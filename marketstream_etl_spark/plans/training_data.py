@@ -1489,8 +1489,13 @@ def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass is one explode over the token stream, and unlike the 3-gram
     frame no sibling operator shares it."""
     from marketstream_etl_spark.functions.hashing import h32, shingles, tokens
+    from marketstream_etl_spark.operators.dedup import _spread
 
-    docs = load_table(spark, sf_dir, "documents")
+    # small-file corpora arrive as ONE scan partition and the 13-gram
+    # explode is CPU-bound — spread before the heavy map (measured 4.6 s
+    # single-threaded vs sub-second across the cluster at sf0.1; at scale
+    # the scan is already parallel and this is a cheap (id, text) shuffle)
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     is_bench = h32(F.col("doc_id").cast("string")) % 20 == 0
     # the bench flag is applied BEFORE the explode on each side, so the
     # bench pass re-tokenizes only the ~5% benchmark slice and the corpus
