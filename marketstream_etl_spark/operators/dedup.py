@@ -101,10 +101,11 @@ from marketstream_etl_spark.functions.cachegen import (  # noqa: E402
 def _spread(docs: DataFrame) -> DataFrame:
     """Small-file inputs arrive as one scan partition; the hash/shingle work
     is CPU-bound, so spread it across the cluster before the heavy map.
-    (At 100 TB the scan is already parallel and this coalesces to a no-op
-    shuffle of cheap (id, text) rows.)"""
-    sc = docs.sparkSession.sparkContext
-    return docs.repartition(sc.defaultParallelism)
+    (Generalized into sources.tables.spread in r7 — this alias keeps the
+    dedup-local name earlier rounds' documentation references.)"""
+    from marketstream_etl_spark.sources.tables import spread
+
+    return spread(docs)
 
 
 def shingle_pairs_cached(docs: DataFrame) -> DataFrame:

@@ -17,6 +17,20 @@ from marketstream_etl_spark.schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's parallelism before a CPU-bound map.
+
+    Small-file inputs arrive as ONE scan partition (the sf0.1 documents/
+    embeddings tables measured exactly that), serializing tokenize/
+    explode/dot-product stages on a single thread.  At 100 TB the scan is
+    already parallel and this degrades to a cheap narrow-row shuffle; the
+    call sites are the operator family entry points whose next stage is
+    compute-heavy, never the cheap relational plans (where an extra
+    exchange would just burn a shuffle)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def source_key(sf_dir: str) -> str:
     """8-hex cache key for every write-once fixture derived from a testdata
     dir.  Keyed on path AND data mtime: regenerated testdata must not be
