@@ -163,13 +163,16 @@ def ngram_novelty_sql() -> str:
             FROM pd
         ),
         tot AS (SELECT sum(new_grams) AS total_grams FROM pd)
-        SELECT doc_id, n_grams, new_grams, cum_new,
+        SELECT doc_id, n_grams, new_grams,
+               -- BIGINT casts: window/total sums are HUGEINT in DuckDB,
+               -- lossy above 2^53 under a pandas/Arrow fetch
+               CAST(cum_new AS BIGINT) AS cum_new,
                CASE WHEN n_grams > 0
                     THEN ({PPM} * new_grams) // n_grams
                     ELSE 0 END AS novelty_ppm,
-               CASE WHEN total_grams > 0
+               CAST(CASE WHEN total_grams > 0
                     THEN ({PPM} * cum_new) // total_grams
-                    ELSE 0 END AS coverage_ppm
+                    ELSE 0 END AS BIGINT) AS coverage_ppm
         FROM cum CROSS JOIN tot
         ORDER BY doc_id
     """

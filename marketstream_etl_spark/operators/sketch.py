@@ -932,10 +932,14 @@ def hdr_quantiles_sql() -> str:
             FROM cents, est e
             GROUP BY 1, 2, 3, 4
         )
-        SELECT q_ppm, target_rank,
+        SELECT q_ppm,
+               -- BIGINT casts: HUGEINT sums are lossy above 2^53 under a
+               -- pandas/Arrow fetch
+               CAST(target_rank AS BIGINT) AS target_rank,
                lo AS est_lo_cents, hi AS est_hi_cents,
                (lo + hi) // 2 AS est_mid_cents,
-               exact_rank_lo, exact_rank_hi,
+               CAST(exact_rank_lo AS BIGINT) AS exact_rank_lo,
+               CAST(exact_rank_hi AS BIGINT) AS exact_rank_hi,
                (exact_rank_lo < target_rank
                 AND target_rank <= exact_rank_hi) AS within,
                (1000000 * (hi - lo + 1)) // lo AS rel_width_ppm
@@ -1122,10 +1126,12 @@ def hdr_quantiles_grouped_sql() -> str:
             FROM cents c JOIN est e ON e.flag = c.flag
             GROUP BY 1, 2, 3, 4, 5
         )
-        SELECT flag, q_ppm, target_rank,
+        SELECT flag, q_ppm,
+               CAST(target_rank AS BIGINT) AS target_rank,
                lo AS est_lo_cents, hi AS est_hi_cents,
                (lo + hi) // 2 AS est_mid_cents,
-               exact_rank_lo, exact_rank_hi,
+               CAST(exact_rank_lo AS BIGINT) AS exact_rank_lo,
+               CAST(exact_rank_hi AS BIGINT) AS exact_rank_hi,
                (exact_rank_lo < target_rank
                 AND target_rank <= exact_rank_hi) AS within
         FROM audit ORDER BY flag, q_ppm

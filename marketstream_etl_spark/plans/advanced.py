@@ -1353,7 +1353,9 @@ def key_skew_profile_sql() -> str:
     selects = []
     for t, c in SKEW_PROFILE_KEYS:
         selects.append(f"""
-        SELECT '{t}.{c}' AS key_col, n_rows, n_keys, max_cnt,
+        SELECT '{t}.{c}' AS key_col,
+               CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(n_keys AS BIGINT) AS n_keys, max_cnt,
                round(n_rows::DOUBLE / n_keys::DOUBLE, 6) AS avg_cnt,
                ((max_cnt * n_keys * 1000000) // n_rows)::DOUBLE / 1e6
                    AS skew_ratio,

@@ -2008,8 +2008,8 @@ def zipf_audit_sql() -> str:
         -- scalar subqueries (not CROSS JOIN + GROUP BY): a degenerate
         -- empty corpus must still emit ONE row, matching Spark's global agg
         SELECT count(*) AS n_terms,
-               sum(cnt) AS topk_tokens,
-               (SELECT n_tokens FROM total) AS n_tokens,
+               CAST(sum(cnt) AS BIGINT) AS topk_tokens,
+               CAST((SELECT n_tokens FROM total) AS BIGINT) AS n_tokens,
                round(sum(cnt)::DOUBLE
                      / (SELECT n_tokens FROM total)::DOUBLE, 6) AS topk_mass,
                round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
@@ -2090,7 +2090,7 @@ def source_entropy_sql() -> str:
             FROM tok JOIN totals USING (source)
             GROUP BY tok.source, n_tokens
         )
-        SELECT source, n_tokens, n_terms,
+        SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, n_terms,
                round(h_fp::DOUBLE / 1e9, 6) AS entropy,
                CASE WHEN n_terms > 1
                     THEN round((h_fp::DOUBLE / 1e9) / ln(n_terms::DOUBLE), 6)
