@@ -278,6 +278,18 @@ def _stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_psi(spark, sf_dir)
 
 
+def _stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER watermarked interval join: unmatched rows flush from
+    BOTH sides (buys with NULL sells, sells with NULL buys) — the
+    completion of the streaming outer-join family; same sentinel-driven
+    bounded replay, batch full-join oracle."""
+    from marketstream_etl_spark.streaming.ticks import (
+        file_stream_join_full_outer,
+    )
+
+    return file_stream_join_full_outer(spark, sf_dir)
+
+
 def _stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER watermarked interval join: unmatched buys flush with NULL
     sell columns once a later batch's watermark passes their horizon (a
@@ -458,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_corrupt_records": training_data.q_json_corrupt_records,
         # ---------------- fold: slot 51+ ----------------
         "streaming_join": _stream_join,
+        "streaming_join_full_outer": _stream_join_full_outer,
         "hdr_quantiles": advanced.q_hdr_quantiles,
         "streaming_hdr": _stream_hdr,
         "hdr_quantiles_grouped": advanced.q_hdr_quantiles_grouped,
@@ -1857,6 +1870,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT symbol, count(sell_price) AS n_pairs,
                    count(*) - count(sell_price) AS n_unmatched,
+                   round(avg(sell_price - buy_price), 6) AS avg_spread
+            FROM joined GROUP BY symbol ORDER BY symbol
+        """,
+        # batch equivalence of the watermarked FULL OUTER interval join:
+        # unmatched rows from BOTH sides flush via the sentinel-advanced
+        # watermark on bounded replay
+        "streaming_join_full_outer": f"""
+            WITH trades AS ({TRADES_CTE}),
+            buys AS (SELECT symbol, price, "timestamp" AS bt
+                     FROM trades WHERE side = 'B'),
+            sells AS (SELECT symbol, price, "timestamp" AS st
+                      FROM trades WHERE side = 'S'),
+            joined AS (
+                SELECT coalesce(b.symbol, s.symbol) AS symbol,
+                       b.price AS buy_price, s.price AS sell_price
+                FROM buys b FULL JOIN sells s
+                  ON b.symbol = s.symbol
+                 AND s.st >= b.bt AND s.st <= b.bt + 3600000000000
+            )
+            SELECT symbol,
+                   CAST(sum(CASE WHEN buy_price IS NOT NULL
+                                  AND sell_price IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+                   CAST(sum(CASE WHEN sell_price IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_buy_unmatched,
+                   CAST(sum(CASE WHEN buy_price IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_sell_unmatched,
                    round(avg(sell_price - buy_price), 6) AS avg_spread
             FROM joined GROUP BY symbol ORDER BY symbol
         """,

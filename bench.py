@@ -353,6 +353,15 @@ def main() -> None:
         ).save()
         if name in EXTRA_SETUP:
             setup_fn, cached = EXTRA_SETUP[name]
+            # cached=False: time the SECOND setup run — a cold first
+            # setup bundles JVM/codegen warm-up and over-attributes
+            # (r7: cluster_profile's cold setup measured LONGER than its
+            # warm query, recording op=0.0); the timed query re-pays the
+            # WARM setup, so that is the comparable number.  cached=True:
+            # a second run would be a cache hit (~0.1 s) and lose the
+            # build-cost information, so the single cold build stands.
+            if not cached:
+                setup_fn(spark, SF_DIR)
             t0 = time.perf_counter()
             setup_fn(spark, SF_DIR)
             t_setup = round(time.perf_counter() - t0, 4)

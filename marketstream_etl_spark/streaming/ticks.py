@@ -722,25 +722,14 @@ def file_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("symbol")
 
 
-def file_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join with watermark-driven state
-    eviction — the semantics Structured Streaming adds on top of the inner
-    join: a buy with no sell in its 1-hour horizon is emitted with NULL
-    sell columns once the watermark passes buy_time + 1h.
-
-    Outer rows only flush when a LATER microbatch runs with an advanced
-    watermark, so a bounded single-batch replay would silently degrade to
-    the inner join.  The fixture therefore unions a two-file SENTINEL
-    stream (far-future B and S rows, maxFilesPerTrigger=1): batch 1 drains
-    the real data plus sentinel file 1 (advancing both side's watermarks
+def _sentineled_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trades stream unioned with the two-file far-future SENTINEL
+    stream that drives watermark advancement for bounded outer-join
+    replay (shared by the left- and full-outer variants): batch 1 drains
+    the real data plus sentinel file 1 (advancing both sides' watermarks
     40 days past the real horizon), batch 2 processes sentinel file 2 and
-    flushes every unmatched real buy.  The sentinels themselves stay in
-    state (the watermark never passes their own horizon) and are excluded
-    from the result.
-
-    Scale: state is bounded by the watermark exactly as the inner join;
-    the sentinel trick is test-harness plumbing for bounded replay, not a
-    production requirement (a live stream always has a next batch)."""
+    flushes every unmatched real row.  The sentinels themselves stay in
+    state and are excluded from results by symbol."""
     import os
 
     from marketstream_etl_spark.plans.trades_view import trades_from_events
@@ -806,10 +795,31 @@ def file_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades = trades_from_events(events).select(
         "symbol", "price", "side", F.col("timestamp").alias("ts_ns")
     )
-    allt = trades.unionByName(sent).withColumn(
+    return trades.unionByName(sent).withColumn(
         "event_time", F.timestamp_micros(F.expr("ts_ns div 1000"))
     )
-    pairs = _interval_join(allt, "leftOuter")
+
+
+def file_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark-driven state
+    eviction — the semantics Structured Streaming adds on top of the inner
+    join: a buy with no sell in its 1-hour horizon is emitted with NULL
+    sell columns once the watermark passes buy_time + 1h.
+
+    Outer rows only flush when a LATER microbatch runs with an advanced
+    watermark, so a bounded single-batch replay would silently degrade to
+    the inner join.  The fixture therefore unions a two-file SENTINEL
+    stream (far-future B and S rows, maxFilesPerTrigger=1): batch 1 drains
+    the real data plus sentinel file 1 (advancing both side's watermarks
+    40 days past the real horizon), batch 2 processes sentinel file 2 and
+    flushes every unmatched real buy.  The sentinels themselves stay in
+    state (the watermark never passes their own horizon) and are excluded
+    from the result.
+
+    Scale: state is bounded by the watermark exactly as the inner join;
+    the sentinel trick is test-harness plumbing for bounded replay, not a
+    production requirement (a live stream always has a next batch)."""
+    pairs = _interval_join(_sentineled_trades(spark, sf_dir), "leftOuter")
     name = f"stream_join_outer_{abs(hash(sf_dir)) % 100000}"
     q = (
         pairs.writeStream.format("memory")
@@ -826,6 +836,50 @@ def file_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("sell_price").alias("n_pairs"),
             (F.count("*") - F.count("sell_price")).alias("n_unmatched"),
+            F.round(
+                F.avg(F.col("sell_price") - F.col("buy_price")), 6
+            ).alias("avg_spread"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def file_stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the outer-join
+    family (inner: streaming_join; left: streaming_join_outer): unmatched
+    BUYS flush with NULL sell columns AND unmatched SELLS flush with NULL
+    buy columns, each once the opposing side's watermark clears its match
+    horizon.  Same shared sentinel fixture advances both watermarks on
+    bounded replay; sentinels never match real rows (their symbols are
+    reserved) and are excluded from the report.
+
+    Output per symbol: (symbol, n_pairs, n_buy_unmatched,
+    n_sell_unmatched, avg_spread) — the two unmatched counts are exactly
+    the rows only a full-outer join can surface in one pass."""
+    pairs = _interval_join(_sentineled_trades(spark, sf_dir), "fullOuter")
+    name = f"stream_join_fullouter_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sym = F.coalesce(F.col("b_symbol"), F.col("s_symbol"))
+    matched = F.col("buy_price").isNotNull() & F.col("sell_price").isNotNull()
+    return (
+        spark.table(name)
+        .filter(~sym.isin("ZZB", "ZZS"))
+        .groupBy(sym.alias("symbol"))
+        .agg(
+            F.sum(matched.cast("long")).alias("n_pairs"),
+            F.sum(F.col("sell_price").isNull().cast("long")).alias(
+                "n_buy_unmatched"
+            ),
+            F.sum(F.col("buy_price").isNull().cast("long")).alias(
+                "n_sell_unmatched"
+            ),
             F.round(
                 F.avg(F.col("sell_price") - F.col("buy_price")), 6
             ).alias("avg_spread"),
