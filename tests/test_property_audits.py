@@ -100,3 +100,46 @@ def test_transition_rows_sum_to_one(spark, monkeypatch):
         # probs are rounded to 6 dp before summing: three 1/3 rows sum
         # to 0.999999, so the bound is per-row rounding error
         assert abs(s - 1.0) <= 5e-6
+
+
+def test_funnel_matches_bruteforce_on_random_journeys(spark, monkeypatch):
+    """Deterministic pseudo-random event journeys vs a brute-force Python
+    funnel: per-user in-order prefix reachability and the monotone
+    n1 >= n2 >= n3 invariant."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    # LCG so the corpus is reproducible without Python's random module
+    x, rows, eid = 42, [], 0
+    types = ["view", "click", "purchase", "signup", "error"]
+    journeys: dict[int, list[tuple[int, int, str]]] = {}
+    for user in range(40):
+        n = 1 + (user * 7) % 6
+        for i in range(n):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            ty = types[x % len(types)]
+            ts = 1000 + (x % 997)
+            rows.append((eid, user, ts, ty))
+            journeys.setdefault(user, []).append((ts, eid, ty))
+            eid += 1
+    ev = spark.createDataFrame(
+        [(e, u, t, ty, 1.0, "{}") for e, u, t, ty in rows],
+        ["event_id", "user_id", "ts", "event_type", "value", "props"],
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = {r["step"]: r["n_users"] for r in
+           adv.q_funnel_steps(spark, "x").collect()}
+
+    # brute force: scan each journey in (ts, event_id) order
+    n1 = n2 = n3 = 0
+    for evs in journeys.values():
+        seen1 = seen2 = seen3 = False
+        for _, _, ty in sorted(evs):
+            if ty == "view":
+                seen1 = True
+            elif ty == "click" and seen1:
+                seen2 = True
+            elif ty == "purchase" and seen2:
+                seen3 = True
+        n1 += seen1; n2 += seen2; n3 += seen3
+    assert (out[1], out[2], out[3]) == (n1, n2, n3)
+    assert out[1] >= out[2] >= out[3]
