@@ -269,6 +269,15 @@ def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_join(spark, sf_dir)
 
 
+def _stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Benford monitor: complete-mode 9-digit histogram state,
+    report via the shared batch fixed-point core — bit-identical to the
+    batch audit on bounded replay (reuses the benford_audit oracle)."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_benford
+
+    return file_stream_benford(spark, sf_dir)
+
+
 def _stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming PSI drift monitor: complete-mode (segment, bucket)
     histogram (bounded 2×10 state) drained into the shared fixed-point
@@ -494,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
         "streaming_psi": _stream_psi,
+        "streaming_benford": _stream_benford,
         "volume_bars": analytics.q_volume_bars,
         "purged_kfold": analytics.q_purged_kfold,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
@@ -1760,6 +1770,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming twin's final complete-mode state equals the batch
         # (segment, bucket) histogram, so it shares psi_drift's oracle
         "streaming_psi": advanced.psi_drift_sql(),
+        "streaming_benford": advanced.benford_audit_sql(),
         # volume bars: identical cumulative-volume bar ids and struct
         # open/close (first/last by (ts, trade_id) within the bar)
         "volume_bars": f"""

@@ -1103,6 +1103,14 @@ BENFORD_P = {  # repr(log10(1 + 1/d)) — identical literals on both engines
 BENFORD_CHI2_CRIT_FP = 15_507_000  # chi2(0.05, dof=8) = 15.507 in 1e-6 units
 
 
+def benford_digit_col(value_col: str = "o_totalprice") -> F.Column:
+    """Leading decimal digit via the BIGINT string (exact in both
+    engines — no float formatting, no log10 on data)."""
+    return F.substring(
+        F.floor(F.col(value_col)).cast("long").cast("string"), 1, 1
+    ).cast("int")
+
+
 def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law audit of orders.o_totalprice.
 
@@ -1115,14 +1123,18 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi-square sum) joined back onto the 9-row result — no window over
     the fact table, no driver collect."""
     orders = load_table(spark, sf_dir, "orders")
-    digit = F.substring(
-        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
-    ).cast("int")
     counts = (
         orders.filter(F.col("o_totalprice") >= 1.0)
-        .groupBy(digit.alias("digit"))
+        .groupBy(benford_digit_col().alias("digit"))
         .agg(F.count("*").alias("n_obs"))
     )
+    return benford_from_counts(spark, counts)
+
+
+def benford_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """Benford report from a (digit, n_obs) counts frame — the shared
+    core of the batch query and the streaming twin (whose final
+    complete-mode state is exactly such a counts frame)."""
     # digits spine: a missing digit still contributes (0-exp)^2/exp
     spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
     counts = (

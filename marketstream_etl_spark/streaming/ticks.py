@@ -888,6 +888,45 @@ def file_stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def file_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Benford first-digit monitor: the per-digit counts run as
+    a real complete-mode streaming aggregation (bounded state — 9
+    digits), and the chi-square report is computed from the drained
+    final state through the SAME fixed-point core as the batch query
+    (plans/advanced.benford_from_counts), so on bounded replay the
+    streamed verdict is bit-identical to the batch one.  The streaming
+    shape a live fraud/quality monitor uses: state is the 9-row digit
+    histogram no matter how many orders stream through."""
+    from marketstream_etl_spark.plans.advanced import (
+        benford_digit_col,
+        benford_from_counts,
+    )
+    from marketstream_etl_spark.sources.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    orders = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    counts_stream = (
+        orders.filter(F.col("o_totalprice") >= 1.0)
+        .groupBy(benford_digit_col().alias("digit"))
+        .agg(F.count("*").alias("n_obs"))
+    )
+    name = f"stream_benford_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        counts_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return benford_from_counts(spark, spark.table(name))
+
+
 def file_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming PSI drift monitor: the (segment, bucket) histogram runs
     as a real complete-mode streaming aggregation (bounded state —
