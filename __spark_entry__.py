@@ -269,6 +269,17 @@ def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_join(spark, sf_dir)
 
 
+def _stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD1 snapshot: foreachBatch MERGE-upsert of latest-per-
+    symbol rows into a parquet state table over a 4-batch replay; the
+    drained snapshot equals the batch argmax regardless of batch split."""
+    from marketstream_etl_spark.streaming.upsert import (
+        file_stream_upsert_snapshot,
+    )
+
+    return file_stream_upsert_snapshot(spark, sf_dir)
+
+
 def _stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Benford monitor: complete-mode 9-digit histogram state,
     report via the shared batch fixed-point core — bit-identical to the
@@ -504,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_efficiency": training_data.q_padding_efficiency,
         "streaming_psi": _stream_psi,
         "streaming_benford": _stream_benford,
+        "streaming_upsert": _stream_upsert,
         "volume_bars": analytics.q_volume_bars,
         "purged_kfold": analytics.q_purged_kfold,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
@@ -1771,6 +1783,22 @@ def oracle_sql() -> dict[str, str]:
         # (segment, bucket) histogram, so it shares psi_drift's oracle
         "streaming_psi": advanced.psi_drift_sql(),
         "streaming_benford": advanced.benford_audit_sql(),
+        # final SCD1 snapshot == latest trade per symbol by the canonical
+        # (ts, trade_id) order, regardless of micro-batch split
+        "streaming_upsert": f"""
+            WITH trades AS ({TRADES_CTE}),
+            ranked AS (
+                SELECT symbol, price, "timestamp" AS ts_ns, trade_id,
+                       row_number() OVER (
+                           PARTITION BY symbol
+                           ORDER BY "timestamp" DESC, trade_id DESC
+                       ) AS rn
+                FROM trades
+            )
+            SELECT symbol, price AS last_price, ts_ns AS last_ts_ns,
+                   trade_id AS last_trade_id
+            FROM ranked WHERE rn = 1 ORDER BY symbol
+        """,
         # volume bars: identical cumulative-volume bar ids and struct
         # open/close (first/last by (ts, trade_id) within the bar)
         "volume_bars": f"""
