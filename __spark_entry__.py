@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_benford": _stream_benford,
         "streaming_upsert": _stream_upsert,
         "volume_bars": analytics.q_volume_bars,
+        "candlestick_patterns": analytics.q_candlestick_patterns,
         "purged_kfold": analytics.q_purged_kfold,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
@@ -850,6 +851,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(volume) AS BIGINT) AS bar_volume,
                    count(*) AS n_trades
             FROM r GROUP BY symbol, bar ORDER BY symbol, bar
+        """,
+        # candlestick census over the same bars CTE shape as ohlc_bars;
+        # identical round-4 inputs, identical IEEE shape tests, lag() over
+        # the canonical (symbol, bar) order
+        "candlestick_patterns": f"""
+            WITH trades AS ({TRADES_CTE}),
+            r AS (
+                SELECT symbol, timestamp // 60000000000 AS bar, price, volume,
+                       row_number() OVER (PARTITION BY symbol,
+                                              timestamp // 60000000000
+                                          ORDER BY timestamp, trade_id) AS rn_a,
+                       row_number() OVER (PARTITION BY symbol,
+                                              timestamp // 60000000000
+                                          ORDER BY timestamp DESC,
+                                              trade_id DESC) AS rn_d
+                FROM trades
+            ),
+            bars AS (
+                SELECT symbol, bar,
+                       round(max(CASE WHEN rn_a = 1 THEN price END), 4)
+                           AS open,
+                       round(max(price), 4) AS high,
+                       round(min(price), 4) AS low,
+                       round(max(CASE WHEN rn_d = 1 THEN price END), 4)
+                           AS close
+                FROM r GROUP BY symbol, bar
+            ),
+            lagged AS (
+                SELECT *,
+                       lag(open) OVER w AS p_open,
+                       lag(close) OVER w AS p_close,
+                       abs(close - open) AS body,
+                       high - low AS rng,
+                       high - greatest(open, close) AS upper,
+                       least(open, close) - low AS lower
+                FROM bars
+                WINDOW w AS (PARTITION BY symbol ORDER BY bar)
+            )
+            SELECT symbol,
+                   count(*) AS n_bars,
+                   CAST(sum(CASE WHEN rng > 0 AND body <= rng * 0.1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+                   CAST(sum(CASE WHEN body > 0 AND lower >= body * 2
+                                  AND upper <= body
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_hammer,
+                   CAST(sum(CASE WHEN body > 0 AND upper >= body * 2
+                                  AND lower <= body
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_shooting_star,
+                   CAST(sum(CASE WHEN p_close < p_open AND close > open
+                                  AND open <= p_close AND close >= p_open
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bull_engulf,
+                   CAST(sum(CASE WHEN p_close > p_open AND close < open
+                                  AND open >= p_close AND close <= p_open
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bear_engulf
+            FROM lagged GROUP BY symbol ORDER BY symbol
         """,
         # minute-close co-movement; closes from the same rn_d ranking
         "pairwise_correlation": f"""

@@ -1126,3 +1126,86 @@ def q_microstructure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+# --- candlestick patterns ------------------------------------------------------
+# Classic single- and two-bar candlestick classification over the shared
+# 1-minute OHLC bars — the chartist screen every market terminal ships
+# (and the reference's domain, though it never built bars at all).
+#
+# Determinism: all shape tests are IEEE comparisons on the round-4 OHLC
+# values both engines already agree on (the ohlc_bars row is
+# hash-matched), and the two-bar patterns use lag() over the canonical
+# (symbol, bar) order, mirrored exactly in the oracle.
+
+def q_candlestick_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol candlestick pattern census over 1-minute bars.
+
+    Patterns: doji (body <= 10% of range), hammer (lower shadow >= 2x
+    body, upper <= body), shooting star (mirror), bullish/bearish
+    engulfing (current body engulfs the previous bar's opposite-sign
+    body, consecutive EXISTING bars via lag).
+
+    Output: (symbol, n_bars, n_doji, n_hammer, n_shooting_star,
+    n_bull_engulf, n_bear_engulf).
+
+    Scale: bars are ONE hash aggregate on (symbol, bar) (struct-key
+    open/close, no window over trades); the pattern window runs over the
+    minute-bounded bars frame partitioned by symbol — never the trade
+    stream."""
+    from pyspark.sql import Window
+
+    t = load_trades(spark, sf_dir, fan_out=True)
+    bars = (
+        t.withColumn("bar", F.expr("timestamp DIV 60000000000"))
+        .groupBy("symbol", "bar")
+        .agg(*_ohlc_aggs())
+    )
+    w = Window.partitionBy("symbol").orderBy("bar")
+    body = F.abs(F.col("close") - F.col("open"))
+    rng = F.col("high") - F.col("low")
+    upper = F.col("high") - F.greatest("open", "close")
+    lower = F.least("open", "close") - F.col("low")
+    flagged = bars.select(
+        "symbol",
+        "bar",
+        "open",
+        "close",
+        ((rng > 0) & (body <= rng * F.lit(0.1))).cast("int").alias("doji"),
+        ((body > 0) & (lower >= body * 2) & (upper <= body))
+        .cast("int")
+        .alias("hammer"),
+        ((body > 0) & (upper >= body * 2) & (lower <= body))
+        .cast("int")
+        .alias("shooting_star"),
+        F.lag("open").over(w).alias("p_open"),
+        F.lag("close").over(w).alias("p_close"),
+    )
+    bull = (
+        (F.col("p_close") < F.col("p_open"))  # previous bearish
+        & (F.col("close") > F.col("open"))  # current bullish
+        & (F.col("open") <= F.col("p_close"))
+        & (F.col("close") >= F.col("p_open"))
+    )
+    bear = (
+        (F.col("p_close") > F.col("p_open"))
+        & (F.col("close") < F.col("open"))
+        & (F.col("open") >= F.col("p_close"))
+        & (F.col("close") <= F.col("p_open"))
+    )
+    return (
+        flagged.groupBy("symbol")
+        .agg(
+            F.count("*").alias("n_bars"),
+            F.sum("doji").alias("n_doji"),
+            F.sum("hammer").alias("n_hammer"),
+            F.sum("shooting_star").alias("n_shooting_star"),
+            F.sum(F.coalesce(bull.cast("int"), F.lit(0))).alias(
+                "n_bull_engulf"
+            ),
+            F.sum(F.coalesce(bear.cast("int"), F.lit(0))).alias(
+                "n_bear_engulf"
+            ),
+        )
+        .orderBy("symbol")
+    )

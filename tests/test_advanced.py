@@ -471,3 +471,51 @@ def test_funnel_single_shuffle_plan(spark, sf_dir):
     )
     n_user_exchanges = plan.count("hashpartitioning(user_id")
     assert n_user_exchanges <= 2, plan  # window chain + groupBy reuse
+
+
+def test_candlestick_patterns_hand_computed(spark, monkeypatch):
+    """Constructed bars: bar1 doji (tiny body, wide range), bar2 bearish,
+    bar3 bullish engulfing bar2, bar4 hammer."""
+    import datetime as dt
+
+    from marketstream_etl_spark.plans import analytics as an
+
+    minute = 60_000_000_000
+    # (trade_id, bar_idx, price, role) — open/close by (ts, trade_id)
+    rows = []
+
+    def bar(idx, o, h, l, c):
+        base = idx * minute
+        rows.append((idx * 10 + 1, base + 1, o))
+        rows.append((idx * 10 + 2, base + 2, h))
+        rows.append((idx * 10 + 3, base + 3, l))
+        rows.append((idx * 10 + 4, base + 4, c))
+
+    bar(1, 10.0, 11.0, 9.0, 10.02)    # doji: body .02 <= .1*2.0
+    bar(2, 10.8, 10.9, 10.1, 10.2)    # bearish
+    bar(3, 10.1, 11.2, 10.0, 11.0)    # bullish engulfing of bar2
+    bar(4, 10.5, 10.55, 9.0, 10.45)   # hammer-ish: body .05, lower 1.45, upper .1
+    # upper (.1) > body (.05) -> NOT a hammer by the strict rule; make
+    # bar5 a clean hammer: open=close+0 shadow shapes
+    bar(5, 10.5, 10.52, 9.0, 10.48)   # body .02, upper .02<= body? .02<=.02 ok, lower 1.48>=.04
+
+    trades = spark.createDataFrame(
+        [(tid, ts, p) for tid, ts, p in rows],
+        ["trade_id", "timestamp", "price"],
+    ).selectExpr(
+        "trade_id", "timestamp", "'AAPL' AS symbol",
+        "price", "100 AS volume",
+    )
+    monkeypatch.setattr(
+        an, "load_trades", lambda sp, sf, fan_out=False: trades
+    )
+    out = an.q_candlestick_patterns(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_bars"] == 5
+    # bars 1, 4, 5 have body <= 10% of range; bars 4 and 5 additionally
+    # satisfy the hammer shadows (lower >= 2*body, upper <= body)
+    assert r["n_doji"] == 3
+    assert r["n_hammer"] == 2
+    assert r["n_bull_engulf"] == 1   # bar3 engulfs bar2
+    assert r["n_bear_engulf"] == 0
