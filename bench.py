@@ -96,6 +96,7 @@ EXTRAS = [
     "purged_kfold",
     "containment_pairs",
     "funnel_steps",
+    "candlestick_patterns",
 ]
 
 
