@@ -2070,3 +2070,102 @@ def funnel_steps_sql() -> str:
         )
         ORDER BY step
     """
+
+
+# --- k-anonymity audit -------------------------------------------------------
+# Data-governance screen: group the event log by its quasi-identifier
+# tuple and measure equivalence-class sizes.  A class with fewer than K
+# members re-identifies its users (the Sweeney k-anonymity criterion);
+# release pipelines run exactly this audit before sharing "anonymized"
+# event data.  Companion to pii_redaction (which scrubs direct
+# identifiers; this measures INDIRECT identifiability).
+
+K_ANON_K = 5
+K_ANON_VALUE_BUCKET = 50.0
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equivalence-class census over the quasi-identifier tuple
+    (event_type, value bucket, hour-of-day).
+
+    Output: one row per class-size band (1, 2-4, >=K) plus the totals —
+    (band, n_classes, n_rows, n_users, share_rows) with share fixed-
+    pointed; band '1' rows are unique fingerprints (worst), '>=K'
+    satisfies k-anonymity at K=5.
+
+    Scale: ONE hash aggregate on the quasi-identifier tuple (bounded by
+    the attribute cross-product, not row count), then a 3-row banding
+    aggregate — the fact table is scanned once, never windowed."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = [
+        F.col("event_type"),
+        F.floor(F.col("value") / F.lit(K_ANON_VALUE_BUCKET)).alias("vb"),
+        F.expr(f"(ts DIV {3_600_000_000_000}) % 24").alias("hod"),
+    ]
+    classes = ev.groupBy(*qi).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    band = (
+        F.when(F.col("n_rows") == 1, F.lit("1"))
+        .when(F.col("n_rows") < K_ANON_K, F.lit("2-4"))
+        .otherwise(F.lit(">=K"))
+    )
+    banded = (
+        classes.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_users").alias("n_users"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = banded.agg(F.sum("n_rows").alias("t"))
+    share = (
+        F.floor(
+            F.col("n_rows").cast("double") / F.col("t").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        banded.join(F.broadcast(total))
+        .select("band", "n_classes", "n_rows", "n_users",
+                share.alias("share_rows"))
+        .orderBy("band")
+    )
+
+
+def k_anonymity_sql() -> str:
+    """DuckDB replay: identical quasi-identifier buckets, bands and
+    fixed-point share.  events.ts is µs-precision TIMESTAMP in the
+    parquet; epoch ns = epoch_us * 1000 matches load_table's int64-ns
+    normalization."""
+    hod = "((CAST(epoch_us(ts) AS BIGINT) * 1000) // 3600000000000) % 24"
+    return f"""
+        WITH classes AS (
+            SELECT event_type,
+                   CAST(floor(value / CAST({K_ANON_VALUE_BUCKET} AS DOUBLE))
+                        AS BIGINT) AS vb,
+                   {hod} AS hod,
+                   count(*) AS n_rows,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2, 3
+        ),
+        banded AS (
+            SELECT CASE WHEN n_rows = 1 THEN '1'
+                        WHEN n_rows < {K_ANON_K} THEN '2-4'
+                        ELSE '>=K' END AS band,
+                   count(*) AS n_classes,
+                   CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                   CAST(sum(n_users) AS BIGINT) AS n_users
+            FROM classes GROUP BY 1
+        ),
+        total AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM banded)
+        SELECT band, n_classes, n_rows, n_users,
+               floor(n_rows::DOUBLE / t::DOUBLE * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS share_rows
+        FROM banded CROSS JOIN total
+        ORDER BY band
+    """
