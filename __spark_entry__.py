@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_entropy": training_data.q_source_entropy,
         "funnel_steps": advanced.q_funnel_steps,
         "k_anonymity": advanced.q_k_anonymity,
+        "l_diversity": advanced.q_l_diversity,
         "python_datasource": advanced.q_python_datasource,
         "zorder_skipping": advanced.q_zorder_skipping,
         "pattern_similarity": advanced.q_pattern_similarity,
@@ -1837,6 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         "session_transitions": advanced.session_transitions_sql(),
         "funnel_steps": advanced.funnel_steps_sql(),
         "k_anonymity": advanced.k_anonymity_sql(),
+        "l_diversity": advanced.l_diversity_sql(),
         "rolling_distinct_users": advanced.rolling_distinct_users_sql(),
         "lateness_audit": advanced.lateness_audit_sql(),
         "padding_efficiency": training_data.padding_efficiency_sql(),

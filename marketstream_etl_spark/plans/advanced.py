@@ -2169,3 +2169,90 @@ def k_anonymity_sql() -> str:
         FROM banded CROSS JOIN total
         ORDER BY band
     """
+
+
+L_DIV_L = 3
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census — k-anonymity's sibling: a class can be large
+    (k-anonymous) yet expose its members anyway if every row shares ONE
+    sensitive value (homogeneity attack).  Per quasi-identifier class
+    (the q_k_anonymity tuple) count DISTINCT sensitive values (the
+    props JSON 'k' attribute) and band: 1 distinct (attribute fully
+    disclosed), 2, >=L (satisfies l-diversity at L=3).
+
+    Output: (band, n_classes, n_rows, share_rows).
+
+    Scale: same single hash aggregate as q_k_anonymity with a distinct
+    count of the sensitive attribute riding it; the banding runs on the
+    bounded class frame."""
+    ev = load_table(spark, sf_dir, "events")
+    sensitive = F.get_json_object(F.col("props"), "$.k").cast("int")
+    classes = ev.groupBy(
+        F.col("event_type"),
+        F.floor(F.col("value") / F.lit(K_ANON_VALUE_BUCKET)).alias("vb"),
+        F.expr(f"(ts DIV {3_600_000_000_000}) % 24").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct(sensitive).alias("n_sensitive"),
+    )
+    band = (
+        F.when(F.col("n_sensitive") == 1, F.lit("1"))
+        .when(F.col("n_sensitive") < L_DIV_L, F.lit("2"))
+        .otherwise(F.lit(">=L"))
+    )
+    banded = (
+        classes.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = banded.agg(F.sum("n_rows").alias("t"))
+    share = (
+        F.floor(
+            F.col("n_rows").cast("double") / F.col("t").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        banded.join(F.broadcast(total))
+        .select("band", "n_classes", "n_rows", share.alias("share_rows"))
+        .orderBy("band")
+    )
+
+
+def l_diversity_sql() -> str:
+    """DuckDB replay: identical tuple, identical JSON extraction
+    (json_extract of the 'k' int), identical bands."""
+    hod = "((CAST(epoch_us(ts) AS BIGINT) * 1000) // 3600000000000) % 24"
+    return f"""
+        WITH classes AS (
+            SELECT event_type,
+                   CAST(floor(value / CAST({K_ANON_VALUE_BUCKET} AS DOUBLE))
+                        AS BIGINT) AS vb,
+                   {hod} AS hod,
+                   count(*) AS n_rows,
+                   count(DISTINCT CAST(json_extract_string(props, '$.k')
+                                       AS INTEGER)) AS n_sensitive
+            FROM events GROUP BY 1, 2, 3
+        ),
+        banded AS (
+            SELECT CASE WHEN n_sensitive = 1 THEN '1'
+                        WHEN n_sensitive < {L_DIV_L} THEN '2'
+                        ELSE '>=L' END AS band,
+                   count(*) AS n_classes,
+                   CAST(sum(n_rows) AS BIGINT) AS n_rows
+            FROM classes GROUP BY 1
+        ),
+        total AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM banded)
+        SELECT band, n_classes, n_rows,
+               floor(n_rows::DOUBLE / t::DOUBLE * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS share_rows
+        FROM banded CROSS JOIN total
+        ORDER BY band
+    """
