@@ -1192,11 +1192,14 @@ def hll_set_ops(docs: DataFrame) -> DataFrame:
         "source", est_e4(F.col("fr"), F.col("t_filled")).alias("e4")
     )
     # bounded pair frame: |sources| is small by construction (crawl
-    # feeds); the < self-join is nested-loop over a tiny dimension
+    # feeds); broadcasting one side makes the < self-join a
+    # BroadcastNestedLoopJoin rather than a single-partition
+    # CartesianProduct (same row count, but the work distributes — the
+    # registry-wide plan_smells scan flags bare cartesians)
     srcs = per_est.select("source")
     sp = (
         srcs.alias("a")
-        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .join(F.broadcast(srcs.alias("b")), F.col("a.source") < F.col("b.source"))
         .select(
             F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
         )

