@@ -38,6 +38,7 @@ from marketstream_etl_spark.operators import sketch as _sketch
 from marketstream_etl_spark.operators import winnow as _winnow
 from marketstream_etl_spark.operators import text as _text
 from marketstream_etl_spark.plans import advanced, analytics, tpch, training_data
+from marketstream_etl_spark.operators import changepoint as _changepoint
 from marketstream_etl_spark.plans.trades_view import TRADES_CTE
 from marketstream_etl_spark.sources.pyds import N_ROWS_DEFAULT as _tradegen_n
 from marketstream_etl_spark.sources.pyds import tradegen_oracle_cte as _tradegen_cte
@@ -520,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert": _stream_upsert,
         "volume_bars": analytics.q_volume_bars,
         "candlestick_patterns": analytics.q_candlestick_patterns,
+        "cusum_changepoints": analytics.q_cusum_changepoints,
         "purged_kfold": analytics.q_purged_kfold,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
@@ -1838,6 +1840,9 @@ def oracle_sql() -> dict[str, str]:
         "session_transitions": advanced.session_transitions_sql(),
         "funnel_steps": advanced.funnel_steps_sql(),
         "k_anonymity": advanced.k_anonymity_sql(),
+        "cusum_changepoints": _changepoint.cusum_changepoints_sql().format(
+            TRADES_CTE=TRADES_CTE
+        ),
         "l_diversity": advanced.l_diversity_sql(),
         "rolling_distinct_users": advanced.rolling_distinct_users_sql(),
         "lateness_audit": advanced.lateness_audit_sql(),

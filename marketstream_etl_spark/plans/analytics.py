@@ -1209,3 +1209,16 @@ def q_candlestick_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point alarms per symbol (operators/changepoint.py):
+    the batch applyInPandas escape hatch — the alarm-reset recursion is
+    not prefix-sum decomposable, so each symbol's bounded bar series
+    runs through an Arrow-batched pandas loop in exact int64 fixed-point
+    and a DuckDB RECURSIVE CTE replays it bit-for-bit."""
+    from marketstream_etl_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+
+    return cusum_changepoints(load_trades(spark, sf_dir, fan_out=True))
