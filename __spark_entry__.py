@@ -3340,10 +3340,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # stream-stream interval join on bounded replay == batch range join;
         # event times are µs-truncated ns, so the 1h bound is 3600e9 ns
+        # avg from an exact e6 fixed-point per-pair sum (order-independent
+        # — mirrors the foreachBatch additive accumulator)
         "streaming_join": f"""
             WITH trades AS ({TRADES_CTE})
             SELECT b.symbol AS symbol, count(*) AS n_pairs,
-                   round(avg(s.price - b.price), 6) AS avg_spread
+                   round(sum(CAST(floor((s.price - b.price) * 1e6
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                             )::DOUBLE / count(*) / 1e6, 6) AS avg_spread
             FROM trades b
             JOIN trades s
               ON b.symbol = s.symbol AND b.side = 'B' AND s.side = 'S'

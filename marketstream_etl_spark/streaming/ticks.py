@@ -360,33 +360,75 @@ def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     so state is evictable and the plan runs on an unbounded stream; on
     bounded replay (availableNow) the appended output equals the batch
     interval join, which makes the whole stateful-join machinery
-    oracle-checkable.  The joined pairs are aggregated per symbol in a
-    follow-up batch step over the sink table (small result presentation,
-    not part of the streaming state)."""
+    oracle-checkable.
+
+    The matched pairs are REDUCED INSIDE foreachBatch (per-symbol count +
+    exact e6 fixed-point spread sum — additive partials merged into a
+    |symbols|-row parquet accumulator), so no pair set is ever
+    materialized driver-side: the r7 posture fix for the one streaming
+    family whose memory-sink result grows with data (pair volume at
+    sf0.1 is already millions of rows; at 100x the old sink is a driver
+    OOM).  Fixed-pointing each spread BEFORE the sum also makes the
+    average order-independent — float-sum determinism courtesy."""
+    import os
+    import shutil
+
     from marketstream_etl_spark.plans.trades_view import trades_from_events
+    from marketstream_etl_spark.sources.tables import warehouse_path
 
     events = stream_events(spark, sf_dir)
     trades = trades_from_events(events).withColumn(
         "event_time", F.timestamp_micros(F.expr("timestamp div 1000"))
     )
     pairs = _interval_join(trades, "inner")
-    name = f"stream_join_{abs(hash(sf_dir)) % 100000}"
+    acc_dir = warehouse_path(spark, "join_acc", sf_dir) + "_run"
+    shutil.rmtree(acc_dir, ignore_errors=True)
+    shutil.rmtree(acc_dir + "_ck", ignore_errors=True)
+
+    def agg_batch(batch, _bid: int) -> None:
+        part = batch.groupBy(F.col("b_symbol").alias("symbol")).agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.floor(
+                    (F.col("sell_price") - F.col("buy_price")) * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("spread_sum_fp"),
+        )
+        if os.path.exists(os.path.join(acc_dir, "_SUCCESS")):
+            cur = batch.sparkSession.read.parquet(acc_dir)
+            part = (
+                cur.unionByName(part)
+                .groupBy("symbol")
+                .agg(
+                    F.sum("n_pairs").alias("n_pairs"),
+                    F.sum("spread_sum_fp").alias("spread_sum_fp"),
+                )
+            )
+        # |symbols| rows — eager checkpoint cuts lineage before overwrite
+        part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            acc_dir
+        )
+
     q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
+        pairs.writeStream.foreachBatch(agg_batch)
+        .option("checkpointLocation", acc_dir + "_ck")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(acc_dir + "_ck", ignore_errors=True)
     return (
-        spark.table(name)
-        .groupBy(F.col("b_symbol").alias("symbol"))
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.round(F.avg(F.col("sell_price") - F.col("buy_price")), 6).alias(
-                "avg_spread"
-            ),
+        spark.read.parquet(acc_dir)
+        .select(
+            "symbol",
+            "n_pairs",
+            F.round(
+                F.col("spread_sum_fp").cast("double")
+                / F.col("n_pairs").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("avg_spread"),
         )
         .orderBy("symbol")
     )
