@@ -1977,7 +1977,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT symbol, count(sell_price) AS n_pairs,
                    count(*) - count(sell_price) AS n_unmatched,
-                   round(avg(sell_price - buy_price), 6) AS avg_spread
+                   CASE WHEN count(sell_price) > 0 THEN
+                        round(sum(CAST(floor((sell_price - buy_price) * 1e6
+                                   + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                                  )::DOUBLE / count(sell_price) / 1e6, 6)
+                   END AS avg_spread
             FROM joined GROUP BY symbol ORDER BY symbol
         """,
         # batch equivalence of the watermarked FULL OUTER interval join:
@@ -2006,7 +2010,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN buy_price IS NULL
                             THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_sell_unmatched,
-                   round(avg(sell_price - buy_price), 6) AS avg_spread
+                   CASE WHEN count(sell_price - buy_price) > 0 THEN
+                        round(sum(CAST(floor((sell_price - buy_price) * 1e6
+                                   + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                                  )::DOUBLE
+                              / count(sell_price - buy_price) / 1e6, 6)
+                   END AS avg_spread
             FROM joined GROUP BY symbol ORDER BY symbol
         """,
         "hybrid_search_rrf": _fusion.hybrid_search_rrf_sql(),

@@ -381,29 +381,80 @@ def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_time", F.timestamp_micros(F.expr("timestamp div 1000"))
     )
     pairs = _interval_join(trades, "inner")
-    acc_dir = warehouse_path(spark, "join_acc", sf_dir) + "_run"
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(F.col("b_symbol").alias("symbol")).agg(
+            F.count("*").alias("n_pairs"),
+            _spread_sum_fp().alias("spread_sum_fp"),
+        )
+
+    acc = _accumulate_stream(
+        spark, sf_dir, pairs, "join_acc", partial,
+        ["n_pairs", "spread_sum_fp"],
+    )
+    return (
+        acc.select(
+            "symbol",
+            "n_pairs",
+            _avg_from_fp("spread_sum_fp", "n_pairs").alias("avg_spread"),
+        )
+        .orderBy("symbol")
+    )
+
+
+def _spread_sum_fp() -> F.Column:
+    """Exact e6 fixed-point per-pair spread sum (order-independent;
+    NULL sells from outer joins are skipped by sum's null semantics)."""
+    return F.sum(
+        F.floor(
+            (F.col("sell_price") - F.col("buy_price")) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+
+
+def _avg_from_fp(sum_col: str, n_col: str) -> F.Column:
+    return F.when(
+        F.col(n_col) > 0,
+        F.round(
+            F.col(sum_col).cast("double")
+            / F.col(n_col).cast("double")
+            / F.lit(1e6),
+            6,
+        ),
+    )
+
+
+def _accumulate_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_df: DataFrame,
+    label: str,
+    partial_fn,
+    sum_cols: list[str],
+) -> DataFrame:
+    """foreachBatch additive accumulator: reduce each micro-batch to
+    per-symbol partials and merge them (sum) into a |symbols|-row parquet
+    table — the production alternative to a memory sink whose row count
+    grows with data (at sf0.1 the interval joins already emit millions of
+    pairs; at 100x a driver-side sink is an OOM)."""
+    import os
+    import shutil
+
+    from marketstream_etl_spark.sources.tables import warehouse_path
+
+    acc_dir = warehouse_path(spark, label, sf_dir) + "_run"
     shutil.rmtree(acc_dir, ignore_errors=True)
     shutil.rmtree(acc_dir + "_ck", ignore_errors=True)
 
-    def agg_batch(batch, _bid: int) -> None:
-        part = batch.groupBy(F.col("b_symbol").alias("symbol")).agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(
-                F.floor(
-                    (F.col("sell_price") - F.col("buy_price")) * F.lit(1e6)
-                    + F.lit(0.5)
-                ).cast("long")
-            ).alias("spread_sum_fp"),
-        )
+    def agg_batch(batch: DataFrame, _bid: int) -> None:
+        part = partial_fn(batch)
         if os.path.exists(os.path.join(acc_dir, "_SUCCESS")):
             cur = batch.sparkSession.read.parquet(acc_dir)
             part = (
                 cur.unionByName(part)
                 .groupBy("symbol")
-                .agg(
-                    F.sum("n_pairs").alias("n_pairs"),
-                    F.sum("spread_sum_fp").alias("spread_sum_fp"),
-                )
+                .agg(*[F.sum(c).alias(c) for c in sum_cols])
             )
         # |symbols| rows — eager checkpoint cuts lineage before overwrite
         part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
@@ -411,27 +462,14 @@ def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     q = (
-        pairs.writeStream.foreachBatch(agg_batch)
+        stream_df.writeStream.foreachBatch(agg_batch)
         .option("checkpointLocation", acc_dir + "_ck")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     shutil.rmtree(acc_dir + "_ck", ignore_errors=True)
-    return (
-        spark.read.parquet(acc_dir)
-        .select(
-            "symbol",
-            "n_pairs",
-            F.round(
-                F.col("spread_sum_fp").cast("double")
-                / F.col("n_pairs").cast("double")
-                / F.lit(1e6),
-                6,
-            ).alias("avg_spread"),
-        )
-        .orderBy("symbol")
-    )
+    return spark.read.parquet(acc_dir)
 
 
 def socket_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,25 +900,28 @@ def file_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sentinel trick is test-harness plumbing for bounded replay, not a
     production requirement (a live stream always has a next batch)."""
     pairs = _interval_join(_sentineled_trades(spark, sf_dir), "leftOuter")
-    name = f"stream_join_outer_{abs(hash(sf_dir)) % 100000}"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return (
+            batch.filter(~F.col("b_symbol").isin("ZZB", "ZZS"))
+            .groupBy(F.col("b_symbol").alias("symbol"))
+            .agg(
+                F.count("sell_price").alias("n_pairs"),
+                (F.count("*") - F.count("sell_price")).alias("n_unmatched"),
+                _spread_sum_fp().alias("spread_sum_fp"),
+            )
+        )
+
+    acc = _accumulate_stream(
+        spark, sf_dir, pairs, "join_outer_acc", partial,
+        ["n_pairs", "n_unmatched", "spread_sum_fp"],
     )
-    q.awaitTermination()
     return (
-        spark.table(name)
-        .filter(~F.col("b_symbol").isin("ZZB", "ZZS"))
-        .groupBy(F.col("b_symbol").alias("symbol"))
-        .agg(
-            F.count("sell_price").alias("n_pairs"),
-            (F.count("*") - F.count("sell_price")).alias("n_unmatched"),
-            F.round(
-                F.avg(F.col("sell_price") - F.col("buy_price")), 6
-            ).alias("avg_spread"),
+        acc.select(
+            "symbol",
+            "n_pairs",
+            "n_unmatched",
+            _avg_from_fp("spread_sum_fp", "n_pairs").alias("avg_spread"),
         )
         .orderBy("symbol")
     )
@@ -899,32 +940,36 @@ def file_stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_sell_unmatched, avg_spread) — the two unmatched counts are exactly
     the rows only a full-outer join can surface in one pass."""
     pairs = _interval_join(_sentineled_trades(spark, sf_dir), "fullOuter")
-    name = f"stream_join_fullouter_{abs(hash(sf_dir)) % 100000}"
-    q = (
-        pairs.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     sym = F.coalesce(F.col("b_symbol"), F.col("s_symbol"))
     matched = F.col("buy_price").isNotNull() & F.col("sell_price").isNotNull()
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return (
+            batch.filter(~sym.isin("ZZB", "ZZS"))
+            .groupBy(sym.alias("symbol"))
+            .agg(
+                F.sum(matched.cast("long")).alias("n_pairs"),
+                F.sum(F.col("sell_price").isNull().cast("long")).alias(
+                    "n_buy_unmatched"
+                ),
+                F.sum(F.col("buy_price").isNull().cast("long")).alias(
+                    "n_sell_unmatched"
+                ),
+                _spread_sum_fp().alias("spread_sum_fp"),
+            )
+        )
+
+    acc = _accumulate_stream(
+        spark, sf_dir, pairs, "join_fullouter_acc", partial,
+        ["n_pairs", "n_buy_unmatched", "n_sell_unmatched", "spread_sum_fp"],
+    )
     return (
-        spark.table(name)
-        .filter(~sym.isin("ZZB", "ZZS"))
-        .groupBy(sym.alias("symbol"))
-        .agg(
-            F.sum(matched.cast("long")).alias("n_pairs"),
-            F.sum(F.col("sell_price").isNull().cast("long")).alias(
-                "n_buy_unmatched"
-            ),
-            F.sum(F.col("buy_price").isNull().cast("long")).alias(
-                "n_sell_unmatched"
-            ),
-            F.round(
-                F.avg(F.col("sell_price") - F.col("buy_price")), 6
-            ).alias("avg_spread"),
+        acc.select(
+            "symbol",
+            "n_pairs",
+            "n_buy_unmatched",
+            "n_sell_unmatched",
+            _avg_from_fp("spread_sum_fp", "n_pairs").alias("avg_spread"),
         )
         .orderBy("symbol")
     )
