@@ -693,21 +693,15 @@ def file_stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_copy", F.explode(F.array(F.lit(1), F.lit(2)))
     ).drop("_copy")
     deduped = doubled.dropDuplicates(["trade_id"])
-    name = f"stream_dedup_{abs(hash(sf_dir)) % 100000}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+
+    # reduce inside foreachBatch — see file_stream_dedup_watermarked
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("symbol").agg(F.count("*").alias("n_trades"))
+
+    acc = _accumulate_stream(
+        spark, sf_dir, deduped, "dedup_acc", partial, ["n_trades"]
     )
-    q.awaitTermination()
-    return (
-        spark.table(name)
-        .groupBy("symbol")
-        .agg(F.count("*").alias("n_trades"))
-        .orderBy("symbol")
-    )
+    return acc.select("symbol", "n_trades").orderBy("symbol")
 
 
 def file_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,21 +731,17 @@ def file_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
         .withWatermark("event_time", "1 hour")
         .dropDuplicatesWithinWatermark(["trade_id"])
     )
-    name = f"stream_dedup_wm_{abs(hash(sf_dir)) % 100000}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # the deduped stream's ROW volume grows with data — reduce inside
+    # foreachBatch (each unique row is emitted exactly once across
+    # batches, so per-symbol counts merge additively) instead of
+    # materializing the rows in a driver-side memory sink
+    def partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("symbol").agg(F.count("*").alias("n_trades"))
+
+    acc = _accumulate_stream(
+        spark, sf_dir, deduped, "dedup_wm_acc", partial, ["n_trades"]
     )
-    q.awaitTermination()
-    return (
-        spark.table(name)
-        .groupBy("symbol")
-        .agg(F.count("*").alias("n_trades"))
-        .orderBy("symbol")
-    )
+    return acc.select("symbol", "n_trades").orderBy("symbol")
 
 
 def file_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
