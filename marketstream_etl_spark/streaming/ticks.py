@@ -370,11 +370,7 @@ def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 is already millions of rows; at 100x the old sink is a driver
     OOM).  Fixed-pointing each spread BEFORE the sum also makes the
     average order-independent — float-sum determinism courtesy."""
-    import os
-    import shutil
-
     from marketstream_etl_spark.plans.trades_view import trades_from_events
-    from marketstream_etl_spark.sources.tables import warehouse_path
 
     events = stream_events(spark, sf_dir)
     trades = trades_from_events(events).withColumn(
@@ -434,11 +430,13 @@ def _accumulate_stream(
     sum_cols: list[str],
 ) -> DataFrame:
     """foreachBatch additive accumulator: reduce each micro-batch to
-    per-symbol partials and merge them (sum) into a |symbols|-row parquet
-    table — the production alternative to a memory sink whose row count
-    grows with data (at sf0.1 the interval joins already emit millions of
+    per-symbol partials and write each partial to a per-batch_id
+    subdirectory (idempotent — a foreachBatch re-execution for the same
+    batch_id just overwrites its own subdirectory, never double-counts),
+    then sum the partials at drain time into a |symbols|-row result —
+    the production alternative to a memory sink whose row count grows
+    with data (at sf0.1 the interval joins already emit millions of
     pairs; at 100x a driver-side sink is an OOM)."""
-    import os
     import shutil
 
     from marketstream_etl_spark.sources.tables import warehouse_path
@@ -447,18 +445,13 @@ def _accumulate_stream(
     shutil.rmtree(acc_dir, ignore_errors=True)
     shutil.rmtree(acc_dir + "_ck", ignore_errors=True)
 
-    def agg_batch(batch: DataFrame, _bid: int) -> None:
-        part = partial_fn(batch)
-        if os.path.exists(os.path.join(acc_dir, "_SUCCESS")):
-            cur = batch.sparkSession.read.parquet(acc_dir)
-            part = (
-                cur.unionByName(part)
-                .groupBy("symbol")
-                .agg(*[F.sum(c).alias(c) for c in sum_cols])
-            )
-        # |symbols| rows — eager checkpoint cuts lineage before overwrite
-        part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            acc_dir
+    def agg_batch(batch: DataFrame, bid: int) -> None:
+        # One subdirectory per batch_id: mode("overwrite") on the SAME
+        # path makes replays of a given micro-batch exactly-once without
+        # ever reading previous state back (no read-modify-write race,
+        # no reliance on localCheckpoint surviving executor loss).
+        partial_fn(batch).write.mode("overwrite").parquet(
+            f"{acc_dir}/batch_id={bid}"
         )
 
     q = (
@@ -469,7 +462,14 @@ def _accumulate_stream(
     )
     q.awaitTermination()
     shutil.rmtree(acc_dir + "_ck", ignore_errors=True)
-    return spark.read.parquet(acc_dir)
+    # Drain-time merge: partials are additive, so the final state is one
+    # bounded groupBy over (|symbols| x n_batches) rows.  Partition
+    # discovery on the base dir picks up every batch_id=N subdirectory.
+    return (
+        spark.read.parquet(acc_dir)
+        .groupBy("symbol")
+        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    )
 
 
 def socket_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:

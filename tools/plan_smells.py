@@ -23,9 +23,12 @@ SF_DIR = "/root/testdata/sf0.01"
 
 # query -> reason the flagged node is bounded (reviewed)
 WHITELIST: dict[str, str] = {
-    # 1-row/bounded frames crossed on purpose are matched by the
-    # "broadcast" exemption below, so the whitelist stays empty unless a
-    # genuinely-bounded non-broadcast case appears.
+    # 1-row/bounded frames crossed on purpose compile to
+    # BroadcastNestedLoopJoin, whose node name does not contain the
+    # "CartesianProduct" substring this scanner matches — they are
+    # inherently unmatched, not exempted by any code below.  The
+    # whitelist stays empty unless a genuinely-bounded plan that
+    # actually compiles to CartesianProduct appears.
 }
 
 
