@@ -234,3 +234,43 @@ def clear(op: str | None = None) -> None:
     for o in ops:
         for frames, _, _ in _GENERATIONS.pop(o, OrderedDict()).values():
             _unpersist_all(frames)
+    obj_ops = [op] if op is not None else list(_OBJ_GENERATIONS)
+    for o in obj_ops:
+        _OBJ_GENERATIONS.pop(o, None)
+
+
+# --- driver-side object generations -----------------------------------
+# Same generation discipline for BOUNDED driver-side artifacts that are
+# plain Python values rather than persisted frames: a trained k-means
+# codebook ({cid: centroid}, k×dim floats), a PQ codebook, a fitted
+# vocabulary.  These are deterministic functions of (input-data identity,
+# hyperparameters), so the composite key is (cache_key(input_df), params);
+# an in-place input rewrite changes cache_key and lands on a new
+# generation exactly like the frame cache.  No unpersist is needed —
+# eviction is plain dict removal — but capacity stays GENERATIONS_PER_
+# FAMILY so a session alternating two corpora never thrashes.
+
+_OBJ_GENERATIONS: dict[str, OrderedDict[tuple, object]] = {}
+
+
+def obj_lookup(op: str, key: tuple) -> object | None:
+    """Family `op`'s driver-side artifact for `key` (None on miss).
+    Keys containing the UNVERIFIABLE input marker are never served —
+    same correct-but-cold degradation as the frame cache."""
+    if _UNVERIFIABLE in key:
+        return None
+    gens = _OBJ_GENERATIONS.get(op)
+    if gens is None or key not in gens:
+        return None
+    gens.move_to_end(key)
+    return gens[key]
+
+
+def obj_rotate(op: str, key: tuple, value: object) -> None:
+    """Install `value` as family `op`'s artifact for `key`, evicting
+    LRU generations beyond capacity."""
+    gens = _OBJ_GENERATIONS.setdefault(op, OrderedDict())
+    gens[key] = value
+    gens.move_to_end(key)
+    while len(gens) > GENERATIONS_PER_FAMILY:
+        gens.popitem(last=False)

@@ -105,3 +105,25 @@ def test_unverifiable_input_never_serves_cache():
     # a repeat rotate under the sentinel unpersists the orphaned frames
     cachegen.rotate("fam", cachegen._UNVERIFIABLE, [f2])
     assert f1.unpersisted and not f2.unpersisted
+
+
+def test_obj_cache_roundtrip_and_lru():
+    cachegen.obj_rotate("cb", (1, 16), {"a": 1})
+    cachegen.obj_rotate("cb", (2, 16), {"b": 2})
+    assert cachegen.obj_lookup("cb", (1, 16)) == {"a": 1}  # refresh 1
+    cachegen.obj_rotate("cb", (3, 16), {"c": 3})  # evicts (2,16), the LRU
+    assert cachegen.obj_lookup("cb", (2, 16)) is None
+    assert cachegen.obj_lookup("cb", (1, 16)) == {"a": 1}
+    assert cachegen.obj_lookup("cb", (3, 16)) == {"c": 3}
+
+
+def test_obj_cache_unverifiable_key_never_served():
+    key = (cachegen._UNVERIFIABLE, 16)
+    cachegen.obj_rotate("cb", key, {"x": 1})
+    assert cachegen.obj_lookup("cb", key) is None
+
+
+def test_obj_cache_cleared_with_families():
+    cachegen.obj_rotate("cb", (9,), {"z": 1})
+    cachegen.clear()
+    assert cachegen.obj_lookup("cb", (9,)) is None

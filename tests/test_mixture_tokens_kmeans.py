@@ -167,3 +167,26 @@ def test_edit_distance_dedup_finds_typo_pair(spark, tmp_path):
     rows = q_dedup_edit_distance(spark, str(tmp_path)).collect()
     assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
     assert rows[0].edit_dist == 1
+
+
+def test_kmeans_fit_memo_hits_and_is_mutation_safe(spark):
+    """The trained codebook is generation-cached (r8): a second fit over
+    the same corpus returns an EQUAL codebook without re-running the
+    Lloyd's rounds, and mutating a returned codebook must not poison the
+    memo (defensive copies both ways)."""
+    from marketstream_etl_spark.functions import cachegen
+
+    cachegen.clear("kmeans_codebook")
+    emb = _load_emb(spark)
+    first = similarity.kmeans_fit(emb)
+    assert cachegen.obj_lookup is not None
+    # memo is populated: the second call must hit it
+    fams = cachegen._OBJ_GENERATIONS.get("kmeans_codebook")
+    assert fams and len(fams) == 1
+    second = similarity.kmeans_fit(emb)
+    assert first == second
+    # caller-side mutation must not leak into the memoized artifact
+    second[0][0] = 999.0
+    third = similarity.kmeans_fit(emb)
+    assert third == first
+    assert third[0][0] != 999.0
