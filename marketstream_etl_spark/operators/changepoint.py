@@ -104,10 +104,16 @@ def cusum_changepoints(trades: DataFrame) -> DataFrame:
 def cusum_changepoints_sql() -> str:
     """DuckDB replay: a RECURSIVE CTE walks each symbol's bar sequence
     carrying the two CUSUM accumulators, alarm counters, and first-alarm
-    marker — identical int64 arithmetic at every step."""
+    marker — identical int64 arithmetic at every step.
+
+    The pre-recursion CTEs are AS MATERIALIZED: without the hint DuckDB
+    inlines them into the recursive leg, re-evaluating the full trades
+    parse + bar aggregation on EVERY one of the ~2000 iterations
+    (measured 64s at sf0.01; materialized: ~4s — the recursion then
+    joins a tiny (symbol, rn, close_e4) frame per step)."""
     return f"""
         WITH RECURSIVE trades AS ({{TRADES_CTE}}),
-        bars0 AS (
+        bars0 AS MATERIALIZED (
             SELECT symbol, "timestamp" // 60000000000 AS bar, price,
                    row_number() OVER (PARTITION BY symbol,
                                           "timestamp" // 60000000000
@@ -115,20 +121,20 @@ def cusum_changepoints_sql() -> str:
                                           trade_id DESC) AS rn_d
             FROM trades
         ),
-        bars AS (
+        bars AS MATERIALIZED (
             SELECT symbol, bar,
                    CAST(floor(round(max(CASE WHEN rn_d = 1 THEN price END),
                                     4) * 1e4 + CAST(0.5 AS DOUBLE))
                         AS BIGINT) AS close_e4
             FROM bars0 GROUP BY symbol, bar
         ),
-        seq AS (
+        seq AS MATERIALIZED (
             SELECT symbol, bar, close_e4,
                    row_number() OVER (PARTITION BY symbol
                                       ORDER BY bar) AS rn
             FROM bars
         ),
-        params AS (
+        params AS MATERIALIZED (
             SELECT symbol,
                    count(*) AS n_bars,
                    CAST(sum(close_e4) // count(*) AS BIGINT) AS mean_e4
