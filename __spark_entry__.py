@@ -399,7 +399,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rsi_signals": analytics.q_rsi_signals,
         "parquet_sink_roundtrip": analytics.q_parquet_sink_roundtrip,
         "parallel_jdbc_roundtrip": analytics.q_parallel_jdbc_roundtrip,  # S9
-        "ohlc_bars": analytics.q_ohlc_bars,
+        # r8 rotation (r7 VERDICT item 3): seven rows that had never held
+        # a driver slot take the gate.  IN: volume_bars + candlestick_
+        # patterns (event-driven bar sampling + OHLC pattern flags),
+        # cusum_changepoints (sequential change detection; also keeps a
+        # pandas-path row in-gate after udaf_vwap rotates out),
+        # purged_kfold (leakage-safe time-series CV splits), k_anonymity
+        # (privacy audit family, previously ungated), funnel_steps
+        # (ordered sequence statistics), streaming_join_full_outer (emits
+        # BOTH sides' watermark-evicted unmatched rows — strictly
+        # subsumes the left-outer row it replaces).  OUT (all long-green,
+        # family kept in-gate, still check_oracle-verified locally):
+        # ohlc_bars (bar family held by volume_bars/candlestick/
+        # streaming_ohlc), benford_audit (audit family by psi_drift +
+        # key_skew_profile), attribution_touch + session_transitions
+        # (behavioral-sequence family by funnel_steps), udaf_vwap (A4 by
+        # indicators' VWAP; pandas surface by cusum + multimodal),
+        # weighted_reservoir (X10/sampling by generator_invariants +
+        # purged_kfold), streaming_join_outer (subsumed as above).
+        "volume_bars": analytics.q_volume_bars,
+        "candlestick_patterns": analytics.q_candlestick_patterns,
         # --- streaming (real Structured Streaming runs; ST1-ST7) — 12 ---
         "streaming_counts": _stream_counts,
         "streaming_windowed": _stream_windowed,
@@ -410,12 +429,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_websocket": _stream_websocket,
         "streaming_dedup_watermarked": _stream_dedup_watermarked,
         "streaming_anomaly": _stream_anomaly,
-        # late-r6 rotation: the LEFT OUTER interval join takes the inner
-        # join's slot — it emits the same matched pairs PLUS the
-        # watermark-evicted unmatched rows, so the row strictly subsumes
-        # the inner semantics; streaming_join stays below the fold,
-        # check_oracle-verified locally (driver-green r2-r5)
-        "streaming_join_outer": _stream_join_outer,
+        # r8: the FULL OUTER interval join takes the outer join's slot —
+        # it emits matched pairs PLUS watermark-evicted unmatched rows
+        # from BOTH sides, strictly subsuming the left-outer (r6-r7 gate
+        # row) and inner (r2-r5) semantics; both stay below the fold,
+        # check_oracle-verified locally.
+        "streaming_join_full_outer": _stream_join_full_outer,
         "streaming_stateful": _stream_stateful,
         "streaming_sessions": _stream_sessions,
         "streaming_jdbc_sink": _stream_jdbc_sink,
@@ -437,11 +456,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # part_triangles (graph family keeps source_pagerank in-gate),
         # weighted_sample (X10; sampling family keeps weighted_reservoir
         # in-gate) — all still check_oracle-verified locally.
-        "benford_audit": advanced.q_benford_audit,
         "key_skew_profile": advanced.q_key_skew_profile,
-        "attribution_touch": advanced.q_attribution_touch,
         "microstructure": analytics.q_microstructure,
-        "udaf_vwap": advanced.q_udaf_vwap,  # pandas UDAF surface
+        "cusum_changepoints": analytics.q_cusum_changepoints,
+        "purged_kfold": analytics.q_purged_kfold,
+        "k_anonymity": advanced.q_k_anonymity,
         # --- LLM training-data north star — 15 (rest after the fold) ---
         "text_analysis": training_data.q_text_analysis,
         # late-r5 rotation: source_pagerank (graph analytics, new op
@@ -484,14 +503,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays check_oracle-verified locally with its grouped/streaming
         # twins
         "psi_drift": advanced.q_psi_drift,
-        "session_transitions": advanced.q_session_transitions,
+        "funnel_steps": advanced.q_funnel_steps,
         "bm25_search": training_data.q_bm25_search,
         "lm_perplexity": training_data.q_lm_perplexity,
-        "weighted_reservoir": training_data.q_weighted_reservoir,
         "json_corrupt_records": training_data.q_json_corrupt_records,
         # ---------------- fold: slot 51+ ----------------
+        "benford_audit": advanced.q_benford_audit,
+        "attribution_touch": advanced.q_attribution_touch,
+        "session_transitions": advanced.q_session_transitions,
+        "udaf_vwap": advanced.q_udaf_vwap,  # pandas UDAF surface
+        "weighted_reservoir": training_data.q_weighted_reservoir,
+        "ohlc_bars": analytics.q_ohlc_bars,
         "streaming_join": _stream_join,
-        "streaming_join_full_outer": _stream_join_full_outer,
+        "streaming_join_outer": _stream_join_outer,
         "hdr_quantiles": advanced.q_hdr_quantiles,
         "streaming_hdr": _stream_hdr,
         "hdr_quantiles_grouped": advanced.q_hdr_quantiles_grouped,
@@ -505,8 +529,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": training_data.q_containment_pairs,
         "zipf_audit": training_data.q_zipf_audit,
         "source_entropy": training_data.q_source_entropy,
-        "funnel_steps": advanced.q_funnel_steps,
-        "k_anonymity": advanced.q_k_anonymity,
         "l_diversity": advanced.q_l_diversity,
         "python_datasource": advanced.q_python_datasource,
         "zorder_skipping": advanced.q_zorder_skipping,
@@ -519,10 +541,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_psi": _stream_psi,
         "streaming_benford": _stream_benford,
         "streaming_upsert": _stream_upsert,
-        "volume_bars": analytics.q_volume_bars,
-        "candlestick_patterns": analytics.q_candlestick_patterns,
-        "cusum_changepoints": analytics.q_cusum_changepoints,
-        "purged_kfold": analytics.q_purged_kfold,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,

@@ -650,44 +650,51 @@ def bloom_contamination_sql() -> str:
 
 def streaming_hll_cardinality(spark, sf_dir: str) -> DataFrame:
     """The HLL as a STREAMING aggregate: register maxima are algebraic
-    (cell-wise MAX), so groupBy(source, bucket).max(rho) runs
-    incrementally with state bounded at sources × m entries no matter how
-    many documents stream through — the distinct-counting twin of
-    streaming_cms's bounded-state summary.  On bounded replay the final
-    register snapshot equals the batch registers, so the report stage is
-    shared verbatim and the driver reuses the hll_cardinality oracle.
+    (cell-wise MAX), so each micro-batch reduces to its own partial
+    register grid (an ordinary batch aggregation — map-side combine
+    applies) and the partials register-MERGE at drain, state bounded at
+    sources × m entries per batch no matter how many documents stream
+    through — the distinct-counting twin of streaming_cms's
+    bounded-state summary.  r8: moved from a complete-mode stateful agg
+    (state store + full-grid re-emission per batch — the one
+    superlinear 10x probe row, 2.2→5.4 s) to the foreachBatch
+    partial-sketch accumulator (streaming/replay.py accumulate_stream),
+    the production shape for mergeable sketches.  The merged registers
+    equal the batch registers exactly (max is associative/commutative),
+    so the report stage is shared verbatim and the driver reuses the
+    hll_cardinality oracle.
 
     The exact-count audit side is batch-built from the same table (the
     streamed sketch is the product; the exact side exists to verify it,
     as in the batch op)."""
     from marketstream_etl_spark.sources.tables import load_table
     from marketstream_etl_spark.streaming.docs import stream_documents
+    from marketstream_etl_spark.streaming.replay import accumulate_stream
 
     docs = stream_documents(spark, sf_dir)
-    # per-doc distinct shingles map-side (max is idempotent, but the
-    # distinct cuts the aggregated row volume ~10x)
-    keyed_stream = docs.select(
-        "source",
-        F.explode(
-            F.array_distinct(tokens_to_shingles_stream(F.col("text")))
-        ).alias("shingle"),
-    ).select("source", h60(F.col("shingle")).alias("h"))
-    regs_stream = _hll_hashed(keyed_stream).groupBy("source", "bucket").agg(
-        F.max("rho").alias("m_j")
-    )
-    name = f"stream_hll_{abs(hash(sf_dir)) % 100000}"
-    q = (
-        regs_stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # localCheckpoint: the memory-sink View is not a MultiInstanceRelation
-    # and the report stage unions/joins it against itself (merged scope);
-    # the checkpointed frame is the <= sources x m register map — bounded.
-    regs = spark.table(name).localCheckpoint(eager=False)
+
+    def partial(batch: DataFrame) -> DataFrame:
+        # per-doc distinct shingles map-side (max is idempotent, but the
+        # distinct cuts the aggregated row volume ~10x)
+        keyed = batch.select(
+            "source",
+            F.explode(
+                F.array_distinct(tokens_to_shingles_stream(F.col("text")))
+            ).alias("shingle"),
+        ).select("source", h60(F.col("shingle")).alias("h"))
+        return _hll_hashed(keyed).groupBy("source", "bucket").agg(
+            F.max("rho").alias("m_j")
+        )
+
+    regs = accumulate_stream(
+        spark,
+        sf_dir,
+        docs,
+        "hll_regs",
+        partial,
+        key_cols=["source", "bucket"],
+        merge_exprs=[F.max("m_j").alias("m_j")],
+    ).localCheckpoint(eager=False)
     keyed = (
         _hll_keyed(load_table(spark, sf_dir, "documents"))
         .select("source", "shingle", "h")

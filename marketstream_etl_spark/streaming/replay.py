@@ -60,3 +60,48 @@ def final_indicator_snapshot(emitted: DataFrame) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+def accumulate_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_df: DataFrame,
+    label: str,
+    partial_fn,
+    key_cols: list[str],
+    merge_exprs,
+) -> DataFrame:
+    """foreachBatch partial-sketch accumulator: reduce each micro-batch
+    to a bounded keyed partial (partial_fn), write it to a per-batch_id
+    subdirectory (idempotent — a replayed batch overwrites its OWN
+    subdirectory, never double-merges), and merge all partials at drain
+    time with `merge_exprs` (a list of agg Columns: cell-wise SUM for
+    additive accumulators, cell-wise MAX for HLL registers, ...).
+
+    This is the production shape for mergeable-sketch streams: no state
+    store, no complete-mode re-emission — per-batch work is one ordinary
+    batch aggregation (partial-agg map-side combine applies), and the
+    stored state is |keys| rows per batch."""
+    import shutil
+
+    from marketstream_etl_spark.sources.tables import warehouse_path
+
+    acc_dir = warehouse_path(spark, label, sf_dir) + "_run"
+    shutil.rmtree(acc_dir, ignore_errors=True)
+    shutil.rmtree(acc_dir + "_ck", ignore_errors=True)
+
+    def agg_batch(batch: DataFrame, bid: int) -> None:
+        partial_fn(batch).write.mode("overwrite").parquet(
+            f"{acc_dir}/batch_id={bid}"
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(agg_batch)
+        .option("checkpointLocation", acc_dir + "_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(acc_dir + "_ck", ignore_errors=True)
+    # partition discovery picks up every batch_id=N subdirectory
+    return spark.read.parquet(acc_dir).groupBy(*key_cols).agg(*merge_exprs)

@@ -429,46 +429,23 @@ def _accumulate_stream(
     partial_fn,
     sum_cols: list[str],
 ) -> DataFrame:
-    """foreachBatch additive accumulator: reduce each micro-batch to
-    per-symbol partials and write each partial to a per-batch_id
-    subdirectory (idempotent — a foreachBatch re-execution for the same
-    batch_id just overwrites its own subdirectory, never double-counts),
-    then sum the partials at drain time into a |symbols|-row result —
+    """foreachBatch additive accumulator: per-symbol partials written to
+    per-batch_id subdirectories (idempotent replay) and SUMMED at drain —
     the production alternative to a memory sink whose row count grows
     with data (at sf0.1 the interval joins already emit millions of
-    pairs; at 100x a driver-side sink is an OOM)."""
-    import shutil
+    pairs; at 100x a driver-side sink is an OOM).  Thin wrapper over the
+    generalized replay.accumulate_stream (r8) pinning the trade-domain
+    shape: key = symbol, merge = cell-wise SUM."""
+    from marketstream_etl_spark.streaming.replay import accumulate_stream
 
-    from marketstream_etl_spark.sources.tables import warehouse_path
-
-    acc_dir = warehouse_path(spark, label, sf_dir) + "_run"
-    shutil.rmtree(acc_dir, ignore_errors=True)
-    shutil.rmtree(acc_dir + "_ck", ignore_errors=True)
-
-    def agg_batch(batch: DataFrame, bid: int) -> None:
-        # One subdirectory per batch_id: mode("overwrite") on the SAME
-        # path makes replays of a given micro-batch exactly-once without
-        # ever reading previous state back (no read-modify-write race,
-        # no reliance on localCheckpoint surviving executor loss).
-        partial_fn(batch).write.mode("overwrite").parquet(
-            f"{acc_dir}/batch_id={bid}"
-        )
-
-    q = (
-        stream_df.writeStream.foreachBatch(agg_batch)
-        .option("checkpointLocation", acc_dir + "_ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(acc_dir + "_ck", ignore_errors=True)
-    # Drain-time merge: partials are additive, so the final state is one
-    # bounded groupBy over (|symbols| x n_batches) rows.  Partition
-    # discovery on the base dir picks up every batch_id=N subdirectory.
-    return (
-        spark.read.parquet(acc_dir)
-        .groupBy("symbol")
-        .agg(*[F.sum(c).alias(c) for c in sum_cols])
+    return accumulate_stream(
+        spark,
+        sf_dir,
+        stream_df,
+        label,
+        partial_fn,
+        key_cols=["symbol"],
+        merge_exprs=[F.sum(c).alias(c) for c in sum_cols],
     )
 
 
