@@ -38,6 +38,17 @@ from marketstream_etl_spark.streaming.stateful import (
 # Python env ships but this container does not.  The processor logic below is
 # runtime-independent (pure pandas fold) and unit-tested without Spark; the
 # end-to-end streaming entry is gated on the runtime.
+#
+# PINNED IMPOSSIBILITY (r8, closes the recurring "clear the last pytest
+# skip" item): this sandbox's ground rules forbid package installation
+# (no pip/apt), grpcio+protobuf are not baked into the image, and both
+# are compiled wheels that cannot be vendored as pure Python.  The one
+# env-gated skip (tests/test_stateful_streaming.py) is therefore
+# PERMANENT in this environment — do not re-attempt an install in future
+# rounds.  Semantics coverage is unaffected: the applyInPandasWithState
+# twin (streaming/stateful.py) runs the identical IndicatorProcessor
+# fold end-to-end in-gate, and this module's processor logic is
+# unit-tested runtime-free.
 try:  # pragma: no cover - trivially environment-dependent
     import grpc  # noqa: F401
     from google.protobuf import descriptor  # noqa: F401
