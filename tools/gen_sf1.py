@@ -153,9 +153,136 @@ def main() -> None:
     )
     emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
-    for t in ("events", "documents", "embeddings"):
+    gen_tpch(spark, out)
+
+    for t in (
+        "events", "documents", "embeddings",
+        "region", "nation", "supplier", "customer", "part",
+        "orders", "lineitem",
+    ):
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows -> {out}/{t}.parquet")
+
+
+# TPC-H-ish tables at 10x the sf0.1 testdata row counts, mirroring the
+# driver generator's shapes (NATION_N names, word-pair part names, the
+# same enum domains and 1995-2001 date range) so every tpch_* query runs
+# on the sf1 dir unmodified.  Values are seeded-deterministic; the sf1
+# sweep counts rows / catches scale-aborts, it does not value-compare.
+def gen_tpch(spark, out: str) -> None:
+    SUPP, CUST, PART = 10_000, 150_000, 200_000
+    ORDERS, LINES = 1_500_000, 6_000_000
+
+    def hmod(col, salt, m):
+        return ((F.xxhash64(col, F.lit(salt)) % m + m) % m)
+
+    spark.createDataFrame(
+        [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+         (4, "MIDDLE EAST")],
+        "r_regionkey bigint, r_name string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/region.parquet")
+
+    spark.range(25).select(
+        F.col("id").alias("n_nationkey"),
+        F.concat(F.lit("NATION_"), F.col("id").cast("string")).alias(
+            "n_name"
+        ),
+        (F.col("id") % 5).alias("n_regionkey"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/nation.parquet")
+
+    spark.range(SUPP).select(
+        F.col("id").alias("s_suppkey"),
+        F.format_string("Supplier#%09d", F.col("id")).alias("s_name"),
+        hmod("id", 21, 25).alias("s_nationkey"),
+        F.round(F.rand(seed=22) * 10000, 2).alias("s_acctbal"),
+    ).write.mode("overwrite").parquet(f"{out}/supplier.parquet")
+
+    seg = F.array(*[F.lit(s) for s in (
+        "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
+    )])
+    spark.range(CUST).select(
+        F.col("id").alias("c_custkey"),
+        F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
+        hmod("id", 31, 25).alias("c_nationkey"),
+        F.round(F.rand(seed=32) * 10000, 2).alias("c_acctbal"),
+        F.element_at(seg, (hmod("id", 33, 5) + 1).cast("int")).alias(
+            "c_mktsegment"
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+
+    adjectives = F.array(*[F.lit(s) for s in (
+        "large", "hot", "blue", "green", "red", "small", "shiny", "dim",
+    )])
+    nouns = F.array(*[F.lit(s) for s in (
+        "ring", "bolt", "gear", "plate", "wheel", "rod", "pin", "cap",
+    )])
+    ptypes = F.array(*[F.lit(s) for s in (
+        "MEDIUM", "SMALL", "PROMO", "ECONOMY", "LARGE", "STANDARD",
+    )])
+    spark.range(PART).select(
+        F.col("id").alias("p_partkey"),
+        F.concat(
+            F.element_at(adjectives, (hmod("id", 41, 8) + 1).cast("int")),
+            F.lit(" "),
+            F.element_at(nouns, (hmod("id", 42, 8) + 1).cast("int")),
+        ).alias("p_name"),
+        F.concat(
+            F.lit("Brand#"), (hmod("id", 43, 25) + 1).cast("string")
+        ).alias("p_brand"),
+        F.element_at(ptypes, (hmod("id", 44, 6) + 1).cast("int")).alias(
+            "p_type"
+        ),
+        (hmod("id", 45, 50) + 1).cast("int").alias("p_size"),
+        F.round(F.lit(900.0) + F.col("id") * 0.1, 2).alias(
+            "p_retailprice"
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/part.parquet")
+
+    ostatus = F.array(F.lit("O"), F.lit("F"), F.lit("P"))
+    oprio = F.array(*[F.lit(s) for s in (
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    )])
+    d0 = F.lit("1995-01-01").cast("date")
+    spark.range(ORDERS).repartition(32).select(
+        F.col("id").alias("o_orderkey"),
+        hmod("id", 51, CUST).alias("o_custkey"),
+        F.element_at(ostatus, (hmod("id", 52, 3) + 1).cast("int")).alias(
+            "o_orderstatus"
+        ),
+        F.round(F.rand(seed=53) * 400000 + 1000, 2).alias("o_totalprice"),
+        F.date_add(d0, hmod("id", 54, 2400).cast("int")).cast(
+            "timestamp"
+        ).alias("o_orderdate"),
+        F.element_at(oprio, (hmod("id", 55, 5) + 1).cast("int")).alias(
+            "o_orderpriority"
+        ),
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    rflag = F.array(F.lit("N"), F.lit("A"), F.lit("R"))
+    lstat = F.array(F.lit("O"), F.lit("F"))
+    spark.range(LINES).repartition(32).select(
+        hmod("id", 61, ORDERS).alias("l_orderkey"),
+        hmod("id", 62, PART).alias("l_partkey"),
+        hmod("id", 63, SUPP).alias("l_suppkey"),
+        (hmod("id", 64, 7) + 1).cast("int").alias("l_linenumber"),
+        (hmod("id", 65, 50) + 1).cast("double").alias("l_quantity"),
+        F.round(F.rand(seed=66) * 100000 + 900, 2).alias(
+            "l_extendedprice"
+        ),
+        F.round(hmod("id", 67, 11).cast("double") / 100, 2).alias(
+            "l_discount"
+        ),
+        F.round(hmod("id", 68, 9).cast("double") / 100, 2).alias("l_tax"),
+        F.element_at(rflag, (hmod("id", 69, 3) + 1).cast("int")).alias(
+            "l_returnflag"
+        ),
+        F.element_at(lstat, (hmod("id", 70, 2) + 1).cast("int")).alias(
+            "l_linestatus"
+        ),
+        F.date_add(
+            F.lit("1995-01-02").cast("date"), hmod("id", 71, 2500).cast("int")
+        ).cast("timestamp").alias("l_shipdate"),
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
 
 if __name__ == "__main__":
