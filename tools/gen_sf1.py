@@ -36,6 +36,31 @@ VOCAB = [
 T0_US = 1_704_067_200_000_000  # 2024-01-01 UTC, the testdata epoch
 
 
+def write_single(df, path: str) -> None:
+    """Write `df` as ONE parquet FILE at `path` — the driver testdata's
+    layout.  A directory-of-part-files layout silently breaks the
+    streaming sources: stream_events/stream_documents filter scan files
+    with pathGlobFilter=<table>.parquet, which matches the single file
+    but not the part-NNNN names inside a directory, so every streaming
+    query would replay an EMPTY stream (found live: the first sf1 sweep
+    reported 0-row streaming results)."""
+    import glob
+    import os
+    import shutil
+
+    tmp = path + "_tmpdir"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")
+    assert len(part) == 1, part
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
+    shutil.move(part[0], path)
+    shutil.rmtree(tmp)
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/marketstream_sf1"
     spark = get_spark("gen-sf1")
@@ -73,7 +98,7 @@ def main() -> None:
     )
     # name the positional user_id expression via toDF
     ev = ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    write_single(ev, f"{out}/events.parquet")
 
     # --- documents: vocab text, zipf-ish lengths, planted near-dups ----
     words = F.array(*[F.lit(w) for w in VOCAB])
@@ -134,7 +159,7 @@ def main() -> None:
             F.length("text").alias("n_chars"),
         )
     )
-    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    write_single(docs, f"{out}/documents.parquet")
 
     # --- embeddings: 64-dim floats, 8 labels ---------------------------
     emb = (
@@ -151,7 +176,7 @@ def main() -> None:
             ((F.col("id") % 8)).cast("int").alias("label"),
         )
     )
-    emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    write_single(emb, f"{out}/embeddings.parquet")
 
     gen_tpch(spark, out)
 
@@ -176,31 +201,34 @@ def gen_tpch(spark, out: str) -> None:
     def hmod(col, salt, m):
         return ((F.xxhash64(col, F.lit(salt)) % m + m) % m)
 
-    spark.createDataFrame(
+    region = spark.createDataFrame(
         [(0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
          (4, "MIDDLE EAST")],
         "r_regionkey bigint, r_name string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/region.parquet")
+    )
+    write_single(region, f"{out}/region.parquet")
 
-    spark.range(25).select(
+    nation = spark.range(25).select(
         F.col("id").alias("n_nationkey"),
         F.concat(F.lit("NATION_"), F.col("id").cast("string")).alias(
             "n_name"
         ),
         (F.col("id") % 5).alias("n_regionkey"),
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/nation.parquet")
+    )
+    write_single(nation, f"{out}/nation.parquet")
 
-    spark.range(SUPP).select(
+    supplier = spark.range(SUPP).select(
         F.col("id").alias("s_suppkey"),
         F.format_string("Supplier#%09d", F.col("id")).alias("s_name"),
         hmod("id", 21, 25).alias("s_nationkey"),
         F.round(F.rand(seed=22) * 10000, 2).alias("s_acctbal"),
-    ).write.mode("overwrite").parquet(f"{out}/supplier.parquet")
+    )
+    write_single(supplier, f"{out}/supplier.parquet")
 
     seg = F.array(*[F.lit(s) for s in (
         "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY",
     )])
-    spark.range(CUST).select(
+    customer = spark.range(CUST).select(
         F.col("id").alias("c_custkey"),
         F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
         hmod("id", 31, 25).alias("c_nationkey"),
@@ -208,7 +236,8 @@ def gen_tpch(spark, out: str) -> None:
         F.element_at(seg, (hmod("id", 33, 5) + 1).cast("int")).alias(
             "c_mktsegment"
         ),
-    ).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+    )
+    write_single(customer, f"{out}/customer.parquet")
 
     adjectives = F.array(*[F.lit(s) for s in (
         "large", "hot", "blue", "green", "red", "small", "shiny", "dim",
@@ -219,7 +248,7 @@ def gen_tpch(spark, out: str) -> None:
     ptypes = F.array(*[F.lit(s) for s in (
         "MEDIUM", "SMALL", "PROMO", "ECONOMY", "LARGE", "STANDARD",
     )])
-    spark.range(PART).select(
+    part_df = spark.range(PART).select(
         F.col("id").alias("p_partkey"),
         F.concat(
             F.element_at(adjectives, (hmod("id", 41, 8) + 1).cast("int")),
@@ -236,14 +265,15 @@ def gen_tpch(spark, out: str) -> None:
         F.round(F.lit(900.0) + F.col("id") * 0.1, 2).alias(
             "p_retailprice"
         ),
-    ).write.mode("overwrite").parquet(f"{out}/part.parquet")
+    )
+    write_single(part_df, f"{out}/part.parquet")
 
     ostatus = F.array(F.lit("O"), F.lit("F"), F.lit("P"))
     oprio = F.array(*[F.lit(s) for s in (
         "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
     )])
     d0 = F.lit("1995-01-01").cast("date")
-    spark.range(ORDERS).repartition(32).select(
+    orders = spark.range(ORDERS).repartition(32).select(
         F.col("id").alias("o_orderkey"),
         hmod("id", 51, CUST).alias("o_custkey"),
         F.element_at(ostatus, (hmod("id", 52, 3) + 1).cast("int")).alias(
@@ -256,11 +286,12 @@ def gen_tpch(spark, out: str) -> None:
         F.element_at(oprio, (hmod("id", 55, 5) + 1).cast("int")).alias(
             "o_orderpriority"
         ),
-    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    )
+    write_single(orders, f"{out}/orders.parquet")
 
     rflag = F.array(F.lit("N"), F.lit("A"), F.lit("R"))
     lstat = F.array(F.lit("O"), F.lit("F"))
-    spark.range(LINES).repartition(32).select(
+    lineitem = spark.range(LINES).repartition(32).select(
         hmod("id", 61, ORDERS).alias("l_orderkey"),
         hmod("id", 62, PART).alias("l_partkey"),
         hmod("id", 63, SUPP).alias("l_suppkey"),
@@ -282,7 +313,8 @@ def gen_tpch(spark, out: str) -> None:
         F.date_add(
             F.lit("1995-01-02").cast("date"), hmod("id", 71, 2500).cast("int")
         ).cast("timestamp").alias("l_shipdate"),
-    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    )
+    write_single(lineitem, f"{out}/lineitem.parquet")
 
 
 if __name__ == "__main__":

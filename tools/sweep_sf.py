@@ -25,11 +25,24 @@ from marketstream_etl_spark.session import get_spark
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:]]
+    skips: dict[str, str] = {}
+    while "--skip" in args:
+        i = args.index("--skip")
+        name, reason = args[i + 1].split("=", 1)
+        skips[name] = reason
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     spark = get_spark("sweep-sf")
     qs = entrymod.queries()
     fails: list[str] = []
+    n_skipped = 0
     for name, fn in qs.items():
+        if name in skips:
+            # no silent caps: every skipped query is logged with its reason
+            n_skipped += 1
+            print(f"SKIP {name}: {skips[name]}", flush=True)
+            continue
         t0 = time.time()
         try:
             n = fn(spark, sf_dir).count()
@@ -37,7 +50,10 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — report and continue
             fails.append(name)
             print(f"FAIL {name}: {type(e).__name__} {str(e)[:200]}", flush=True)
-    print(f"sweep done: {len(qs) - len(fails)}/{len(qs)} ok; fails: {fails}")
+    print(
+        f"sweep done: {len(qs) - len(fails) - n_skipped}/{len(qs)} ok"
+        f" ({n_skipped} skipped, reasons above); fails: {fails}"
+    )
     return 1 if fails else 0
 
 
