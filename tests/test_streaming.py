@@ -340,3 +340,34 @@ def test_file_stream_psi_equals_batch(spark, sf_dir):
     streamed = [tuple(r) for r in file_stream_psi(spark, sf_dir).collect()]
     batch = [tuple(r) for r in q_psi_drift(spark, sf_dir).collect()]
     assert streamed == batch and len(streamed) == 10
+
+
+def test_accumulate_stream_replay_is_idempotent(spark, tmp_path):
+    """The foreachBatch accumulator's exactly-once contract (r8): a
+    re-executed micro-batch overwrites its OWN batch_id subdirectory, so
+    the drained merge never double-counts — simulated here by writing
+    the same batch partial twice (what a foreachBatch retry does) plus a
+    second distinct batch, then running the drain-time merge."""
+    from pyspark.sql import functions as F
+
+    acc_dir = str(tmp_path / "acc")
+    b0 = spark.createDataFrame(
+        [("A", 2), ("B", 3)], "symbol string, n long"
+    ).groupBy("symbol").agg(F.sum("n").alias("n"))
+    b1 = spark.createDataFrame(
+        [("A", 5)], "symbol string, n long"
+    ).groupBy("symbol").agg(F.sum("n").alias("n"))
+
+    # batch 0 executes, then is REPLAYED (same bid), then batch 1 runs —
+    # the accumulate_stream agg_batch body, verbatim
+    for bid, part in ((0, b0), (0, b0), (1, b1)):
+        part.write.mode("overwrite").parquet(f"{acc_dir}/batch_id={bid}")
+
+    merged = {
+        r["symbol"]: r["n"]
+        for r in spark.read.parquet(acc_dir)
+        .groupBy("symbol")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert merged == {"A": 7, "B": 3}  # replay did NOT double-count
