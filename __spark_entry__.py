@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": advanced.q_rolling_distinct_users,
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
+        "ks_drift": advanced.q_ks_drift,
         "streaming_psi": _stream_psi,
         "streaming_benford": _stream_benford,
         "streaming_upsert": _stream_upsert,
@@ -1855,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_audit": training_data.zipf_audit_sql(),
         "source_entropy": training_data.source_entropy_sql(),
         "psi_drift": advanced.psi_drift_sql(),
+        "ks_drift": advanced.ks_drift_sql(),
         "session_transitions": advanced.session_transitions_sql(),
         "funnel_steps": advanced.funnel_steps_sql(),
         "k_anonymity": advanced.k_anonymity_sql(),

@@ -1630,6 +1630,212 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_from_counts(spark, seg)
 
 
+KS_CRIT_COEFF = 1.358  # two-sample KS critical coefficient, alpha = 0.05
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test over the SAME segments
+    and equi-width bucket grid as psi_drift (click = reference,
+    purchase = comparison): completes the drift-audit family — PSI is
+    the banded magnitude measure, KS is the distribution-free
+    reject/accept test a monitoring pipeline alarms on.
+
+    D = max_b |CDF_click(b) - CDF_purchase(b)| on the grid CDF, computed
+    EXACTLY in integers before the one final fixed-point division:
+    gap_fp(b) = |cum_click(b)*N_purchase - cum_purchase(b)*N_click| is a
+    BIGINT cross-multiplication (≤ ~1e10 at sf0.1 — no float until the
+    last step), so the argmax and the drift verdict are engine-identical
+    by construction.  The decision compares against the large-sample
+    critical value c(0.05)*sqrt((N1+N2)/(N1*N2)), fixed-pointed the same
+    way.
+
+    Scale shape (mirrors psi_drift): one map-side bucket projection, one
+    (segment, bucket) hash aggregate, then everything downstream is
+    grid-bounded — the cumulative is a 10x10 triangular join, never an
+    unpartitioned window; totals are 1-row broadcasts."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    seg = ev.groupBy(
+        F.col("event_type").alias("segment"),
+        psi_bucket_col().alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+    return ks_from_counts(spark, seg)
+
+
+def ks_from_counts(spark: SparkSession, seg: DataFrame) -> DataFrame:
+    """KS report from a (segment, bucket, n) counts frame — the shared
+    core shape of the PSI family, so a streaming twin's final counts
+    state could reuse it verbatim."""
+    seg = seg.localCheckpoint(eager=False)
+    spine = spark.range(PSI_N_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+
+    def _side(name: str, cum_alias: str, tot_alias: str) -> DataFrame:
+        part = seg.filter(F.col("segment") == name).drop("segment")
+        cnt = spine.join(part, "bucket", "left").select(
+            "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("nb")
+        )
+        # grid-bounded triangular join (10x10 rows) — the repo's standard
+        # cumulative shape; an unpartitioned window is lint-banned
+        lower = cnt.select(
+            F.col("bucket").alias("b2"), F.col("nb").alias("n2")
+        )
+        cum = (
+            cnt.join(lower, F.col("b2") <= F.col("bucket"))
+            .groupBy("bucket")
+            .agg(F.sum("n2").cast("long").alias(cum_alias))
+        )
+        tot = seg.filter(F.col("segment") == name).agg(
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias(tot_alias)
+        )
+        return cum.join(F.broadcast(tot))
+
+    both = _side("click", "cum_click", "n_click").join(
+        _side("purchase", "cum_purchase", "n_purchase"), "bucket"
+    )
+    denom = F.col("n_click") * F.col("n_purchase")
+    gap_fp = F.abs(
+        F.col("cum_click") * F.col("n_purchase")
+        - F.col("cum_purchase") * F.col("n_click")
+    )
+    cdf = lambda cum, n: F.round(  # noqa: E731 — two-arg local shorthand
+        F.when(
+            F.col(n) > 0,
+            F.col(cum).cast("double") / F.col(n).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    per = both.select(
+        "bucket",
+        cdf("cum_click", "n_click").alias("cdf_click"),
+        cdf("cum_purchase", "n_purchase").alias("cdf_purchase"),
+        gap_fp.alias("gap_fp"),
+        F.col("n_click").alias("n1"),
+        F.col("n_purchase").alias("n2"),
+        denom.alias("denom"),
+    ).localCheckpoint(eager=False)  # grid-bounded (10 rows), two consumers
+    # the statistic: max gap + the critical value, one 1-row broadcast
+    fp = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    ks = per.agg(
+        F.max("gap_fp").alias("ks_fp"),
+        F.max("n1").alias("n1"),  # constant per row — max is a pick
+        F.max("n2").alias("n2"),
+        F.max("denom").alias("denom"),
+    ).select(
+        fp(
+            F.when(
+                F.col("denom") > 0,
+                F.col("ks_fp").cast("double") / F.col("denom").cast("double"),
+            ).otherwise(F.lit(0.0))
+        ).alias("ks_e6"),
+        F.when(
+            F.col("denom") > 0,
+            fp(
+                F.lit(KS_CRIT_COEFF)
+                * F.sqrt(
+                    (F.col("n1") + F.col("n2")).cast("double")
+                    / F.col("denom").cast("double")
+                )
+            ),
+        ).otherwise(F.lit(None).cast("long")).alias("crit_e6"),
+    )
+    return (
+        per.join(F.broadcast(ks))
+        .select(
+            "bucket",
+            "cdf_click",
+            "cdf_purchase",
+            fp(
+                F.when(
+                    F.col("denom") > 0,
+                    F.col("gap_fp").cast("double")
+                    / F.col("denom").cast("double"),
+                ).otherwise(F.lit(0.0))
+            ).alias("cdf_gap_e6"),
+            (F.col("ks_e6").cast("double") / F.lit(1e6)).alias("ks_stat"),
+            (F.col("crit_e6").cast("double") / F.lit(1e6)).alias(
+                "ks_crit_5pct"
+            ),
+            F.coalesce(
+                F.col("ks_e6") > F.col("crit_e6"), F.lit(False)
+            ).alias("drifted"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def ks_drift_sql() -> str:
+    """DuckDB replay: identical grid, integer cross-multiplied gaps,
+    fixed-point division and verdict.  The oracle may use a window for
+    its cumulative (DuckDB is the oracle, not the scale path); sums are
+    BIGINT-cast before any arithmetic so no HUGEINT reaches the
+    comparison fetch."""
+    side = """
+        SELECT s.bucket,
+               CAST(sum(coalesce(n, 0)) OVER (ORDER BY s.bucket)
+                    AS BIGINT) AS {cum},
+               CAST(t.n_seg AS BIGINT) AS {tot}
+        FROM (SELECT unnest(range(0, {nb}))::INTEGER AS bucket) s
+        LEFT JOIN (
+            SELECT CAST(least(floor(value / CAST({w} AS DOUBLE)), {top})
+                        AS INTEGER) AS bucket, count(*) AS n
+            FROM events WHERE event_type = '{seg}' GROUP BY 1
+        ) c USING (bucket)
+        CROSS JOIN (
+            SELECT count(*) AS n_seg FROM events WHERE event_type = '{seg}'
+        ) t
+    """
+    a = side.format(cum="cum_click", tot="n1", nb=PSI_N_BUCKETS,
+                    w=PSI_BUCKET_WIDTH, top=PSI_N_BUCKETS - 1, seg="click")
+    b = side.format(cum="cum_purchase", tot="n2", nb=PSI_N_BUCKETS,
+                    w=PSI_BUCKET_WIDTH, top=PSI_N_BUCKETS - 1,
+                    seg="purchase")
+    return f"""
+        WITH per AS (
+            SELECT a.bucket,
+                   round(CASE WHEN n1 > 0
+                              THEN cum_click::DOUBLE / n1::DOUBLE
+                              ELSE CAST(0.0 AS DOUBLE) END, 6)
+                       AS cdf_click,
+                   round(CASE WHEN n2 > 0
+                              THEN cum_purchase::DOUBLE / n2::DOUBLE
+                              ELSE CAST(0.0 AS DOUBLE) END, 6)
+                       AS cdf_purchase,
+                   abs(cum_click * n2 - cum_purchase * n1) AS gap_fp,
+                   n1, n2, n1 * n2 AS denom
+            FROM ({a}) a JOIN ({b}) b USING (bucket)
+        ),
+        ks AS (
+            SELECT CAST(floor(CASE WHEN max(denom) > 0
+                                   THEN max(gap_fp)::DOUBLE
+                                        / max(denom)::DOUBLE
+                                   ELSE CAST(0.0 AS DOUBLE) END * 1e6
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ks_e6,
+                   CASE WHEN max(denom) > 0 THEN
+                       CAST(floor({KS_CRIT_COEFF}
+                                  * sqrt((max(n1) + max(n2))::DOUBLE
+                                         / max(denom)::DOUBLE) * 1e6
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   END AS crit_e6
+            FROM per
+        )
+        SELECT bucket, cdf_click, cdf_purchase,
+               CAST(floor(CASE WHEN denom > 0
+                               THEN gap_fp::DOUBLE / denom::DOUBLE
+                               ELSE CAST(0.0 AS DOUBLE) END * 1e6
+                          + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cdf_gap_e6,
+               ks_e6::DOUBLE / 1e6 AS ks_stat,
+               crit_e6::DOUBLE / 1e6 AS ks_crit_5pct,
+               coalesce(ks_e6 > crit_e6, FALSE) AS drifted
+        FROM per CROSS JOIN ks
+        ORDER BY bucket
+    """
+
+
 def psi_drift_sql() -> str:
     """DuckDB replay: identical buckets, clamps, fixed-point contributions
     and banding."""

@@ -563,3 +563,63 @@ def test_cusum_hand_computed(spark):
     assert out["alarms_up"] == up and up > 0
     assert out["alarms_down"] == dn
     assert (out["first_alarm_bar"] is None) == (first is None)
+
+
+# --- KS drift --------------------------------------------------------------------
+
+def test_ks_identical_distributions_is_zero(spark, monkeypatch):
+    """Same bucket shape in both segments -> all CDF gaps 0, ks_stat 0,
+    not drifted."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows = []
+    eid = 0
+    for seg in ("click", "purchase"):
+        for v, n in ((10.0, 4), (60.0, 2), (120.0, 2)):
+            for _ in range(n):
+                rows.append((eid, 1, 1000 + eid, seg, v, "{}"))
+                eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_ks_drift(spark, "x").collect()
+    assert len(out) == adv.PSI_N_BUCKETS
+    assert all(r["cdf_gap_e6"] == 0 for r in out)
+    assert all(r["ks_stat"] == 0.0 and r["drifted"] is False for r in out)
+    # the grid CDF ends at 1.0 on both sides
+    assert out[-1]["cdf_click"] == 1.0 and out[-1]["cdf_purchase"] == 1.0
+
+
+def test_ks_disjoint_distributions_drifted(spark, monkeypatch):
+    """Mass fully moved buckets -> D = 1.0 (the max possible), which
+    beats any critical value at these sample sizes."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows = [(i, 1, 1000 + i, "click", 10.0, "{}") for i in range(10)]
+    rows += [(100 + i, 1, 2000 + i, "purchase", 210.0, "{}") for i in range(10)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_ks_drift(spark, "x").collect()
+    assert out[0]["ks_stat"] == 1.0
+    assert all(r["drifted"] is True for r in out)
+    # bucket 0 holds all click mass and no purchase mass
+    assert out[0]["cdf_click"] == 1.0 and out[0]["cdf_purchase"] == 0.0
+
+
+def test_ks_empty_segment_full_spine_not_drifted(spark, monkeypatch):
+    """Zero 'purchase' rows: full 10-row spine, gaps pinned to 0 (denom
+    guard), verdict false rather than a null-driven crash."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows = [(i, 1, 1000 + i, "click", 10.0, "{}") for i in range(5)]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_ks_drift(spark, "x").collect()
+    assert len(out) == adv.PSI_N_BUCKETS
+    assert all(r["cdf_gap_e6"] == 0 and r["drifted"] is False for r in out)
+    assert all(r["ks_crit_5pct"] is None for r in out)
