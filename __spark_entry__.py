@@ -299,6 +299,16 @@ def _stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_psi(spark, sf_dir)
 
 
+def _stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KS drift monitor: the PSI twin's reject/accept companion
+    — same complete-mode (segment, bucket) histogram, drained into the
+    shared exact-integer KS core; bit-identical to batch ks_drift on
+    bounded replay."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_ks
+
+    return file_stream_ks(spark, sf_dir)
+
+
 def _stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER watermarked interval join: unmatched rows flush from
     BOTH sides (buys with NULL sells, sells with NULL buys) — the
@@ -539,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
         "ks_drift": advanced.q_ks_drift,
+        "streaming_ks": _stream_ks,
         "streaming_psi": _stream_psi,
         "streaming_benford": _stream_benford,
         "streaming_upsert": _stream_upsert,
@@ -1857,6 +1868,9 @@ def oracle_sql() -> dict[str, str]:
         "source_entropy": training_data.source_entropy_sql(),
         "psi_drift": advanced.psi_drift_sql(),
         "ks_drift": advanced.ks_drift_sql(),
+        # the streaming twin's drained complete-mode state equals the
+        # batch (segment, bucket) histogram, so it shares ks_drift's oracle
+        "streaming_ks": advanced.ks_drift_sql(),
         "session_transitions": advanced.session_transitions_sql(),
         "funnel_steps": advanced.funnel_steps_sql(),
         "k_anonymity": advanced.k_anonymity_sql(),

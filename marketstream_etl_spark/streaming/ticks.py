@@ -1016,3 +1016,36 @@ def file_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return psi_from_counts(spark, spark.table(name))
+
+
+def file_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KS drift monitor — the PSI twin's reject/accept
+    companion: the SAME complete-mode (segment, bucket) histogram
+    (bounded 2x10 state), drained into the shared exact-integer KS core
+    (plans/advanced.ks_from_counts), so on bounded replay the streamed
+    statistic and verdict are bit-identical to the batch ks_drift and
+    the driver reuses its oracle."""
+    from marketstream_etl_spark.plans.advanced import (
+        ks_from_counts,
+        psi_bucket_col,
+    )
+
+    events = stream_events(spark, sf_dir)
+    seg_stream = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.col("event_type").alias("segment"),
+            psi_bucket_col().alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"stream_ks_{abs(hash(sf_dir)) % 100000}"
+    q = (
+        seg_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return ks_from_counts(spark, spark.table(name))
