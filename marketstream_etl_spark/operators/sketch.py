@@ -674,13 +674,24 @@ def streaming_hll_cardinality(spark, sf_dir: str) -> DataFrame:
     docs = stream_documents(spark, sf_dir)
 
     def partial(batch: DataFrame) -> DataFrame:
+        from marketstream_etl_spark.sources.tables import spread
+
         # per-doc distinct shingles map-side (max is idempotent, but the
-        # distinct cuts the aggregated row volume ~10x)
-        keyed = batch.select(
+        # distinct cuts the aggregated row volume ~10x).  spread: the
+        # file-source micro-batch arrives as ONE partition (would
+        # serialize the shingle map on one thread); the checkpoint is
+        # the explode barrier — explode over an un-materialized array
+        # expression re-evaluates the whole tokenize→shingle→distinct
+        # chain once per OUTPUT row (projection collapse through
+        # GenerateExec — same fix as streaming_contamination, r8).
+        arrs = spread(batch).select(
             "source",
-            F.explode(
-                F.array_distinct(tokens_to_shingles_stream(F.col("text")))
-            ).alias("shingle"),
+            F.array_distinct(
+                tokens_to_shingles_stream(F.col("text"))
+            ).alias("_sh"),
+        ).localCheckpoint(eager=False)
+        keyed = arrs.select(
+            "source", F.explode("_sh").alias("shingle")
         ).select("source", h60(F.col("shingle")).alias("h"))
         return _hll_hashed(keyed).groupBy("source", "bucket").agg(
             F.max("rho").alias("m_j")

@@ -40,17 +40,24 @@ def file_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally.  The final snapshot must equal the batch operator's
     output exactly, so the driver reuses the contamination oracle.
 
-    No watermark: the per-doc aggregate state is the active-document set
-    of the bounded replay; a production deployment over an unbounded crawl
-    would key the aggregation by (crawl batch, doc_id) and expire finished
-    batches.
+    Each document arrives WHOLE in one micro-batch row, so its overlap
+    count is complete within its own batch — no cross-batch state is
+    needed at all.  r8 moved this from an update-mode stateful
+    aggregation + memory sink (a ~|docs|-key state store committed per
+    batch, plus a driver-side sink holding every emission — measured
+    152 s at the 52K-doc sf1 replay) to the foreachBatch partial
+    accumulator (streaming/replay.py accumulate_stream): per batch one
+    ordinary aggregation, partials summed at drain (a doc contributes
+    to exactly one batch, so the sum IS its count).  An unbounded crawl
+    gets state expiry for free — finished batches are just closed
+    parquet partials.
     """
     from marketstream_etl_spark.operators.dedup import (
         SHINGLE_K,
         shingle_pairs_cached,
     )
     from marketstream_etl_spark.sources.tables import load_table
-    from marketstream_etl_spark.streaming.replay import drain_to_memory
+    from marketstream_etl_spark.streaming.replay import accumulate_stream
 
     is_bench = h32(F.col("doc_id").cast("string")) % 20 == 0
 
@@ -63,35 +70,52 @@ def file_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # STREAM side: non-benchmark docs, shingled per-row (map-side)
-    docs = stream_documents(spark, sf_dir)
-    corpus = (
-        docs.filter(~is_bench)
-        .select(
+    # STREAM side: raw non-benchmark docs; the shingle work happens
+    # INSIDE foreachBatch where a checkpoint barrier is available —
+    # explode over an un-materialized array expression re-evaluates the
+    # whole tokenize→shingle→distinct chain once PER OUTPUT ROW
+    # (projection collapse through GenerateExec; measured 2.2 s to build
+    # the arrays vs 104 s through the collapsed explode at sf1, a ~43x =
+    # shingles-per-doc blowup), so each batch pins the arrays first.
+    docs = stream_documents(spark, sf_dir).filter(~is_bench).select(
+        "doc_id", "text"
+    )
+
+    def partial(batch: DataFrame) -> DataFrame:
+        from marketstream_etl_spark.sources.tables import spread
+
+        # spread: the file-source micro-batch arrives as ONE partition,
+        # which would serialize the CPU-bound shingle map on one thread
+        # (measured 45 s single-threaded vs ~2 s spread at the 52K-doc
+        # sf1 replay)
+        arrs = spread(batch).select(
             "doc_id",
             F.array_distinct(
                 shingles(tokens(F.col("text")), k=SHINGLE_K)
             ).alias("_sh"),
-        )
-        .select(
+        ).localCheckpoint(eager=False)  # barrier: arrays compute ONCE
+        exploded = arrs.select(
             "doc_id",
             F.size("_sh").alias("n_shingles"),
             F.explode("_sh").alias("shingle"),
         )
+        return (
+            exploded.join(F.broadcast(bench_shingles), "shingle")
+            .groupBy("doc_id", "n_shingles")
+            .agg(F.count("*").alias("n_overlap"))
+        )
+
+    acc = accumulate_stream(
+        spark,
+        sf_dir,
+        docs,
+        "contamination_acc",
+        partial,
+        key_cols=["doc_id", "n_shingles"],
+        merge_exprs=[F.sum("n_overlap").alias("n_overlap")],
     )
-    overlap = (
-        corpus.join(F.broadcast(bench_shingles), "shingle")
-        .groupBy("doc_id", "n_shingles")
-        .agg(F.count("*").alias("n_overlap"))
-    )
-    emitted = drain_to_memory(
-        overlap, "stream_contamination", sf_dir, output_mode="update"
-    )
-    # final snapshot: the last (max) overlap count per doc — counts grow
-    # monotonically across replayed batches
     return (
-        emitted.groupBy("doc_id", "n_shingles")
-        .agg(F.max("n_overlap").alias("n_overlap"))
+        acc
         .select(
             "doc_id",
             "n_shingles",
