@@ -126,15 +126,20 @@ def shingle_pairs_cached(docs: DataFrame) -> DataFrame:
     # dedup is exactly equivalent to a global .distinct() — minus the
     # full corpus-wide shuffle the global form pays (at 100 TB that
     # shuffle moves every (doc_id, shingle) pair; this shape moves none).
-    pairs = (
-        _spread(docs).select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_K))
-            ).alias("shingle"),
-        )
-        .persist()
-    )
+    # checkpoint the arrays BEFORE the explode: explode over an
+    # un-materialized array expression re-evaluates the whole
+    # tokenize→shingle→distinct chain once per OUTPUT row (projection
+    # collapse through GenerateExec — a shingles-per-doc ~40x blowup on
+    # the cold build, found live in r8's streaming twins)
+    arrs = _spread(docs).select(
+        "doc_id",
+        F.array_distinct(shingles(tokens(F.col("text")), SHINGLE_K)).alias(
+            "_sh"
+        ),
+    ).localCheckpoint(eager=False)
+    pairs = arrs.select(
+        "doc_id", F.explode("_sh").alias("shingle")
+    ).persist()
     _rotate_caches("shingle_pairs", key, [pairs], _input_paths(docs))
     return pairs
 
@@ -722,21 +727,20 @@ def edit_distance_pairs(
     # old explode-positions → substr → global .distinct(), with the
     # corpus-wide dedup shuffle deleted (grams from different docs can't
     # collide on (doc_id, g), so per-doc dedup is exact)
-    grams = lead.filter(F.length("lead") >= EDIT_GRAM).select(
+    # checkpoint barrier before the explode (r8, same GenerateExec
+    # projection collapse as the shingle family): the gram-set chain is
+    # bounded (≤77 grams per 80-char lead) but would still re-evaluate
+    # per emitted gram without the barrier
+    gram_arrs = lead.filter(F.length("lead") >= EDIT_GRAM).select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.length("lead") - (EDIT_GRAM - 1)
-                    ),
-                    lambda i: F.substr(
-                        F.col("lead"), i, F.lit(EDIT_GRAM)
-                    ),
-                )
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length("lead") - (EDIT_GRAM - 1)),
+                lambda i: F.substr(F.col("lead"), i, F.lit(EDIT_GRAM)),
             )
-        ).alias("g"),
-    )
+        ).alias("_g"),
+    ).localCheckpoint(eager=False)
+    grams = gram_arrs.select("doc_id", F.explode("_g").alias("g"))
     hot = (
         grams.groupBy("g")
         .count()

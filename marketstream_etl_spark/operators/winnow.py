@@ -75,11 +75,16 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     # posexplode is CPU-bound, so spread before the heavy map (at scale
     # the scan is already parallel and this is a cheap (id, text) shuffle)
     docs = _spread(docs)
-    grams = docs.select(
+    # checkpoint barrier before posexplode — same GenerateExec projection
+    # collapse as the dedup family's shingle pairs (r8): without it the
+    # gram-sequence chain re-evaluates once per emitted gram
+    arrs = docs.select(
         "doc_id",
-        F.posexplode(shingles(tokens(F.col("text")), SHINGLE_K)).alias(
-            "pos", "gram"
-        ),
+        shingles(tokens(F.col("text")), SHINGLE_K).alias("_grams"),
+    ).localCheckpoint(eager=False)
+    grams = arrs.select(
+        "doc_id",
+        F.posexplode("_grams").alias("pos", "gram"),
     )
     c = (
         h32(F.col("gram")) * F.lit(1 << POS_BITS).cast("long")
