@@ -40,7 +40,12 @@ from marketstream_etl_spark.functions.hashing import tokens, tokens_sql
 
 
 def _doc_bigrams(docs: DataFrame) -> DataFrame:
-    """(doc_id, w1, w2) — one row per bigram occurrence."""
+    """(doc_id, w1, w2) — one row per bigram occurrence.
+
+    The bigram array is checkpoint-pinned before the explode (r8
+    GenerateExec projection-collapse fix): the zip_with-over-slices
+    chain is O(tokens) per evaluation, so re-evaluating it per emitted
+    bigram — which the collapsed plan does — is O(tokens^2) per doc."""
     tk = docs.select("doc_id", tokens(F.col("text")).alias("tk")).filter(
         F.size("tk") >= 2
     )
@@ -49,7 +54,10 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
         F.slice(F.col("tk"), 2, F.size("tk") - 1),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    return tk.select("doc_id", F.explode(pairs).alias("bg")).select(
+    arrs = tk.select("doc_id", pairs.alias("_bg")).localCheckpoint(
+        eager=False
+    )
+    return arrs.select("doc_id", F.explode("_bg").alias("bg")).select(
         "doc_id", "bg.w1", "bg.w2"
     )
 

@@ -473,9 +473,11 @@ def embedding_stats(emb: DataFrame) -> DataFrame:
         F.round(F.avg("vnorm"), 6).alias("avg_norm"),
     )
     cent = (
-        emb.select(
-            "label", F.posexplode(_dvec(F.col("embedding"))).alias("pos", "val")
-        )
+        emb.select("label", _dvec(F.col("embedding")).alias("_v"))
+        # barrier before posexplode: _dvec is an O(dim) transform that
+        # would re-evaluate per emitted (pos, val) row (r8 collapse fix)
+        .localCheckpoint(eager=False)
+        .select("label", F.posexplode("_v").alias("pos", "val"))
         .groupBy("label", "pos")
         .agg(F.avg("val").alias("cmean"))
         .groupBy("label")
@@ -839,9 +841,15 @@ def ann_lsh(
     capped by the 2^band_bits keyspace per band (band_bits tunes the
     recall/pruning trade exactly like MinHash-LSH's band width)."""
     hp = lsh_hyperplanes(bands * band_bits)
+    # checkpoint barrier before the posexplode (r8 GenerateExec
+    # projection-collapse fix): lsh_band_keys is O(bands x band_bits x
+    # dim) of dot products per evaluation and would otherwise
+    # re-evaluate once per emitted band row
     base = emb.select(
         "vec_id", _dvec(F.col("embedding")).alias("vec")
-    ).withColumn("bkeys", lsh_band_keys(F.col("vec"), hp, band_bits))
+    ).withColumn(
+        "bkeys", lsh_band_keys(F.col("vec"), hp, band_bits)
+    ).localCheckpoint(eager=False)
     corpus_bands = base.select(
         "vec_id",
         "vec",
@@ -998,19 +1006,22 @@ PQ_K = 16                      # codes per sub-space codebook
 
 
 def _subvectors(base: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """(id, m, sub) — posexplode the M contiguous sub-space slices."""
-    return base.select(
+    """(id, m, sub) — posexplode the M contiguous sub-space slices.
+    Arrays pinned behind a checkpoint before the posexplode (r8
+    GenerateExec projection-collapse fix: the M-slice array build is
+    O(dim) per evaluation and re-evaluates per emitted row otherwise)."""
+    arrs = base.select(
         id_col,
-        F.posexplode(
-            F.array(
-                *[
-                    F.slice(
-                        F.col(vec_col), m * PQ_SUB_DIM + 1, PQ_SUB_DIM
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("m", "sub"),
+        F.array(
+            *[
+                F.slice(F.col(vec_col), m * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+                for m in range(PQ_M)
+            ]
+        ).alias("_subs"),
+    ).localCheckpoint(eager=False)
+    return arrs.select(
+        id_col,
+        F.posexplode("_subs").alias("m", "sub"),
     )
 
 

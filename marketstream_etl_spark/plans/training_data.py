@@ -1505,20 +1505,22 @@ def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exploding the full corpus twice (the unpersisted shared frame would
     # be recomputed per consumer, and persisting doc×13-gram rows is
     # exactly the multi-TB materialization the 100 TB posture forbids)
+    # checkpoint barriers before BOTH explodes (r8 GenerateExec
+    # projection-collapse fix): without them the 13-gram chain
+    # re-evaluates once per emitted gram — ~grams-per-doc x waste
+    arr13 = F.array_distinct(shingles(tokens(F.col("text")), 13))
     bench = (
         docs.filter(is_bench)
-        .select(
-            F.explode(
-                F.array_distinct(shingles(tokens(F.col("text")), 13))
-            ).alias("s")
-        )
+        .select(arr13.alias("_s"))
+        .localCheckpoint(eager=False)
+        .select(F.explode("_s").alias("s"))
         .distinct()
     )
-    corpus = docs.filter(~is_bench).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingles(tokens(F.col("text")), 13))
-        ).alias("s"),
+    corpus = (
+        docs.filter(~is_bench)
+        .select("doc_id", arr13.alias("_s"))
+        .localCheckpoint(eager=False)
+        .select("doc_id", F.explode("_s").alias("s"))
     )
     frac = (
         F.floor(
