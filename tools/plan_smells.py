@@ -57,6 +57,22 @@ def main() -> int:
             m = re.search(r"Window \[.*\], \[\], \[", line)
             if m:
                 problems.append("unpartitioned Window")
+            # Generate (pos)explode whose generator input embeds an
+            # O(row-size) ARRAY-BUILD chain (array_distinct / zip_with —
+            # the shingle, gram, and bigram builders): the input
+            # re-evaluates once per OUTPUT row (projection collapse
+            # through GenerateExec), turning a linear build quadratic —
+            # r8's measured ~40x blowup class, fixed by pinning the
+            # array behind a localCheckpoint before the explode.  Cheap
+            # inputs (bare attrs, literal arrays, tokens()'s
+            # split-filter, struct packing) measured ≤1.4x and are not
+            # flagged — this lint exists to stop the FIXED class from
+            # regressing, not to chase noise.
+            g = re.search(r"Generate (?:pos)?explode\((.*?)\), ", line)
+            if g and re.search(r"array_distinct\(|zip_with\(", g.group(1)):
+                problems.append(
+                    f"collapsed Generate({g.group(1)[:60]})"
+                )
         if problems and name not in WHITELIST:
             flagged.append(f"{name}: {sorted(set(problems))}")
             print(f"FLAG {name}: {sorted(set(problems))}", flush=True)
