@@ -68,6 +68,19 @@ _COSINE_PAIR_SQL = """
 """
 
 
+def _spread_emb(emb: DataFrame) -> DataFrame:
+    """Repartition the embedding scan to cluster parallelism before the
+    CPU-bound per-row vector maps (cosine scans, centroid argmins, PQ
+    distances).  Small single-file corpora arrive as ONE scan partition
+    — measured at the 20K-vector sf1 probe: ann_bruteforce 2.3 s on one
+    thread vs 0.8 s spread — while at real scale the scan is already
+    parallel and this degrades to a cheap narrow shuffle (same contract
+    as sources.tables.spread, which this wraps)."""
+    from marketstream_etl_spark.sources.tables import spread
+
+    return spread(emb)
+
+
 def ann_bruteforce(
     emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
 ) -> DataFrame:
@@ -76,7 +89,7 @@ def ann_bruteforce(
     Output: (query_id, neighbor_id, cos, rank) — rank by cosine desc,
     neighbor_id asc tie-break.
     """
-    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
@@ -226,7 +239,7 @@ def ann_ivf(
     `centroids` swaps in an externally trained codebook, (centroid_id,
     cvec array<double>)-shaped — e.g. kmeans_fit's output — in place of
     the deterministic sample."""
-    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
     if centroids is None:
         centroids = _centroids(base, n_centroids)
 
@@ -322,7 +335,7 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs among the first `n_queries`
     vectors (bounded block so the demo stays quadratic-in-small-n; the scale
     path is ann_ivf with a threshold filter)."""
-    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec")).filter(
+    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec")).filter(
         F.col("vec_id") < n_queries
     )
     a = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
@@ -386,7 +399,7 @@ def embedding_neardup_ivf(
     `approx_rows` is the parquet-footer row count (no Spark job)."""
     if n_centroids is None:
         n_centroids = neardup_centroid_count(approx_rows, nassign)
-    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
     centroids = _centroids(base, n_centroids)
     assigned = _nearest_buckets(
         base, centroids, "vec_id", "vec", nassign, "bucket"
@@ -465,7 +478,7 @@ def embedding_stats(emb: DataFrame) -> DataFrame:
     Scale: per-vector norms are map-side array HOFs; the centroid is a
     (label, dim) exploded aggregation — shuffle rows = labels × dims, not
     vectors × dims, thanks to map-side partial sums."""
-    base = emb.select(
+    base = _spread_emb(emb).select(
         "label", norm(_dvec(F.col("embedding"))).alias("vnorm")
     )
     stats = base.groupBy("label").agg(
@@ -473,7 +486,7 @@ def embedding_stats(emb: DataFrame) -> DataFrame:
         F.round(F.avg("vnorm"), 6).alias("avg_norm"),
     )
     cent = (
-        emb.select("label", _dvec(F.col("embedding")).alias("_v"))
+        _spread_emb(emb).select("label", _dvec(F.col("embedding")).alias("_v"))
         # barrier before posexplode: _dvec is an O(dim) transform that
         # would re-evaluate per emitted (pos, val) row (r8 collapse fix)
         .localCheckpoint(eager=False)
@@ -585,7 +598,7 @@ def kmeans_train(
     Deterministic init: the first k vectors by vec_id.  Output: one row
     per surviving cluster with member count, within-cluster inertia, and
     the final centroid L2 norm."""
-    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("v"))
     cents = kmeans_fit(emb, k=k, iters=iters, dim=dim)
     final = _assign(base, cents)
     norm_map = F.create_map(
@@ -613,7 +626,7 @@ def kmeans_assign(
     (vec_id, cid) via the same broadcast-literal argmin as training
     (_assign), so downstream profiling ops never reach into the
     module's privates."""
-    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("v"))
     return _assign(base, cents).select("vec_id", "cid")
 
 
@@ -646,7 +659,7 @@ def kmeans_fit(
     hit = obj_lookup("kmeans_codebook", memo_key)
     if hit is not None:
         return {cid: list(c) for cid, c in hit.items()}
-    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("v"))
     # init = first k vec_ids; the k-row frame is collected anyway, so the
     # cid numbering happens driver-side — no window exec at all (a
     # no-partition Window here is bounded at k rows but still logs the
@@ -845,7 +858,7 @@ def ann_lsh(
     # projection-collapse fix): lsh_band_keys is O(bands x band_bits x
     # dim) of dot products per evaluation and would otherwise
     # re-evaluate once per emitted band row
-    base = emb.select(
+    base = _spread_emb(emb).select(
         "vec_id", _dvec(F.col("embedding")).alias("vec")
     ).withColumn(
         "bkeys", lsh_band_keys(F.col("vec"), hp, band_bits)
@@ -1081,7 +1094,7 @@ def pq_encode(
     Callers that already built `subs`/`cb` pass them in so the sub-vector
     explode and codebook are constructed once per query, not per stage."""
     if subs is None:
-        base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+        base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
         subs = _subvectors(base, "vec_id", "vec")
     if cb is None:
         cb = _pq_codebook(subs, n_codes)
@@ -1110,7 +1123,7 @@ def ann_pq(
 
     Output: (query_id, neighbor_id, adc_dist, rank) — rank by adc_dist
     asc (closest first), neighbor_id asc tie-break; self excluded."""
-    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
     subs = _subvectors(base, "vec_id", "vec")
     cb = _pq_codebook(subs, n_codes)
     enc = pq_encode(emb, n_codes, subs=subs, cb=cb)
@@ -1216,7 +1229,7 @@ def ann_ivfpq(
     Plan: the code index (vec_id, bucket, m, code) is the ONLY corpus-
     sized frame after encode; probes and ADC tables are broadcast, so the
     scan is one map-side join chain + one partial-aggregated groupBy."""
-    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
     centroids = _centroids(base, n_centroids)
     assigned = _nearest_buckets(
         base, centroids, "vec_id", "vec", 1, "bucket"
@@ -1457,7 +1470,7 @@ def semantic_dedup(
     """
     if n_centroids is None:
         n_centroids = neardup_centroid_count(approx_rows, 1)
-    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
     cents = _centroids(base, n_centroids)
     scored = base.join(F.broadcast(cents)).select(
         "vec_id",
