@@ -687,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": advanced.q_skew_salted_join,
         "funnel": advanced.q_funnel,
         "retention_cohorts": advanced.q_retention_cohorts,
+        "ab_test": advanced.q_ab_test,
     }
     from marketstream_etl_spark.streaming.tws import HAS_TWS_RUNTIME
 
@@ -1868,6 +1869,7 @@ def oracle_sql() -> dict[str, str]:
         "source_entropy": training_data.source_entropy_sql(),
         "psi_drift": advanced.psi_drift_sql(),
         "ks_drift": advanced.ks_drift_sql(),
+        "ab_test": advanced.ab_test_sql(),
         # the streaming twin's drained complete-mode state equals the
         # batch (segment, bucket) histogram, so it shares ks_drift's oracle
         "streaming_ks": advanced.ks_drift_sql(),

@@ -475,6 +475,175 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AB_Z_CRIT_E6 = 1_959_964  # two-sided 5% normal critical value, e6 fixed
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test A/B analysis — the experimentation readout
+    behavioral pipelines alarm on: users are deterministically split
+    into control/treatment (user_id parity — the hash-bucket assignment
+    every A/B platform uses), conversion = the user produced >=1
+    'purchase' event, and the z statistic tests whether the two
+    conversion rates differ under the pooled-proportion null.
+
+    Completes the statistical family: PSI/KS test DISTRIBUTIONS, Benford
+    tests digits, this tests PROPORTIONS — the third classical monitor.
+
+    The tested metric is the per-event purchase RATE (purchases /
+    events) per variant — the standard rate-metric readout, and unlike
+    a has-the-user-ever-purchased flag it does not saturate at 1 on
+    active users (a saturated pooled rate makes the z standard error 0;
+    the guard below still pins that degenerate case to z=NULL /
+    significant=false instead of a divide-by-zero abort).
+
+    Determinism: counts are exact integers; the rate, the pooled rate,
+    and z are computed in the shared floor(x*1e6+0.5) fixed-point
+    discipline, and the verdict compares |z|_e6 against the e6-fixed
+    1.959964 critical value — engine-identical by construction.
+
+    Scale: one 2-row hash aggregate over the fact scan (partial-agg
+    map-side — no per-user shuffle at all), then 1-row broadcast math —
+    no window, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    variants = (
+        ev.groupBy(
+            F.when(F.col("user_id") % 2 == 0, "control")
+            .otherwise("treatment")
+            .alias("variant")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("n_purchases"),
+        )
+        .withColumn(
+            "rate_e6",
+            F.floor(
+                F.col("n_purchases").cast("double")
+                / F.col("n_events").cast("double")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .localCheckpoint(eager=False)  # 2 rows, feeds the stat + report
+    )
+    # pooled two-proportion z: the 2-row frame pivoted into ONE row by a
+    # no-groupBy conditional aggregate — always exactly 1 row even if a
+    # variant is absent (the missing side's terms go NULL → se NULL → z
+    # NULL → significant false), the same empty-segment hardening the
+    # PSI family needed (q_psi_drift's totals note)
+    piv = variants.agg(
+        F.max(
+            F.when(F.col("variant") == "control", F.col("n_events"))
+        ).alias("n1"),
+        F.max(
+            F.when(F.col("variant") == "control", F.col("n_purchases"))
+        ).alias("x1"),
+        F.max(
+            F.when(F.col("variant") == "treatment", F.col("n_events"))
+        ).alias("n2"),
+        F.max(
+            F.when(F.col("variant") == "treatment", F.col("n_purchases"))
+        ).alias("x2"),
+    )
+    pooled = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n1").cast("double")
+            + F.lit(1.0) / F.col("n2").cast("double")
+        )
+    )
+    stat = piv.select(
+        F.when(
+            se > 0,
+            F.floor(
+                (
+                    F.col("x2").cast("double") / F.col("n2").cast("double")
+                    - F.col("x1").cast("double") / F.col("n1").cast("double")
+                )
+                / se
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("z_e6")
+    )
+    return (
+        variants.join(F.broadcast(stat))
+        .select(
+            "variant",
+            "n_events",
+            "n_purchases",
+            (F.col("rate_e6").cast("double") / F.lit(1e6)).alias(
+                "purchase_rate"
+            ),
+            (F.col("z_e6").cast("double") / F.lit(1e6)).alias("z_stat"),
+            F.coalesce(
+                F.abs(F.col("z_e6")) > AB_Z_CRIT_E6, F.lit(False)
+            ).alias("significant"),
+        )
+        .orderBy("variant")
+    )
+
+
+def ab_test_sql() -> str:
+    """DuckDB replay: identical split, exact counts, shared fixed-point
+    rounding on rate/z, the SE=0 NULL guard, and the e6 critical-value
+    verdict."""
+    return f"""
+        WITH v AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'control'
+                        ELSE 'treatment' END AS variant,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_purchases
+            FROM events GROUP BY 1
+        ),
+        v2 AS (
+            SELECT *,
+                   CAST(floor(n_purchases::DOUBLE / n_events::DOUBLE * 1e6
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rate_e6
+            FROM v
+        ),
+        s AS (
+            SELECT CASE WHEN se > 0 THEN
+                       CAST(floor(((x2::DOUBLE / n2::DOUBLE)
+                                   - (x1::DOUBLE / n1::DOUBLE)) / se * 1e6
+                                  + CAST(0.5 AS DOUBLE)) AS BIGINT)
+                   END AS z_e6
+            FROM (
+                SELECT n1, x1, n2, x2,
+                       sqrt(((x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE)
+                            * (1 - (x1 + x2)::DOUBLE / (n1 + n2)::DOUBLE)
+                            * (1.0 / n1::DOUBLE + 1.0 / n2::DOUBLE))
+                           AS se
+                FROM (
+                    SELECT max(CASE WHEN variant = 'control'
+                                    THEN n_events END) AS n1,
+                           max(CASE WHEN variant = 'control'
+                                    THEN n_purchases END) AS x1,
+                           max(CASE WHEN variant = 'treatment'
+                                    THEN n_events END) AS n2,
+                           max(CASE WHEN variant = 'treatment'
+                                    THEN n_purchases END) AS x2
+                    FROM v2
+                )
+            )
+        )
+        SELECT variant, n_events, n_purchases,
+               rate_e6::DOUBLE / 1e6 AS purchase_rate,
+               z_e6::DOUBLE / 1e6 AS z_stat,
+               coalesce(abs(z_e6) > {AB_Z_CRIT_E6}, FALSE) AS significant
+        FROM v2 CROSS JOIN s
+        ORDER BY variant
+    """
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention: users grouped by first-activity week, counted as
     active per week offset. Two aggregations sharing the user_id shuffle;

@@ -623,3 +623,63 @@ def test_ks_empty_segment_full_spine_not_drifted(spark, monkeypatch):
     assert len(out) == adv.PSI_N_BUCKETS
     assert all(r["cdf_gap_e6"] == 0 and r["drifted"] is False for r in out)
     assert all(r["ks_crit_5pct"] is None for r in out)
+
+
+# --- A/B test --------------------------------------------------------------------
+
+def _ab_events(spark, rows):
+    return spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+
+
+def test_ab_identical_rates_not_significant(spark, monkeypatch):
+    """Same purchase rate in both variants -> z = 0, not significant."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows = []
+    for uid in (0, 1):  # control (even) and treatment (odd)
+        for i in range(10):
+            et = "purchase" if i < 3 else "click"
+            rows.append((uid * 100 + i, uid, 1000 + i, et, 1.0, "{}"))
+    monkeypatch.setattr(
+        adv, "load_table", lambda sp, sf, name: _ab_events(sp, rows)
+    )
+    out = {r["variant"]: r for r in adv.q_ab_test(spark, "x").collect()}
+    assert out["control"]["purchase_rate"] == 0.3
+    assert out["treatment"]["purchase_rate"] == 0.3
+    assert out["control"]["z_stat"] == 0.0
+    assert not out["control"]["significant"]
+
+
+def test_ab_divergent_rates_significant(spark, monkeypatch):
+    """0% vs 50% purchase rate over 200 events/variant -> |z| >> 1.96."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows = []
+    for i in range(200):
+        rows.append((i, 0, 1000 + i, "click", 1.0, "{}"))          # control
+        et = "purchase" if i % 2 == 0 else "click"
+        rows.append((1000 + i, 1, 2000 + i, et, 1.0, "{}"))         # treat
+    monkeypatch.setattr(
+        adv, "load_table", lambda sp, sf, name: _ab_events(sp, rows)
+    )
+    out = {r["variant"]: r for r in adv.q_ab_test(spark, "x").collect()}
+    assert out["treatment"]["purchase_rate"] == 0.5
+    assert out["control"]["purchase_rate"] == 0.0
+    assert out["control"]["significant"] is True
+    assert out["control"]["z_stat"] > 1.96
+
+
+def test_ab_single_variant_null_guard(spark, monkeypatch):
+    """Only control users: the pivot still emits one row, z is NULL,
+    significant pinned false — no divide-by-zero, no collapsed report."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows = [(i, 0, 1000 + i, "purchase", 1.0, "{}") for i in range(5)]
+    monkeypatch.setattr(
+        adv, "load_table", lambda sp, sf, name: _ab_events(sp, rows)
+    )
+    out = adv.q_ab_test(spark, "x").collect()
+    assert len(out) == 1 and out[0]["variant"] == "control"
+    assert out[0]["z_stat"] is None and out[0]["significant"] is False
