@@ -286,7 +286,12 @@ N_RUNS = 3  # per-query warm repeats; ambient VM noise measured up to 1.5×
 
 
 def main() -> None:
-    spark = get_spark("marketstream-bench")
+    # Console progress bars ([Stage N:...] lines on stderr) are the other
+    # consumer of the driver's 2000-char tail capture — off for the bench.
+    spark = get_spark(
+        "marketstream-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
@@ -463,7 +468,12 @@ def main() -> None:
                 "note": "queries dict trimmed: full line exceeded 1900 chars",
             }
         )
-    print(line)
+    # Stop the JVM BEFORE printing: nothing (stray executor log, GC note,
+    # late stack trace) can land on the combined-output tail after the
+    # headline line and push it out of the driver's 2000-char capture —
+    # the r6/r8 near-miss class, closed structurally.
+    spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

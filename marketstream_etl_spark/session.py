@@ -59,4 +59,32 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_benign_scheduler_errors(spark)
     return spark
+
+
+def _silence_benign_scheduler_errors(spark: SparkSession) -> None:
+    """Pin the DAGScheduler logger to FATAL.
+
+    The non-eager ``localCheckpoint`` barriers (the GenerateExec
+    projection-collapse fix) cause Spark's known-benign
+    ``ERROR DAGScheduler: Failed to update accumulator N ...
+    non-existent accumulator`` stack traces: checkpoint truncation GCs
+    the accumulators of the pre-checkpoint lineage while straggler task
+    completions still reference them.  Every affected query still
+    returns correct results (verified by the oracle gate), but one such
+    multi-KB trace on stderr nearly pushed the bench headline JSON out
+    of the driver's 2000-char tail capture in round 8.  Real job
+    failures surface as Python exceptions regardless of log level, so
+    suppressing this logger loses no actionable signal.
+    """
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        # log4j2 internals are not a hard dependency of correctness —
+        # on an exotic logging backend the traces are merely noisy.
+        pass

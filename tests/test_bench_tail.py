@@ -1,0 +1,70 @@
+"""Evidence-channel hardening for the driver's bench tail capture.
+
+The driver records only the last ~2000 chars of bench.py's combined
+output and parses the headline JSON out of that window.  Two noise
+classes nearly erased rounds' bench numbers before:
+
+- r6: the JSON line itself outgrew the window (fixed with the 1900-char
+  trim in bench.py);
+- r8: a benign ``ERROR DAGScheduler ... non-existent accumulator``
+  stack trace (a side effect of the GenerateExec localCheckpoint
+  barriers) consumed ~900 chars of the tail right before the headline.
+
+These tests lock in the r9 structural fixes: the DAGScheduler logger is
+pinned to FATAL in every get_spark session, and bench.py stops the JVM
+before printing so nothing can land after the headline line.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+BENCH = pathlib.Path(__file__).resolve().parent.parent / "bench.py"
+
+
+def test_dagscheduler_logger_pinned_fatal(spark):
+    lg = spark._jvm.org.apache.logging.log4j.LogManager.getLogger(
+        "org.apache.spark.scheduler.DAGScheduler"
+    )
+    assert lg.getLevel().toString() == "FATAL"
+
+
+def test_bench_stops_jvm_before_headline_print():
+    """bench.main() must call spark.stop() before print(line).
+
+    Static check on the AST (running the full bench in a unit test is a
+    10-minute job): within main(), the call order must be
+    ... spark.stop() ... print(line).
+    """
+    tree = ast.parse(BENCH.read_text())
+    main_fn = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "main"
+    )
+    events = []
+    for node in ast.walk(main_fn):
+        if isinstance(node, ast.Call):
+            f = node.func
+            if (
+                isinstance(f, ast.Attribute)
+                and f.attr == "stop"
+                and isinstance(f.value, ast.Name)
+                and f.value.id == "spark"
+            ):
+                events.append(("stop", node.lineno))
+            elif isinstance(f, ast.Name) and f.id == "print":
+                events.append(("print", node.lineno))
+    assert ("stop" in [e[0] for e in events]), "bench.main lost spark.stop()"
+    last_stop = max(l for k, l in events if k == "stop")
+    prints = [l for k, l in events if k == "print"]
+    assert prints, "bench.main lost the headline print"
+    assert last_stop < min(prints), (
+        "spark.stop() must precede the headline print so no JVM output "
+        "can push the JSON line out of the driver's tail capture"
+    )
+
+
+def test_bench_disables_console_progress():
+    src = BENCH.read_text()
+    assert '"spark.ui.showConsoleProgress": "false"' in src
