@@ -103,10 +103,25 @@ def scan_coalesce(
     return df.coalesce(n) if n < par else df
 
 
-_UNVERIFIABLE = 0
+# Unique sentinel, not an int: a legitimate key component of 0 (a
+# hyperparameter, a False, or a hash that lands on 0) must not be
+# confused with "input identity unknown" (r8 ADVICE).  Identity
+# comparison (`is`) everywhere; the object is hashable so it can still
+# transit dict keys and composite tuples.
+_UNVERIFIABLE = object()
 
 
-def cache_key(df: DataFrame) -> int:
+def _has_unverifiable(key: object) -> bool:
+    """True if `key` is, or (recursively) contains, the UNVERIFIABLE
+    marker — composite obj-cache keys may nest tuples."""
+    if key is _UNVERIFIABLE:
+        return True
+    if isinstance(key, tuple):
+        return any(_has_unverifiable(e) for e in key)
+    return False
+
+
+def cache_key(df: DataFrame) -> object:
     """Generation key = plan identity ∘ input-file identity (see module
     doc).
 
@@ -153,7 +168,7 @@ def lookup(
     from a DIFFERENT applicationId is dropped instead of returned — those
     handles are bound to a stopped SparkContext (same latent bug class the
     r4 ADVICE flagged for the valid-trades cache)."""
-    if key == _UNVERIFIABLE:
+    if key is _UNVERIFIABLE:
         return None  # input identity unknown: never serve a cached gen
     gens = _GENERATIONS.get(op)
     if gens is None or key not in gens:
@@ -195,7 +210,7 @@ def rotate(
     owner = _app_id(frames[0]) if frames else ""
     gens = _GENERATIONS.setdefault(op, OrderedDict())
     if key in gens:
-        if key == _UNVERIFIABLE:
+        if key is _UNVERIFIABLE:
             # unverifiable generations are never served (lookup refuses),
             # and their plans may differ call-to-call — unpersist the
             # previous one instead of assuming shared storage
@@ -257,7 +272,7 @@ def obj_lookup(op: str, key: tuple) -> object | None:
     """Family `op`'s driver-side artifact for `key` (None on miss).
     Keys containing the UNVERIFIABLE input marker are never served —
     same correct-but-cold degradation as the frame cache."""
-    if _UNVERIFIABLE in key:
+    if _has_unverifiable(key):
         return None
     gens = _OBJ_GENERATIONS.get(op)
     if gens is None or key not in gens:
@@ -268,7 +283,11 @@ def obj_lookup(op: str, key: tuple) -> object | None:
 
 def obj_rotate(op: str, key: tuple, value: object) -> None:
     """Install `value` as family `op`'s artifact for `key`, evicting
-    LRU generations beyond capacity."""
+    LRU generations beyond capacity.  Unverifiable keys are dropped, not
+    stored — obj_lookup can never serve them, so storing one would only
+    burn an LRU slot (r8 ADVICE)."""
+    if _has_unverifiable(key):
+        return
     gens = _OBJ_GENERATIONS.setdefault(op, OrderedDict())
     gens[key] = value
     gens.move_to_end(key)

@@ -36,6 +36,52 @@ def _dvec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+FX = 1_000_000  # 1e-6 fixed-point quantum (the repo-wide exact-sum scale)
+
+
+def favg_fx(col: Column, scale: int = FX) -> Column:
+    """Order-independent mean of a double column.
+
+    Quantize each value to BIGINT fixed point (round-half-up), sum
+    exactly — integer addition is associative/commutative, so partition
+    count and partial-merge order cannot change the result — then divide
+    once in double space.  The plain ``F.avg`` it replaces merges
+    per-partition double partial sums in nondeterministic order, which
+    can flip the last decimal at a ``round()`` boundary once the input
+    is multi-partition (the r8 ``_spread_emb`` change made it so).  Same
+    discipline as the PSI/CUSUM families; the DuckDB oracles mirror the
+    identical expression so both engines see bit-identical doubles.
+    """
+    s = float(scale)
+    return (
+        F.sum(F.floor(col * F.lit(s) + F.lit(0.5))).cast("double")
+        / F.count(F.lit(1))
+        / F.lit(s)
+    )
+
+
+def fsum_fx(col: Column, scale: int = FX) -> Column:
+    """Order-independent sum of a double column (see favg_fx)."""
+    s = float(scale)
+    return F.sum(F.floor(col * F.lit(s) + F.lit(0.5))).cast("double") / F.lit(s)
+
+
+def avg_fx_sql(expr: str, scale: int = FX) -> str:
+    """DuckDB twin of favg_fx — identical op order, identical doubles."""
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / count(*) / {scale}"
+    )
+
+
+def sum_fx_sql(expr: str, scale: int = FX) -> str:
+    """DuckDB twin of fsum_fx."""
+    return (
+        f"CAST(sum(CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {scale}"
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double, left-to-right (deterministic accumulation)."""
     return F.aggregate(
@@ -483,8 +529,12 @@ def embedding_stats(emb: DataFrame) -> DataFrame:
     )
     stats = base.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
-        F.round(F.avg("vnorm"), 6).alias("avg_norm"),
+        F.round(favg_fx(F.col("vnorm")), 6).alias("avg_norm"),
     )
+    # fixed-point sums throughout (favg_fx/fsum_fx): both aggregation
+    # layers merge multi-partition double partials, so plain avg/sum
+    # would be order-nondeterministic at the round() boundary.  cmean²
+    # values are O(1e-2), so the squared layer uses a 1e-12 quantum.
     cent = (
         _spread_emb(emb).select("label", _dvec(F.col("embedding")).alias("_v"))
         # barrier before posexplode: _dvec is an O(dim) transform that
@@ -492,19 +542,22 @@ def embedding_stats(emb: DataFrame) -> DataFrame:
         .localCheckpoint(eager=False)
         .select("label", F.posexplode("_v").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.avg("val").alias("cmean"))
+        .agg(favg_fx(F.col("val")).alias("cmean"))
         .groupBy("label")
         .agg(
-            F.round(F.sqrt(F.sum(F.col("cmean") * F.col("cmean"))), 6).alias(
-                "centroid_norm"
-            )
+            F.round(
+                F.sqrt(
+                    fsum_fx(F.col("cmean") * F.col("cmean"), scale=10**12)
+                ),
+                6,
+            ).alias("centroid_norm")
         )
     )
     return stats.join(cent, "label").orderBy("label")
 
 
 def embedding_stats_sql() -> str:
-    return """
+    return f"""
         WITH norms AS (
             SELECT label,
                    sqrt(list_aggregate(list_transform(embedding,
@@ -514,7 +567,7 @@ def embedding_stats_sql() -> str:
         ),
         stats AS (
             SELECT label, count(*) AS n_vectors,
-                   round(avg(vnorm), 6) AS avg_norm
+                   round({avg_fx_sql("vnorm")}, 6) AS avg_norm
             FROM norms GROUP BY label
         ),
         dims AS (
@@ -524,10 +577,13 @@ def embedding_stats_sql() -> str:
             FROM embeddings
         ),
         cmeans AS (
-            SELECT label, pos, avg(val) AS cmean FROM dims GROUP BY 1, 2
+            SELECT label, pos, {avg_fx_sql("val")} AS cmean
+            FROM dims GROUP BY 1, 2
         ),
         cents AS (
-            SELECT label, round(sqrt(sum(cmean * cmean)), 6) AS centroid_norm
+            SELECT label,
+                   round(sqrt({sum_fx_sql("cmean * cmean", 10**12)}), 6)
+                       AS centroid_norm
             FROM cmeans GROUP BY label
         )
         SELECT s.label, s.n_vectors, s.avg_norm, c.centroid_norm
@@ -612,7 +668,7 @@ def kmeans_train(
         final.groupBy("cid")
         .agg(
             F.count("*").alias("n_vectors"),
-            F.round(F.sum("dist"), 4).alias("inertia"),
+            F.round(fsum_fx(F.col("dist")), 4).alias("inertia"),
         )
         .withColumn("centroid_norm", norm_map[F.col("cid")])
         .orderBy("cid")
@@ -672,7 +728,7 @@ def kmeans_fit(
             assigned.groupBy("cid")
             .agg(
                 *[
-                    F.round(F.avg(F.col("v")[d]), 6).alias(f"c{d}")
+                    F.round(favg_fx(F.col("v")[d]), 6).alias(f"c{d}")
                     for d in range(dim)
                 ]
             )
@@ -718,7 +774,8 @@ def kmeans_cent_rel(
             ) WHERE rn = 1
         ), c{i} AS (
             SELECT cid, list(cd ORDER BY dm) AS c FROM (
-                SELECT a.cid, u.dm AS dm, round(avg(e.v[u.dm]), 6) AS cd
+                SELECT a.cid, u.dm AS dm,
+                       round({avg_fx_sql("e.v[u.dm]")}, 6) AS cd
                 FROM a{i} a JOIN e USING (vec_id),
                      unnest(range(1, {dim} + 1)) AS u(dm)
                 GROUP BY a.cid, u.dm
@@ -767,7 +824,8 @@ def kmeans_sql(
             parts.append(
                 f""", c{i} AS (
             SELECT cid, list(cd ORDER BY dm) AS c FROM (
-                SELECT a.cid, u.dm AS dm, round(avg(e.v[u.dm]), 6) AS cd
+                SELECT a.cid, u.dm AS dm,
+                       round({avg_fx_sql("e.v[u.dm]")}, 6) AS cd
                 FROM a{i} a JOIN e USING (vec_id),
                      unnest(range(1, {dim} + 1)) AS u(dm)
                 GROUP BY a.cid, u.dm
@@ -777,7 +835,7 @@ def kmeans_sql(
     parts.append(
         f"""
         SELECT a.cid, count(*) AS n_vectors,
-               round(sum(a.dist), 4) AS inertia,
+               round({sum_fx_sql("a.dist")}, 4) AS inertia,
                round(sqrt(list_sum(list_transform(c.c, x -> x * x))), 4)
                    AS centroid_norm
         FROM a{iters + 1} a JOIN c{iters} c USING (cid)

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from marketstream_etl_spark.sources.tables import sink_name
+
 from marketstream_etl_spark.functions.hashing import (
     h32,
     h32_sql,
@@ -148,7 +150,7 @@ def streaming_cms_heavy_hitters(spark, sf_dir: str) -> DataFrame:
     sketch_stream = cells.groupBy("c.row", "c.bucket").agg(
         F.count("*").alias("cnt")
     )
-    name = f"stream_cms_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name("stream_cms", sf_dir)
     q = (
         sketch_stream.writeStream.format("memory")
         .queryName(name)
@@ -994,7 +996,7 @@ def streaming_hdr_quantiles(spark, sf_dir: str) -> DataFrame:
         .groupBy("bid")
         .agg(F.count("*").alias("cnt"))
     )
-    name = f"stream_hdr_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name("stream_hdr", sf_dir)
     q = (
         counted_stream.writeStream.format("memory")
         .queryName(name)

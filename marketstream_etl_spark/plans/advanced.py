@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from marketstream_etl_spark.operators.indicators import rolling_indicators
 from marketstream_etl_spark.operators.validation import split_valid
 from marketstream_etl_spark.plans.trades_view import load_trades
-from marketstream_etl_spark.sources.tables import load_table
+from marketstream_etl_spark.sources.tables import load_table, sink_name
 
 DAY_NS = 86_400_000_000_000
 SESSION_GAP_NS = 1_800_000_000_000  # 30 minutes
@@ -1201,7 +1201,7 @@ def q_streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_trades"),
         F.sum("volume").alias("total_volume"),
     )
-    name = f"pyds_stream_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name("pyds_stream", sf_dir)
     q = (
         counts.writeStream.format("memory")
         .queryName(name)

@@ -45,6 +45,15 @@ def source_key(sf_dir: str) -> str:
     return hashlib.md5(f"{sf_dir}@{mtime}".encode()).hexdigest()[:8]
 
 
+def sink_name(prefix: str, sf_dir: str) -> str:
+    """Deterministic memory-sink / temp-view / scratch-DB name for a
+    dataset dir.  source_key is unique per (path, data generation),
+    unlike the salted-Python-hash % 1e5 it replaces (r8 ADVICE: two runs
+    against DIFFERENT sf_dirs could collide in the 1e5 keyspace and the
+    second complete-mode snapshot would silently replace the first)."""
+    return f"{prefix}_{source_key(sf_dir)}"
+
+
 def table_row_count(sf_dir: str, name: str) -> int | None:
     """Exact row count from the parquet footer metadata — driver-side, no
     Spark job.  Handles both a single file and a Spark-written directory

@@ -23,6 +23,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from marketstream_etl_spark.sources.tables import sink_name
+
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
@@ -112,7 +114,7 @@ def file_stream_jdbc_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from marketstream_etl_spark.streaming.replay import valid_trades_stream
 
-    url = _derby_url(f"stream_sink_{abs(hash(sf_dir)) % 100000}")
+    url = _derby_url(sink_name("stream_sink", sf_dir))
     trades_table, counts_table = "stream_trades", "stream_symbol_counts"
     _drop_if_exists(spark, url, [trades_table, counts_table])
 

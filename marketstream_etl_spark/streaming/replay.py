@@ -10,8 +10,12 @@ glob, sink naming, final-emission tie-break) has a single definition.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from marketstream_etl_spark.sources.tables import sink_name
 
 
 def valid_trades_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,7 +34,7 @@ def drain_to_memory(
     """Run the streaming frame to completion into a memory sink; return the
     sink table.  The sink name is unique per (prefix, sf_dir) within the
     process, matching the pre-existing per-query naming convention."""
-    name = f"{name_prefix}_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name(name_prefix, sf_dir)
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -103,5 +107,14 @@ def accumulate_stream(
     )
     q.awaitTermination()
     shutil.rmtree(acc_dir + "_ck", ignore_errors=True)
+    if not os.path.isdir(acc_dir):
+        # zero micro-batches (empty/missing source): foreachBatch never
+        # ran, so no partials exist.  Return the empty merged frame the
+        # old memory-sink path yielded instead of an AnalysisException
+        # from reading a nonexistent directory (r8 ADVICE).
+        empty = partial_fn(
+            spark.createDataFrame([], stream_df.schema)
+        ).limit(0)
+        return empty.groupBy(*key_cols).agg(*merge_exprs)
     # partition discovery picks up every batch_id=N subdirectory
     return spark.read.parquet(acc_dir).groupBy(*key_cols).agg(*merge_exprs)

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from marketstream_etl_spark.schemas import TICK_SCHEMA
+from marketstream_etl_spark.sources.tables import sink_name
 
 # Hard bound on the socket-test emitter's driver-side buffer (~200 B/frame →
 # ≤ ~40 MB).  Covers sf0.1 (~100K events) with headroom; anything larger must
@@ -178,7 +179,7 @@ def file_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = stream_events(spark, sf_dir)
     counts = symbol_counts(hot_path_filter(trades_from_events(events)))
-    name = f"stream_counts_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name("stream_counts", sf_dir)
     q = (
         counts.writeStream.format("memory")
         .queryName(name)
@@ -210,7 +211,7 @@ def file_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("vwap", 6).alias("vwap"),
         F.round("avg_price", 6).alias("avg_price"),
     )
-    name = f"stream_windowed_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name("stream_windowed", sf_dir)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -255,7 +256,7 @@ def file_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("win.start")) * 1000).alias("window_start_ns"),
         "open", "high", "low", "close", "bar_volume", "n_trades",
     )
-    name = f"stream_ohlc_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name("stream_ohlc", sf_dir)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -298,7 +299,7 @@ def file_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.sum("volume").alias("total_volume"),
     )
-    name = f"stream_deadletter_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name("stream_deadletter", sf_dir)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -568,7 +569,7 @@ def drain_deadletter_socket(
         F.count("*").alias("n_frames"),
         F.sum("volume").alias("total_volume"),
     )
-    name = f"{name_prefix}_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name(name_prefix, sf_dir)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -625,7 +626,7 @@ def file_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = with_ts.groupBy(
         F.session_window("event_time", SESSION_GAP), "user_id"
     ).agg(F.count("*").alias("n_events"))
-    name = f"stream_sessions_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name("stream_sessions", sf_dir)
     q = (
         sessions.writeStream.format("memory")
         .queryName(name)
@@ -757,7 +758,7 @@ def file_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_anomalies"),
         F.round(F.max("abs_z"), 4).alias("max_abs_z"),
     )
-    name = f"stream_anomaly_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name("stream_anomaly", sf_dir)
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -969,7 +970,7 @@ def file_stream_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(benford_digit_col().alias("digit"))
         .agg(F.count("*").alias("n_obs"))
     )
-    name = f"stream_benford_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name("stream_benford", sf_dir)
     q = (
         counts_stream.writeStream.format("memory")
         .queryName(name)
@@ -1006,7 +1007,7 @@ def file_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
-    name = f"stream_psi_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name("stream_psi", sf_dir)
     q = (
         seg_stream.writeStream.format("memory")
         .queryName(name)
@@ -1039,7 +1040,7 @@ def file_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
-    name = f"stream_ks_{abs(hash(sf_dir)) % 100000}"
+    name = sink_name("stream_ks", sf_dir)
     q = (
         seg_stream.writeStream.format("memory")
         .queryName(name)

@@ -123,6 +123,30 @@ def test_obj_cache_unverifiable_key_never_served():
     assert cachegen.obj_lookup("cb", key) is None
 
 
+def test_obj_cache_zero_key_component_is_cacheable():
+    # r8 ADVICE: the old sentinel was the int 0, so any legitimate 0 in a
+    # composite key (hyperparameter, False, hash landing on 0) silently
+    # made the entry uncacheable.  The object() sentinel fixes that.
+    cachegen.obj_rotate("cb0", (0, 16, False), {"x": 1})
+    assert cachegen.obj_lookup("cb0", (0, 16, False)) == {"x": 1}
+
+
+def test_obj_cache_nested_unverifiable_refused():
+    key = ((cachegen._UNVERIFIABLE, "inner"), 16)
+    cachegen.obj_rotate("cbn", key, {"x": 1})
+    assert cachegen.obj_lookup("cbn", key) is None
+
+
+def test_obj_rotate_drops_unverifiable_instead_of_burning_slot():
+    # capacity is GENERATIONS_PER_FAMILY (2): an unverifiable rotate must
+    # not evict a servable generation
+    cachegen.obj_rotate("cbs", (1,), "a")
+    cachegen.obj_rotate("cbs", (2,), "b")
+    cachegen.obj_rotate("cbs", (cachegen._UNVERIFIABLE,), "never")
+    assert cachegen.obj_lookup("cbs", (1,)) == "a"
+    assert cachegen.obj_lookup("cbs", (2,)) == "b"
+
+
 def test_obj_cache_cleared_with_families():
     cachegen.obj_rotate("cb", (9,), {"z": 1})
     cachegen.clear()

@@ -371,3 +371,30 @@ def test_accumulate_stream_replay_is_idempotent(spark, tmp_path):
         .collect()
     }
     assert merged == {"A": 7, "B": 3}  # replay did NOT double-count
+
+
+def test_accumulate_stream_empty_source_yields_empty_frame(spark, tmp_path):
+    """Zero micro-batches (empty source dir): foreachBatch never runs, so
+    no partials exist — accumulate_stream must return an empty frame with
+    the merged schema, not throw AnalysisException reading a nonexistent
+    accumulator directory (r8 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.streaming.replay import accumulate_stream
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = spark.readStream.schema("symbol string, n long").parquet(
+        str(src)
+    )
+    out = accumulate_stream(
+        spark,
+        str(tmp_path),
+        stream,
+        "empty_acc_probe",
+        partial_fn=lambda b: b.groupBy("symbol").agg(F.sum("n").alias("n")),
+        key_cols=["symbol"],
+        merge_exprs=[F.sum("n").alias("n")],
+    )
+    assert out.columns == ["symbol", "n"]
+    assert out.count() == 0
