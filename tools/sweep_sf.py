@@ -15,6 +15,8 @@ Rows are counted (forces full materialization); values are NOT compared
 
 from __future__ import annotations
 
+import glob
+import os
 import sys
 import time
 
@@ -22,6 +24,55 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
 from marketstream_etl_spark.session import get_spark
+
+# Above this input volume the default 4g test heap is known-insufficient
+# (sf1's containment_pairs shingle explode OOMs mid-sweep: local[32]
+# shares one heap across 32 "executors" ≈ 128 MiB/thread, far below any
+# real cluster's per-executor memory).  sf0.1 is ~17 MB, sf1 ~178 MB —
+# the threshold sits between the decades.
+BIG_SWEEP_BYTES = 64 * 1024 * 1024
+BIG_SWEEP_MEM = "32g"  # still modest: 1 GiB per local[32] thread
+
+
+def _mem_gib(spec: str) -> float:
+    spec = spec.strip().lower()
+    units = {"k": 1 / (1024 * 1024), "m": 1 / 1024, "g": 1, "t": 1024}
+    if spec and spec[-1] in units:
+        return float(spec[:-1]) * units[spec[-1]]
+    return float(spec) / (1024**3)  # bare bytes
+
+
+def ensure_driver_mem(sf_dir: str) -> None:
+    """Fail fast (or auto-provision) the driver-heap requirement BEFORE
+    the session starts, instead of OOMing 40 minutes into the sweep
+    (r8 VERDICT item 5).  Unset → auto-set 32g for big inputs; explicitly
+    set too low → exit immediately with the posture note."""
+    nbytes = sum(
+        os.stat(p).st_size
+        for pat in ("*.parquet", "*/*.parquet")
+        for p in glob.glob(os.path.join(sf_dir, pat))
+    )
+    if nbytes <= BIG_SWEEP_BYTES:
+        return
+    cur = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if cur is None:
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = BIG_SWEEP_MEM
+        print(
+            f"sweep: input {nbytes / 1e6:.0f} MB > threshold — auto-set "
+            f"SPARK_GRAFT_DRIVER_MEM={BIG_SWEEP_MEM} (local[32] shares one "
+            "heap; ~1 GiB/thread is the correctly-sized-executor posture)",
+            flush=True,
+        )
+        return
+    if _mem_gib(cur) < 16:
+        print(
+            f"sweep: refusing to start — SPARK_GRAFT_DRIVER_MEM={cur} is "
+            f"below the 16g floor for a {nbytes / 1e6:.0f} MB sweep "
+            "(containment_pairs' shingle explode OOMs mid-sweep at small "
+            f"heaps; use {BIG_SWEEP_MEM} or unset to auto-provision)",
+            flush=True,
+        )
+        raise SystemExit(2)
 
 
 def main() -> int:
@@ -33,6 +84,7 @@ def main() -> int:
         skips[name] = reason
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    ensure_driver_mem(sf_dir)
     spark = get_spark("sweep-sf")
     qs = entrymod.queries()
     fails: list[str] = []
