@@ -399,7 +399,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clusters keep the family), ann_lsh (bruteforce/pq/kmeans keep
         # ANN), streaming_dedup (the watermarked twin is the stronger
         # row) — all long-green, still check_oracle-verified locally.
-        "trades_view": analytics.q_trades_view,
+        # r9 rotation (r8 VERDICT item 4): eight rows that had never held
+        # a driver slot take the gate — ks_drift + streaming_ks + ab_test
+        # (r8-new statistical tests, never gated), hdr_quantiles (the
+        # sketch family's quantile member), l_diversity (privacy),
+        # session_transitions (behavioral sequences), benford_audit
+        # (statistical audit), readability_scores (text quality).  OUT
+        # (all long-green, family kept in-gate, still check_oracle-
+        # verified locally below the fold): trades_view (X2/X4/X12 casts
+        # kept by json_corrupt_records; the CSV golden by
+        # csv_fixture_roundtrip), volume_bars (bar family by
+        # candlestick_patterns + streaming_ohlc), streaming_anomaly
+        # (streaming stays 12 rows via streaming_ks), psi_drift (drift
+        # family by ks_drift), k_anonymity (privacy by l_diversity),
+        # funnel_steps (behavioral by session_transitions),
+        # microstructure (audit by benford_audit + key_skew_profile),
+        # hybrid_search_rrf (retrieval by bm25_search).
         "validate_split": analytics.q_validate_split,
         "csv_fixture_roundtrip": analytics.q_csv_fixture_roundtrip,
         "validation_counts": analytics.q_validation_counts,
@@ -427,7 +442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # indicators' VWAP; pandas surface by cusum + multimodal),
         # weighted_reservoir (X10/sampling by generator_invariants +
         # purged_kfold), streaming_join_outer (subsumed as above).
-        "volume_bars": analytics.q_volume_bars,
         "candlestick_patterns": analytics.q_candlestick_patterns,
         # --- streaming (real Structured Streaming runs; ST1-ST7) — 12 ---
         "streaming_counts": _stream_counts,
@@ -438,7 +452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twin (streaming_socket) moves below the fold, still green
         "streaming_websocket": _stream_websocket,
         "streaming_dedup_watermarked": _stream_dedup_watermarked,
-        "streaming_anomaly": _stream_anomaly,
+        "streaming_ks": _stream_ks,
         # r8: the FULL OUTER interval join takes the outer join's slot —
         # it emits matched pairs PLUS watermark-evicted unmatched rows
         # from BOTH sides, strictly subsuming the left-outer (r6-r7 gate
@@ -467,10 +481,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted_sample (X10; sampling family keeps weighted_reservoir
         # in-gate) — all still check_oracle-verified locally.
         "key_skew_profile": advanced.q_key_skew_profile,
-        "microstructure": analytics.q_microstructure,
         "cusum_changepoints": analytics.q_cusum_changepoints,
         "purged_kfold": analytics.q_purged_kfold,
-        "k_anonymity": advanced.q_k_anonymity,
+        "ks_drift": advanced.q_ks_drift,
+        "ab_test": advanced.q_ab_test,
+        "benford_audit": advanced.q_benford_audit,
+        "l_diversity": advanced.q_l_diversity,
+        "session_transitions": advanced.q_session_transitions,
+        "hdr_quantiles": advanced.q_hdr_quantiles,
+        "readability_scores": training_data.q_readability_scores,
         # --- LLM training-data north star — 15 (rest after the fold) ---
         "text_analysis": training_data.q_text_analysis,
         # late-r5 rotation: source_pagerank (graph analytics, new op
@@ -486,7 +505,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape) takes the simhash_pairs slot; SimHash stays evidenced by
         # dedup_minhash_lsh/dedup_clusters in-gate and simhash_pairs
         # stays check_oracle-verified locally (driver-green r4+r5).
-        "hybrid_search_rrf": training_data.q_hybrid_search_rrf,
         "ann_bruteforce": training_data.q_ann_bruteforce,
         "multimodal_features": training_data.q_multimodal_features,
         "corpus_curation": training_data.q_corpus_curation,
@@ -512,26 +530,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom_contamination); hdr_quantiles is driver-green r6-mid and
         # stays check_oracle-verified locally with its grouped/streaming
         # twins
-        "psi_drift": advanced.q_psi_drift,
-        "funnel_steps": advanced.q_funnel_steps,
         "bm25_search": training_data.q_bm25_search,
         "lm_perplexity": training_data.q_lm_perplexity,
         "json_corrupt_records": training_data.q_json_corrupt_records,
         # ---------------- fold: slot 51+ ----------------
-        "benford_audit": advanced.q_benford_audit,
+        # r9 rotation OUT rows (all long-green in prior driver gates):
+        "trades_view": analytics.q_trades_view,
+        "volume_bars": analytics.q_volume_bars,
+        "streaming_anomaly": _stream_anomaly,
+        "psi_drift": advanced.q_psi_drift,
+        "k_anonymity": advanced.q_k_anonymity,
+        "funnel_steps": advanced.q_funnel_steps,
+        "microstructure": analytics.q_microstructure,
+        "hybrid_search_rrf": training_data.q_hybrid_search_rrf,
         "attribution_touch": advanced.q_attribution_touch,
-        "session_transitions": advanced.q_session_transitions,
         "udaf_vwap": advanced.q_udaf_vwap,  # pandas UDAF surface
         "weighted_reservoir": training_data.q_weighted_reservoir,
         "ohlc_bars": analytics.q_ohlc_bars,
         "streaming_join": _stream_join,
         "streaming_join_outer": _stream_join_outer,
-        "hdr_quantiles": advanced.q_hdr_quantiles,
         "streaming_hdr": _stream_hdr,
         "hdr_quantiles_grouped": advanced.q_hdr_quantiles_grouped,
         "link_prediction": tpch.q_link_prediction,
         "bollinger_breaches": analytics.q_bollinger_breaches,
-        "readability_scores": training_data.q_readability_scores,
         "mad_outliers": training_data.q_mad_outliers,
         "kfold_assign": training_data.q_kfold_assign,
         "hll_set_ops": training_data.q_hll_set_ops,
@@ -539,7 +560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": training_data.q_containment_pairs,
         "zipf_audit": training_data.q_zipf_audit,
         "source_entropy": training_data.q_source_entropy,
-        "l_diversity": advanced.q_l_diversity,
         "python_datasource": advanced.q_python_datasource,
         "zorder_skipping": advanced.q_zorder_skipping,
         "pattern_similarity": advanced.q_pattern_similarity,
@@ -548,8 +568,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": advanced.q_rolling_distinct_users,
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
-        "ks_drift": advanced.q_ks_drift,
-        "streaming_ks": _stream_ks,
         "streaming_psi": _stream_psi,
         "streaming_benford": _stream_benford,
         "streaming_upsert": _stream_upsert,
@@ -687,7 +705,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": advanced.q_skew_salted_join,
         "funnel": advanced.q_funnel,
         "retention_cohorts": advanced.q_retention_cohorts,
-        "ab_test": advanced.q_ab_test,
     }
     from marketstream_etl_spark.streaming.tws import HAS_TWS_RUNTIME
 
