@@ -309,23 +309,52 @@ def part_triangles(lineitem: DataFrame, min_weight: int = TRI_MIN_WEIGHT) -> Dat
         )
         .localCheckpoint(eager=False)
     )
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+    # Per-EDGE triangle counts via adjacency-list intersection instead of
+    # materializing every wedge/triangle row (r8 VERDICT item 3: the old
+    # e1⋈e2⋈e3 shape was emission-volume-bound — 49 s at sf1's 200 K
+    # parts).  c(u,v) = |N⁺(u) ∩ N⁺(v)| counts the triangles closed over
+    # edge (u,v) in one O(deg_u + deg_v) array op per edge; the only rows
+    # shuffled are the |E| adjacency entries, never the wedge set.  The
+    # orientation bounds every array at out-degree ≤ O(√|E|), so a row is
+    # never pathological.
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    base_edges = (
+        oriented.join(
+            adj.select(F.col("u").alias("_au"), F.col("nbrs").alias("nu")),
+            F.col("u") == F.col("_au"),
+        )
         .join(
-            e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            adj.select(F.col("u").alias("_av"), F.col("nbrs").alias("nv")),
+            F.col("v") == F.col("_av"),
         )
         .select(
-            F.col("e1.u").alias("x"),
-            F.col("e1.v").alias("y"),
-            F.col("e2.v").alias("z"),
+            "u",
+            "v",
+            F.array_intersect("nu", "nv").alias("ws"),
         )
+        .filter(F.size("ws") > 0)
+        # barrier: the explodes below must not collapse into this
+        # projection, or array_intersect re-evaluates per emitted row
+        # (the r8 GenerateExec class); the frame is ≤|E| rows with
+        # orientation-bounded arrays.
+        .localCheckpoint(eager=False)
+    )
+    # Edge (u,v) with intersection set S closes one triangle {u, v, w}
+    # per w ∈ S, and every triangle has exactly ONE base edge under the
+    # orientation ((x→y),(x→z),(y→z) → base (x,y), apex z).  So u and v
+    # each participate in |S| triangles via this edge, and each apex w in
+    # one — 3 credits per triangle, no per-wedge rows anywhere.
+    ends = base_edges.select(
+        F.explode(F.array("u", "v")).alias("l_partkey"),
+        F.size("ws").alias("c"),
+    )
+    apexes = base_edges.select(
+        F.explode("ws").alias("l_partkey"), F.lit(1).alias("c")
     )
     per_part = (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("l_partkey"))
+        ends.unionAll(apexes)
         .groupBy("l_partkey")
-        .agg(F.count("*").alias("triangles"))
+        .agg(F.sum("c").cast("long").alias("triangles"))
     )
     return per_part.orderBy(F.desc("triangles"), "l_partkey")
 

@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MB scan splits (default 128 MB): the single-FILE testdata
+        # layout otherwise maps a whole 100+ MB table to ONE scan task at
+        # the sf1 decade, serializing the scan and first shuffle write.
+        # Needs multi-row-group files to bite (gen_sf1 writes 8 MB row
+        # groups).  At real cluster scale data arrives pre-split across
+        # many files, so a smaller split size only adds task granularity
+        # — AQE coalesces the excess.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         # testdata events.ts is parquet TIMESTAMP(NANOS); read as int64 ns —
         # matching the reference's raw-ns time model (Trade.hpp:21)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

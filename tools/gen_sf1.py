@@ -50,7 +50,16 @@ def write_single(df, path: str) -> None:
 
     tmp = path + "_tmpdir"
     shutil.rmtree(tmp, ignore_errors=True)
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    # Bounded row groups (8 MB vs the 128 MB default): a single-file
+    # table with ONE giant row group cannot be split by byte range, so
+    # every scan of it runs on one task no matter the config (measured:
+    # sf1 lineitem's 6M-row scan+shuffle-write serialized ~13 s on one
+    # thread inside part_triangles).  Multiple row groups + the session's
+    # maxPartitionBytes give the scan real parallelism while keeping the
+    # one-file layout the streaming sources' pathGlobFilter requires.
+    df.coalesce(1).write.option(
+        "parquet.block.size", str(8 * 1024 * 1024)
+    ).mode("overwrite").parquet(tmp)
     part = glob.glob(f"{tmp}/part-*.parquet")
     assert len(part) == 1, part
     if os.path.isdir(path):
