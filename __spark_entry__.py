@@ -568,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": advanced.q_rolling_distinct_users,
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
+        # r9-new: rank-based drift (third member of the PSI/KS family)
+        "mannwhitney_drift": advanced.q_mannwhitney_drift,
         "streaming_psi": _stream_psi,
         "streaming_benford": _stream_benford,
         "streaming_upsert": _stream_upsert,
@@ -1886,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
         "source_entropy": training_data.source_entropy_sql(),
         "psi_drift": advanced.psi_drift_sql(),
         "ks_drift": advanced.ks_drift_sql(),
+        "mannwhitney_drift": advanced.mannwhitney_drift_sql(),
         "ab_test": advanced.ab_test_sql(),
         # the streaming twin's drained complete-mode state equals the
         # batch (segment, bucket) histogram, so it shares ks_drift's oracle

@@ -2005,6 +2005,196 @@ def ks_drift_sql() -> str:
     """
 
 
+MWU_Z_CRIT_E6 = 1_959_964  # two-sided alpha = 0.05 normal critical, e6
+
+
+def q_mannwhitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) drift test over the SAME
+    segments and bucket grid as psi_drift/ks_drift (click = sample 1,
+    purchase = sample 2) — the third member of the drift-audit family:
+    PSI measures banded magnitude, KS tests the max CDF gap, U tests the
+    RANK ordering (stochastic dominance), which catches location shifts
+    whose sup-gap stays under the KS critical line.
+
+    Exact integer rank math on the binned data (midranks for ties —
+    every bucket is one tie group):
+      m2(b)   = 2·cum_t(b-1) + t_b + 1      (2× the bucket midrank)
+      2·R1    = Σ_b a_b · m2(b)             (BIGINT, exact)
+      2·U1    = 2·R1 − n1·(n1+1)            (BIGINT, exact)
+    then the normal approximation with the standard tie correction,
+    computed once in IEEE double from exact BIGINT pieces (identical op
+    order in the oracle):
+      var U = n1·n2/12 · ((N+1) − Σ(t³−t)/(N·(N−1)))
+      z     = (U1 − n1·n2/2) / sqrt(var U)
+    Σ(t³−t) stays in BIGINT — exact up to per-bucket tie groups of
+    ~2.09e6 rows, far past the sweep decades; at real scale the grid
+    would widen before a single bucket holds 2M rows.
+
+    Scale shape (mirrors ks_drift): one map-side bucket projection, one
+    (segment, bucket) hash aggregate; everything downstream is
+    grid-bounded (10×10 triangular join for the cumulative, 1-row
+    output).  Output: (n1, n2, u_stat, z, rank_biserial, drifted)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    seg = ev.groupBy(
+        F.col("event_type").alias("segment"),
+        psi_bucket_col().alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+    return mannwhitney_from_counts(spark, seg)
+
+
+def mannwhitney_from_counts(spark: SparkSession, seg: DataFrame) -> DataFrame:
+    """Mann-Whitney report from a (segment, bucket, n) counts frame —
+    same shared-core contract as ks_from_counts, so a streaming twin's
+    drained counts state can reuse it verbatim."""
+    seg = seg.localCheckpoint(eager=False)
+    spine = spark.range(PSI_N_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+
+    def _cnt(name: str, alias: str) -> DataFrame:
+        part = seg.filter(F.col("segment") == name).drop("segment")
+        return spine.join(part, "bucket", "left").select(
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(alias),
+        )
+
+    cnt = _cnt("click", "a").join(_cnt("purchase", "c"), "bucket").select(
+        "bucket", "a", "c", (F.col("a") + F.col("c")).alias("t")
+    )
+    # cum_t(b-1): grid-bounded strict-lower triangular join (10x10 rows)
+    lower = cnt.select(F.col("bucket").alias("b2"), F.col("t").alias("t2"))
+    cum_prev = (
+        spine.join(lower, F.col("b2") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("t2"), F.lit(0)).cast("long").alias("cum_prev"))
+    )
+    per = cnt.join(cum_prev, "bucket").select(
+        "a",
+        "c",
+        "t",
+        (F.lit(2) * F.col("cum_prev") + F.col("t") + F.lit(1)).alias("m2"),
+    )
+    agg = per.agg(
+        F.sum("a").cast("long").alias("n1"),
+        F.sum("c").cast("long").alias("n2"),
+        F.sum(F.col("a") * F.col("m2")).cast("long").alias("r1_2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tie"),
+    )
+    fp = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = (F.col("n1") + F.col("n2")).cast("double")
+    u1_2 = F.col("r1_2") - F.col("n1") * (F.col("n1") + F.lit(1))
+    var_u = (
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * (
+            (nd + F.lit(1.0))
+            - F.col("tie").cast("double") / (nd * (nd - F.lit(1.0)))
+        )
+    )
+    z = F.when(
+        var_u > 0,
+        (u1_2.cast("double") / F.lit(2.0) - n1d * n2d / F.lit(2.0))
+        / F.sqrt(var_u),
+    )
+    rb = F.when(
+        F.col("n1") * F.col("n2") > 0,
+        F.lit(1.0) - u1_2.cast("double") / (n1d * n2d),
+    )
+    stats = agg.select(
+        "n1",
+        "n2",
+        (u1_2.cast("double") / F.lit(2.0)).alias("u_stat"),
+        fp(z).alias("z_e6"),
+        fp(rb).alias("rb_e6"),
+    )
+    return stats.select(
+        "n1",
+        "n2",
+        "u_stat",
+        (F.col("z_e6").cast("double") / F.lit(1e6)).alias("z"),
+        (F.col("rb_e6").cast("double") / F.lit(1e6)).alias("rank_biserial"),
+        F.coalesce(
+            F.abs(F.col("z_e6")) > F.lit(MWU_Z_CRIT_E6), F.lit(False)
+        ).alias("drifted"),
+    )
+
+
+def mannwhitney_drift_sql() -> str:
+    """DuckDB replay: identical grid, integer midranks, BIGINT tie sum,
+    identical-op-order double steps, e6 fixed-point verdict."""
+    side = """
+        SELECT s.bucket, CAST(coalesce(n, 0) AS BIGINT) AS {alias}
+        FROM (SELECT unnest(range(0, {nb}))::INTEGER AS bucket) s
+        LEFT JOIN (
+            SELECT CAST(least(floor(value / CAST({w} AS DOUBLE)), {top})
+                        AS INTEGER) AS bucket, count(*) AS n
+            FROM events WHERE event_type = '{seg}' GROUP BY 1
+        ) c USING (bucket)
+    """
+    a = side.format(alias="a", nb=PSI_N_BUCKETS, w=PSI_BUCKET_WIDTH,
+                    top=PSI_N_BUCKETS - 1, seg="click")
+    c = side.format(alias="c", nb=PSI_N_BUCKETS, w=PSI_BUCKET_WIDTH,
+                    top=PSI_N_BUCKETS - 1, seg="purchase")
+    return f"""
+        WITH cnt AS (
+            SELECT a.bucket, a, c, a + c AS t
+            FROM ({a}) a JOIN ({c}) c USING (bucket)
+        ),
+        per AS (
+            SELECT a, c, t,
+                   2 * (CAST(coalesce(sum(t) OVER (
+                            ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT))
+                     + t + 1 AS m2
+            FROM cnt
+        ),
+        agg AS (
+            SELECT CAST(sum(a) AS BIGINT) AS n1,
+                   CAST(sum(c) AS BIGINT) AS n2,
+                   CAST(sum(a * m2) AS BIGINT) AS r1_2,
+                   CAST(sum(t * t * t - t) AS BIGINT) AS tie
+            FROM per
+        ),
+        stats AS (
+            SELECT n1, n2,
+                   (r1_2 - n1 * (n1 + 1)) AS u1_2,
+                   (n1::DOUBLE * n2::DOUBLE / 12.0
+                    * (((n1 + n2)::DOUBLE + 1.0)
+                       - tie::DOUBLE
+                         / ((n1 + n2)::DOUBLE
+                            * ((n1 + n2)::DOUBLE - 1.0)))) AS var_u
+            FROM agg
+        )
+        SELECT n1, n2,
+               u1_2::DOUBLE / 2.0 AS u_stat,
+               CAST(floor(CASE WHEN var_u > 0 THEN
+                        (u1_2::DOUBLE / 2.0
+                         - n1::DOUBLE * n2::DOUBLE / 2.0) / sqrt(var_u)
+                    END * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)::DOUBLE
+                   / 1e6 AS z,
+               CAST(floor(CASE WHEN n1 * n2 > 0 THEN
+                        1.0 - u1_2::DOUBLE / (n1::DOUBLE * n2::DOUBLE)
+                    END * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)::DOUBLE
+                   / 1e6 AS rank_biserial,
+               coalesce(abs(CAST(floor(CASE WHEN var_u > 0 THEN
+                        (u1_2::DOUBLE / 2.0
+                         - n1::DOUBLE * n2::DOUBLE / 2.0) / sqrt(var_u)
+                    END * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                        > {MWU_Z_CRIT_E6}, FALSE) AS drifted
+        FROM stats
+    """
+
+
 def psi_drift_sql() -> str:
     """DuckDB replay: identical buckets, clamps, fixed-point contributions
     and banding."""

@@ -315,14 +315,35 @@ def file_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the LEFT OUTER variant — the outer row strictly subsumes the inner one,
 # and that claim only holds while they share this construction
 JOIN_WATERMARK = "30 days"
-JOIN_HORIZON = "INTERVAL 1 HOUR"
+JOIN_HORIZON_NS = 3_600_000_000_000  # 1 hour — the reference horizon
+JOIN_REF_ROWS = 100_000  # sf0.1 density: the largest SF the horizon holds
 
 
-def _interval_join(frame: DataFrame, how: str) -> DataFrame:
+def join_horizon_ns(sf_dir: str) -> int:
+    """Density-adaptive interval-join horizon (r8 VERDICT item 2).
+
+    Expected pairs-per-buy ∝ row density × horizon, so total pair volume
+    ∝ rows² × horizon — the one streaming family whose OUTPUT grows
+    quadratically with data.  Holding horizon × (rows/REF)² constant
+    pins the emitted pair volume at its sf0.1 level while input rows
+    grow linearly: at every driver/bench SF (rows ≤ REF) the horizon is
+    the unchanged 1 HOUR (oracle semantics fixed), at sf1 it is 36 s,
+    at sf10 0.36 s.  Deterministic both sides: computed from the parquet
+    footer row count, which an oracle replay can also read."""
+    from marketstream_etl_spark.sources.tables import table_row_count
+
+    n = table_row_count(sf_dir, "events") or JOIN_REF_ROWS
+    scale = max(1, n // JOIN_REF_ROWS)
+    return JOIN_HORIZON_NS // (scale * scale)
+
+
+def _interval_join(
+    frame: DataFrame, how: str, horizon_ns: int = JOIN_HORIZON_NS
+) -> DataFrame:
     """Watermarked buy→sell interval join over a (symbol, price, side,
-    event_time) stream: sells within [buy_time, buy_time + 1h] of the
-    same symbol.  Both sides carry watermarks and the condition has an
-    event-time range bound, so state is evictable on an unbounded
+    event_time) stream: sells within [buy_time, buy_time + horizon] of
+    the same symbol.  Both sides carry watermarks and the condition has
+    an event-time range bound, so state is evictable on an unbounded
     stream."""
     buys = (
         frame.filter(F.col("side") == "B")
@@ -346,7 +367,11 @@ def _interval_join(frame: DataFrame, how: str) -> DataFrame:
         sells,
         (F.col("b_symbol") == F.col("s_symbol"))
         & (F.col("sell_time") >= F.col("buy_time"))
-        & (F.col("sell_time") <= F.col("buy_time") + F.expr(JOIN_HORIZON)),
+        & (
+            F.col("sell_time")
+            <= F.col("buy_time")
+            + F.expr(f"INTERVAL {horizon_ns // 1000} MICROSECOND")
+        ),
         how,
     )
 
@@ -377,7 +402,7 @@ def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades = trades_from_events(events).withColumn(
         "event_time", F.timestamp_micros(F.expr("timestamp div 1000"))
     )
-    pairs = _interval_join(trades, "inner")
+    pairs = _interval_join(trades, "inner", join_horizon_ns(sf_dir))
 
     def partial(batch: DataFrame) -> DataFrame:
         return batch.groupBy(F.col("b_symbol").alias("symbol")).agg(
@@ -867,7 +892,9 @@ def file_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is bounded by the watermark exactly as the inner join;
     the sentinel trick is test-harness plumbing for bounded replay, not a
     production requirement (a live stream always has a next batch)."""
-    pairs = _interval_join(_sentineled_trades(spark, sf_dir), "leftOuter")
+    pairs = _interval_join(
+        _sentineled_trades(spark, sf_dir), "leftOuter", join_horizon_ns(sf_dir)
+    )
 
     def partial(batch: DataFrame) -> DataFrame:
         return (
@@ -907,7 +934,9 @@ def file_stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output per symbol: (symbol, n_pairs, n_buy_unmatched,
     n_sell_unmatched, avg_spread) — the two unmatched counts are exactly
     the rows only a full-outer join can surface in one pass."""
-    pairs = _interval_join(_sentineled_trades(spark, sf_dir), "fullOuter")
+    pairs = _interval_join(
+        _sentineled_trades(spark, sf_dir), "fullOuter", join_horizon_ns(sf_dir)
+    )
     sym = F.coalesce(F.col("b_symbol"), F.col("s_symbol"))
     matched = F.col("buy_price").isNotNull() & F.col("sell_price").isNotNull()
 

@@ -625,6 +625,92 @@ def test_ks_empty_segment_full_spine_not_drifted(spark, monkeypatch):
     assert all(r["ks_crit_5pct"] is None for r in out)
 
 
+# --- Mann-Whitney U drift ---------------------------------------------------------
+
+def _mwu_events(spark, click_vals, purchase_vals):
+    rows, eid = [], 0
+    for seg, vals in (("click", click_vals), ("purchase", purchase_vals)):
+        for v in vals:
+            rows.append((eid, 1, 1000 + eid, seg, float(v), "{}"))
+            eid += 1
+    return spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+
+
+def test_mwu_identical_distributions_not_drifted(spark, monkeypatch):
+    """Same bucket shape on both sides -> U = n1*n2/2, z = 0, effect 0."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    vals = [10.0] * 4 + [60.0] * 2 + [120.0] * 2
+    ev = _mwu_events(spark, vals, vals)
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_mannwhitney_drift(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n1"] == 8 and r["n2"] == 8
+    assert r["u_stat"] == 8 * 8 / 2
+    assert r["z"] == 0.0 and r["rank_biserial"] == 0.0
+    assert r["drifted"] is False
+
+
+def test_mwu_fully_separated_drifted(spark, monkeypatch):
+    """All click mass below all purchase mass -> U1 = 0, rank-biserial
+    1.0, |z| far past the 1.96 line."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    ev = _mwu_events(spark, [10.0] * 12, [210.0] * 12)
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    r = adv.q_mannwhitney_drift(spark, "x").collect()[0]
+    assert r["u_stat"] == 0.0
+    assert r["rank_biserial"] == 1.0
+    assert r["z"] < -1.96 and r["drifted"] is True
+
+
+def test_mwu_matches_hand_computed_midranks(spark, monkeypatch):
+    """Mixed overlap case cross-checked against a from-scratch midrank
+    computation (plain Python, exact integers) of the same binned data."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    click = [10.0] * 5 + [60.0] * 3 + [120.0] * 1
+    purchase = [10.0] * 2 + [60.0] * 4 + [120.0] * 6
+    ev = _mwu_events(spark, click, purchase)
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    r = adv.q_mannwhitney_drift(spark, "x").collect()[0]
+
+    # reference computation: buckets 0 (value 10), 1 (60), 2 (120)
+    a = [5, 3, 1]
+    c = [2, 4, 6]
+    n1, n2 = sum(a), sum(c)
+    cum_prev, r1_2, tie = 0, 0, 0
+    for ab, cb in zip(a, c):
+        t = ab + cb
+        r1_2 += ab * (2 * cum_prev + t + 1)
+        tie += t**3 - t
+        cum_prev += t
+    u1 = (r1_2 - n1 * (n1 + 1)) / 2
+    n = n1 + n2
+    var_u = n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / var_u**0.5
+    assert r["n1"] == n1 and r["n2"] == n2
+    assert r["u_stat"] == u1
+    assert abs(r["z"] - z) < 1e-6
+    assert abs(r["rank_biserial"] - (1 - 2 * u1 / (n1 * n2))) < 1e-6
+
+
+def test_mwu_empty_segment_guarded(spark, monkeypatch):
+    """Zero purchase rows: variance degenerates, z/effect NULL, verdict
+    pinned False rather than a crash or a null verdict."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    ev = _mwu_events(spark, [10.0] * 5, [])
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    r = adv.q_mannwhitney_drift(spark, "x").collect()[0]
+    assert r["n1"] == 5 and r["n2"] == 0
+    assert r["z"] is None and r["rank_biserial"] is None
+    assert r["drifted"] is False
+
+
 # --- A/B test --------------------------------------------------------------------
 
 def _ab_events(spark, rows):

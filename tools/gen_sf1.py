@@ -71,7 +71,23 @@ def write_single(df, path: str) -> None:
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/marketstream_sf1"
+    # gen_sf1.py [out_dir] [--scale N] [--skip-tpch]
+    # --scale 10 --skip-tpch produces the 'sf10' third-decade probe set
+    # (events/documents/embeddings only — the five headline probes in
+    # tools/probe_decade.py need no TPC-H tables, and skipping the 60M-row
+    # lineitem keeps generation to ~2 min).
+    args = sys.argv[1:]
+    scale = 1
+    if "--scale" in args:
+        i = args.index("--scale")
+        scale = int(args[i + 1])
+        del args[i : i + 2]
+    skip_tpch = "--skip-tpch" in args
+    if skip_tpch:
+        args.remove("--skip-tpch")
+    global EVENTS, DOCS, EMBS
+    EVENTS, DOCS, EMBS = EVENTS * scale, DOCS * scale, EMBS * scale
+    out = args[0] if args else "/tmp/marketstream_sf1"
     spark = get_spark("gen-sf1")
 
     # --- events: same columns/types as testdata events.parquet ---------
@@ -187,13 +203,15 @@ def main() -> None:
     )
     write_single(emb, f"{out}/embeddings.parquet")
 
-    gen_tpch(spark, out)
+    if not skip_tpch:
+        gen_tpch(spark, out)
 
     for t in (
         "events", "documents", "embeddings",
+    ) + (() if skip_tpch else (
         "region", "nation", "supplier", "customer", "part",
         "orders", "lineitem",
-    ):
+    )):
         n = spark.read.parquet(f"{out}/{t}.parquet").count()
         print(f"{t}: {n} rows -> {out}/{t}.parquet")
 

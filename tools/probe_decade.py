@@ -5,6 +5,14 @@ probes (codegen pre-warmed at sf0.001, count()-forced, best-of-N).
 
     python tools/gen_sf1.py            # once
     python tools/probe_decade.py       # prints per-op sf0.1 / sf1 / ratio
+
+Third decade (r8 VERDICT item 7): generate the sf10 probe set and pass
+its dir plus --ops for the headline five — extends the scaling table to
+sf0.1 -> sf1 -> sf10 where the 100x claim lives:
+
+    python tools/gen_sf1.py /tmp/marketstream_sf10 --scale 10 --skip-tpch
+    python tools/probe_decade.py /root/testdata/sf0.1 /tmp/marketstream_sf1 \
+        /tmp/marketstream_sf10 --ops indicators,ohlc_bars,dedup_minhash_lsh,ann_ivf,bm25_search
 """
 
 from __future__ import annotations
@@ -41,31 +49,36 @@ OPS = [
 
 
 def main() -> None:
+    args = sys.argv[1:]
+    ops = OPS
+    if "--ops" in args:
+        i = args.index("--ops")
+        ops = args[i + 1].split(",")
+        del args[i : i + 2]
+    dirs = args or [SF01, SF1]
     spark = get_spark("probe-decade")
     qs = entrymod.queries()
-    print(f"{'op':<22}{'sf0.1 s':>9}{'sf1 s':>9}{'ratio':>7}  rows0.1 / rows1")
-    for name in OPS:
+    hdr = "".join(f"{d.rstrip('/').rsplit('/', 1)[-1]:>18}" for d in dirs)
+    print(f"{'op':<22}{hdr}   (best-of-{N} s, rows; ratio vs previous)")
+    for name in ops:
         if name not in qs:
             print(f"{name:<22}  -- not registered")
             continue
         fn = qs[name]
         try:
             fn(spark, WARM).count()  # codegen warm
-            stats = {}
-            for sf in (SF01, SF1):
+            cells, prev = [], None
+            for sf in dirs:
                 runs, rows = [], 0
                 for _ in range(N):
                     t0 = time.perf_counter()
                     rows = fn(spark, sf).count()
                     runs.append(time.perf_counter() - t0)
-                stats[sf] = (min(runs), rows)
-            a, ra = stats[SF01]
-            b, rb = stats[SF1]
-            print(
-                f"{name:<22}{a:>9.2f}{b:>9.2f}{b / a:>7.2f}"
-                f"  {ra} / {rb}",
-                flush=True,
-            )
+                best = min(runs)
+                ratio = "" if prev is None else f" x{best / prev:.1f}"
+                cells.append(f"{best:>8.2f}s {rows:>7}{ratio}")
+                prev = best
+            print(f"{name:<22}{''.join(cells)}", flush=True)
         except Exception as e:  # noqa: BLE001 — report and continue
             print(f"{name:<22}  FAIL {type(e).__name__}: {str(e)[:160]}")
 
