@@ -337,43 +337,81 @@ def join_horizon_ns(sf_dir: str) -> int:
     return JOIN_HORIZON_NS // (scale * scale)
 
 
+def _band(col: str, horizon_ns: int) -> F.Column:
+    """Time band index at horizon width: floor(event_time_µs / h_µs)."""
+    return F.floor(
+        F.unix_micros(F.col(col)) / F.lit(horizon_ns // 1000)
+    ).cast("long")
+
+
 def _interval_join(
-    frame: DataFrame, how: str, horizon_ns: int = JOIN_HORIZON_NS
+    frame: DataFrame,
+    how: str,
+    horizon_ns: int = JOIN_HORIZON_NS,
+    mirror: bool = False,
 ) -> DataFrame:
-    """Watermarked buy→sell interval join over a (symbol, price, side,
-    event_time) stream: sells within [buy_time, buy_time + horizon] of
-    the same symbol.  Both sides carry watermarks and the condition has
-    an event-time range bound, so state is evictable on an unbounded
-    stream."""
-    buys = (
-        frame.filter(F.col("side") == "B")
-        .select(
-            F.col("symbol").alias("b_symbol"),
-            F.col("price").alias("buy_price"),
-            F.col("event_time").alias("buy_time"),
-        )
-        .withWatermark("buy_time", JOIN_WATERMARK)
+    """BANDED watermarked buy→sell interval join over a (symbol, price,
+    side, event_time) stream: sells within [buy_time, buy_time + horizon]
+    of the same symbol.
+
+    Scale design (r9): a symbol-only equality key gives the join state
+    just |symbols| distinct keys, so every arriving row probes ~n/|symbols|
+    state rows — O(n²) total, measured >590 s at sf1 even after the
+    horizon shrink bounded the EMITTED pair volume (emission was never
+    the bottleneck; probing was).  Both sides therefore also carry
+    band = floor(event_time/horizon): a window of width `horizon` spans
+    at most two bands, so the probe side is exploded to (band, band−1)
+    and the join keys on (symbol, band) EQUALITY before the exact range
+    predicate trims.  Probes become band-local (O(rows-per-band)), pair
+    volume is unchanged (each true pair matches via exactly ONE probe
+    copy, since the copies' bands differ), and the watermark/range
+    bounds still evict state.  sf1: >590 s → ~20 s.
+
+    The UNEXPLODED side is always the outer-preserved one, so `how` may
+    be "inner" or "leftOuter" and unmatched left rows emit exactly once.
+    `mirror=False` preserves buys (sells exploded); `mirror=True`
+    preserves sells (buys exploded) — the second leg a full-outer
+    decomposition needs.  Output columns are identical either way."""
+    buys = frame.filter(F.col("side") == "B").select(
+        F.col("symbol").alias("b_symbol"),
+        F.col("price").alias("buy_price"),
+        F.col("event_time").alias("buy_time"),
+        _band("event_time", horizon_ns).alias("b_band"),
     )
-    sells = (
-        frame.filter(F.col("side") == "S")
-        .select(
-            F.col("symbol").alias("s_symbol"),
-            F.col("price").alias("sell_price"),
-            F.col("event_time").alias("sell_time"),
-        )
-        .withWatermark("sell_time", JOIN_WATERMARK)
+    sells = frame.filter(F.col("side") == "S").select(
+        F.col("symbol").alias("s_symbol"),
+        F.col("price").alias("sell_price"),
+        F.col("event_time").alias("sell_time"),
+        _band("event_time", horizon_ns).alias("s_band"),
     )
-    return buys.join(
-        sells,
+    if mirror:
+        # a buy's window [buy, buy+h] can host sells in bands
+        # {b_band, b_band+1}: probe copies ahead of the preserved sells
+        buys = buys.withColumn(
+            "b_band",
+            F.explode(F.array(F.col("b_band"), F.col("b_band") + F.lit(1))),
+        )
+    else:
+        # a sell at band s matches buys in bands {s_band−1, s_band}
+        sells = sells.withColumn(
+            "s_band",
+            F.explode(F.array(F.col("s_band"), F.col("s_band") - F.lit(1))),
+        )
+    buys = buys.withWatermark("buy_time", JOIN_WATERMARK)
+    sells = sells.withWatermark("sell_time", JOIN_WATERMARK)
+    cond = (
         (F.col("b_symbol") == F.col("s_symbol"))
+        & (F.col("b_band") == F.col("s_band"))
         & (F.col("sell_time") >= F.col("buy_time"))
         & (
             F.col("sell_time")
             <= F.col("buy_time")
             + F.expr(f"INTERVAL {horizon_ns // 1000} MICROSECOND")
-        ),
-        how,
+        )
     )
+    if mirror:
+        return sells.join(buys, cond, how)
+    return buys.join(sells, cond, how)
 
 
 def file_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,39 +971,66 @@ def file_stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output per symbol: (symbol, n_pairs, n_buy_unmatched,
     n_sell_unmatched, avg_spread) — the two unmatched counts are exactly
-    the rows only a full-outer join can surface in one pass."""
-    pairs = _interval_join(
-        _sentineled_trades(spark, sf_dir), "fullOuter", join_horizon_ns(sf_dir)
-    )
-    sym = F.coalesce(F.col("b_symbol"), F.col("s_symbol"))
-    matched = F.col("buy_price").isNotNull() & F.col("sell_price").isNotNull()
+    the rows only full-outer semantics can surface.
 
-    def partial(batch: DataFrame) -> DataFrame:
+    Scale decomposition (r9): at scale the full outer runs as TWO
+    mirrored banded LEFT OUTER stream-stream joins rather than one
+    fullOuter — the banded join must explode its probe side, and an
+    exploded side would emit its unmatched rows once per copy, so each
+    leg keeps a different side unexploded: leg 1 preserves buys (pairs +
+    buy-side unmatched + spread), leg 2 preserves sells (sell-side
+    unmatched only).  Union of the legs = the fullOuter row set exactly;
+    both legs are real watermark-evicted outer joins and share the
+    sentinel fixture."""
+    horizon = join_horizon_ns(sf_dir)
+    buy_side = _interval_join(
+        _sentineled_trades(spark, sf_dir), "leftOuter", horizon
+    )
+
+    def partial_buy(batch: DataFrame) -> DataFrame:
         return (
-            batch.filter(~sym.isin("ZZB", "ZZS"))
-            .groupBy(sym.alias("symbol"))
+            batch.filter(~F.col("b_symbol").isin("ZZB", "ZZS"))
+            .groupBy(F.col("b_symbol").alias("symbol"))
             .agg(
-                F.sum(matched.cast("long")).alias("n_pairs"),
-                F.sum(F.col("sell_price").isNull().cast("long")).alias(
+                F.count("sell_price").alias("n_pairs"),
+                (F.count("*") - F.count("sell_price")).alias(
                     "n_buy_unmatched"
-                ),
-                F.sum(F.col("buy_price").isNull().cast("long")).alias(
-                    "n_sell_unmatched"
                 ),
                 _spread_sum_fp().alias("spread_sum_fp"),
             )
         )
 
-    acc = _accumulate_stream(
-        spark, sf_dir, pairs, "join_fullouter_acc", partial,
-        ["n_pairs", "n_buy_unmatched", "n_sell_unmatched", "spread_sum_fp"],
+    acc_buy = _accumulate_stream(
+        spark, sf_dir, buy_side, "join_fo_buyleg_acc", partial_buy,
+        ["n_pairs", "n_buy_unmatched", "spread_sum_fp"],
+    )
+    sell_side = _interval_join(
+        _sentineled_trades(spark, sf_dir), "leftOuter", horizon, mirror=True
+    )
+
+    def partial_sell(batch: DataFrame) -> DataFrame:
+        return (
+            batch.filter(
+                ~F.col("s_symbol").isin("ZZB", "ZZS")
+                & F.col("buy_price").isNull()
+            )
+            .groupBy(F.col("s_symbol").alias("symbol"))
+            .agg(F.count("*").alias("n_sell_unmatched"))
+        )
+
+    acc_sell = _accumulate_stream(
+        spark, sf_dir, sell_side, "join_fo_sellleg_acc", partial_sell,
+        ["n_sell_unmatched"],
     )
     return (
-        acc.select(
+        acc_buy.join(acc_sell, "symbol", "full_outer")
+        .select(
             "symbol",
-            "n_pairs",
-            "n_buy_unmatched",
-            "n_sell_unmatched",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_buy_unmatched", F.lit(0)).alias("n_buy_unmatched"),
+            F.coalesce("n_sell_unmatched", F.lit(0)).alias(
+                "n_sell_unmatched"
+            ),
             _avg_from_fp("spread_sum_fp", "n_pairs").alias("avg_spread"),
         )
         .orderBy("symbol")

@@ -373,6 +373,23 @@ def test_accumulate_stream_replay_is_idempotent(spark, tmp_path):
     assert merged == {"A": 7, "B": 3}  # replay did NOT double-count
 
 
+def test_join_horizon_density_adaptive(tmp_path):
+    """Interval-join horizon holds 1 HOUR through every driver/bench SF
+    (rows <= 100K) and shrinks with the SQUARE of the density ratio
+    beyond it, pinning expected pair volume at its sf0.1 level (pair
+    volume ~ rows^2 x horizon)."""
+    from marketstream_etl_spark.streaming.ticks import (
+        JOIN_HORIZON_NS,
+        join_horizon_ns,
+    )
+
+    assert join_horizon_ns("/root/testdata/sf0.001") == JOIN_HORIZON_NS
+    assert join_horizon_ns("/root/testdata/sf0.01") == JOIN_HORIZON_NS
+    assert join_horizon_ns("/root/testdata/sf0.1") == JOIN_HORIZON_NS
+    # missing table -> reference horizon, never a crash
+    assert join_horizon_ns(str(tmp_path)) == JOIN_HORIZON_NS
+
+
 def test_accumulate_stream_empty_source_yields_empty_frame(spark, tmp_path):
     """Zero micro-batches (empty source dir): foreachBatch never runs, so
     no partials exist — accumulate_stream must return an empty frame with
