@@ -87,6 +87,19 @@ def main() -> None:
         args.remove("--skip-tpch")
     global EVENTS, DOCS, EMBS
     EVENTS, DOCS, EMBS = EVENTS * scale, DOCS * scale, EMBS * scale
+    # Heaps'-law vocabulary growth: a FIXED 30-word vocab has exactly
+    # 30^3 = 27,000 possible 3-gram shingles, which saturates by sf1
+    # (max shingle DF 124 at 52K docs, 971 at 520K) — at sf10 every
+    # shingle would exceed the dedup family's DF_CAP=100 stop-shingle
+    # bound and be dropped, collapsing minhash/winnowing to 0 pairs.
+    # Real corpora grow vocabulary with size, so the synthetic one does
+    # too: 30*scale words (suffix variants), keeping shingle document
+    # frequency in the same regime at every decade.
+    vocab = [
+        VOCAB[i % len(VOCAB)]
+        + ("" if i < len(VOCAB) else str(i // len(VOCAB)))
+        for i in range(len(VOCAB) * scale)
+    ]
     out = args[0] if args else "/tmp/marketstream_sf1"
     spark = get_spark("gen-sf1")
 
@@ -126,7 +139,7 @@ def main() -> None:
     write_single(ev, f"{out}/events.parquet")
 
     # --- documents: vocab text, zipf-ish lengths, planted near-dups ----
-    words = F.array(*[F.lit(w) for w in VOCAB])
+    words = F.array(*[F.lit(w) for w in vocab])
     base = (
         spark.range(DOCS)
         .repartition(32)
@@ -146,8 +159,8 @@ def main() -> None:
                     lambda i: F.element_at(
                         words,
                         (
-                            (F.xxhash64(F.col("doc_id"), i) % len(VOCAB)
-                             + len(VOCAB)) % len(VOCAB) + 1
+                            (F.xxhash64(F.col("doc_id"), i) % len(vocab)
+                             + len(vocab)) % len(vocab) + 1
                         ).cast("int"),
                     ),
                 ),
