@@ -309,6 +309,16 @@ def _stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_ks(spark, sf_dir)
 
 
+def _stream_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Mann-Whitney U drift monitor: same complete-mode
+    (segment, bucket) histogram, drained into the shared exact-integer
+    midrank core; bit-identical to batch mannwhitney_drift on bounded
+    replay."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_mwu
+
+    return file_stream_mwu(spark, sf_dir)
+
+
 def _stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER watermarked interval join: unmatched rows flush from
     BOTH sides (buys with NULL sells, sells with NULL buys) — the
@@ -570,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_efficiency": training_data.q_padding_efficiency,
         # r9-new: rank-based drift (third member of the PSI/KS family)
         "mannwhitney_drift": advanced.q_mannwhitney_drift,
+        "streaming_mwu": _stream_mwu,
         "streaming_psi": _stream_psi,
         "streaming_benford": _stream_benford,
         "streaming_upsert": _stream_upsert,
@@ -1889,6 +1900,8 @@ def oracle_sql() -> dict[str, str]:
         "psi_drift": advanced.psi_drift_sql(),
         "ks_drift": advanced.ks_drift_sql(),
         "mannwhitney_drift": advanced.mannwhitney_drift_sql(),
+        # bounded replay == batch: the streaming twin reuses the oracle
+        "streaming_mwu": advanced.mannwhitney_drift_sql(),
         "ab_test": advanced.ab_test_sql(),
         # the streaming twin's drained complete-mode state equals the
         # batch (segment, bucket) histogram, so it shares ks_drift's oracle

@@ -1144,3 +1144,37 @@ def file_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return ks_from_counts(spark, spark.table(name))
+
+
+def file_stream_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Mann-Whitney U drift monitor — third member of the
+    streaming drift family (PSI magnitude, KS sup-gap, U rank order):
+    the SAME complete-mode (segment, bucket) histogram (bounded 2x10
+    state) drained into the shared exact-integer midrank core
+    (plans/advanced.mannwhitney_from_counts), so on bounded replay the
+    streamed statistic and verdict are bit-identical to the batch
+    mannwhitney_drift and the driver reuses its oracle."""
+    from marketstream_etl_spark.plans.advanced import (
+        mannwhitney_from_counts,
+        psi_bucket_col,
+    )
+
+    events = stream_events(spark, sf_dir)
+    seg_stream = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.col("event_type").alias("segment"),
+            psi_bucket_col().alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    name = sink_name("stream_mwu", sf_dir)
+    q = (
+        seg_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return mannwhitney_from_counts(spark, spark.table(name))
