@@ -97,6 +97,11 @@ EXTRAS = [
     "containment_pairs",
     "funnel_steps",
     "candlestick_patterns",
+    # r8 additions
+    "ks_drift",
+    "ab_test",
+    # r9 additions
+    "mannwhitney_drift",
 ]
 
 

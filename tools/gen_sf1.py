@@ -5,10 +5,11 @@ on it unmodified via its sf_dir parameter.
 
 All columns are seeded-deterministic (F.rand(seed)/xxhash64 mixes), so a
 regenerated dataset is bit-identical and probe numbers are reproducible.
-The document corpus mirrors the testdata's shape (same 30-word SQL-ish
-vocabulary, 20 sources, 5 langs, zipf-ish doc lengths) and plants ~4%
-near-duplicates (a copy of an earlier doc with one word appended) so the
-dedup families have real work at scale.
+The document corpus mirrors the testdata's shape (30-word SQL-ish
+vocabulary at scale 1, growing 30·scale Heaps'-law style beyond it — see
+main()'s vocab note, 20 sources, 5 langs, zipf-ish doc lengths) and
+plants ~4% near-duplicates (a copy of an earlier doc with one word
+appended) so the dedup families have real work at scale.
 
     python tools/gen_sf1.py [/tmp/marketstream_sf1]
 """
