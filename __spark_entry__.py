@@ -319,6 +319,15 @@ def _stream_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_mwu(spark, sf_dir)
 
 
+def _stream_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming chi-square drift monitor: same complete-mode (segment,
+    bucket) histogram, drained into the shared exact-integer contingency
+    core; bit-identical to batch chi2_drift on bounded replay."""
+    from marketstream_etl_spark.streaming.ticks import file_stream_chi2
+
+    return file_stream_chi2(spark, sf_dir)
+
+
 def _stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER watermarked interval join: unmatched rows flush from
     BOTH sides (buys with NULL sells, sells with NULL buys) — the
@@ -581,6 +590,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r9-new: rank-based drift (third member of the PSI/KS family)
         "mannwhitney_drift": advanced.q_mannwhitney_drift,
         "streaming_mwu": _stream_mwu,
+        # r9-new: contingency-table drift (fourth member) + its twin
+        "chi2_drift": advanced.q_chi2_drift,
+        "streaming_chi2": _stream_chi2,
         "streaming_psi": _stream_psi,
         "streaming_benford": _stream_benford,
         "streaming_upsert": _stream_upsert,
@@ -1902,6 +1914,8 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney_drift": advanced.mannwhitney_drift_sql(),
         # bounded replay == batch: the streaming twin reuses the oracle
         "streaming_mwu": advanced.mannwhitney_drift_sql(),
+        "chi2_drift": advanced.chi2_drift_sql(),
+        "streaming_chi2": advanced.chi2_drift_sql(),
         "ab_test": advanced.ab_test_sql(),
         # the streaming twin's drained complete-mode state equals the
         # batch (segment, bucket) histogram, so it shares ks_drift's oracle

@@ -102,6 +102,7 @@ EXTRAS = [
     "ab_test",
     # r9 additions
     "mannwhitney_drift",
+    "chi2_drift",
 ]
 
 

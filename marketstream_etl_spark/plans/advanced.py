@@ -2195,6 +2195,260 @@ def mannwhitney_drift_sql() -> str:
     """
 
 
+# chi-square inverse CDF at alpha = 0.05 for dof 1..9 (e6 fixed-point):
+# with the 10-bucket grid and 2 segments dof <= 9, so a constant lookup
+# replaces any special-function evaluation (nothing transcendental runs
+# per row; both engines read the same table).
+CHI2_CRIT_E6 = [
+    3_841_459, 5_991_465, 7_814_728, 9_487_729, 11_070_498,
+    12_591_587, 14_067_140, 15_507_313, 16_918_978,
+]
+
+
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of homogeneity over the SAME segments and
+    equi-width bucket grid as psi_drift/ks_drift/mannwhitney_drift
+    (click = row 1, purchase = row 2; buckets = columns) — the fourth
+    member of the drift-audit family: PSI measures banded magnitude, KS
+    the max CDF gap, U the rank ordering, and chi-square tests the full
+    CONTINGENCY TABLE, catching shape changes (variance/multi-modal
+    drift) that leave the CDF sup-gap and the rank sum quiet.
+
+    Exact integer core per cell: num_sb = O_sb*N - R_s*C_b is a BIGINT
+    cross-multiplication (algebra: (O-E)^2/E = num^2 / (R*C*N)), so the
+    only doubles are one identical-op-order term per cell, immediately
+    e6 fixed-pointed; the statistic is an ORDER-INDEPENDENT BIGINT sum
+    of those 20 cell contributions — deterministic under any
+    partitioning, mirrored expression-for-expression in the oracle.
+    num stays exact while O*N < 2^63, i.e. to ~3e9 rows per pair of
+    segments — three decades past the sweep scales; a wider grid (or a
+    128-bit decimal) would precede any real corpus crossing it.
+    dof = (nonempty columns - 1) x (nonempty rows - 1), Cramer's V
+    reported as the scale-free effect size.
+
+    Scale shape (mirrors the family): one map-side bucket projection,
+    one (segment, bucket) hash aggregate; everything downstream is
+    grid-bounded (a 1-row totals broadcast, 10-row spine join, 1-row
+    stats broadcast back onto the 10 report rows)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    seg = ev.groupBy(
+        F.col("event_type").alias("segment"),
+        psi_bucket_col().alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+    return chi2_from_counts(spark, seg)
+
+
+def chi2_from_counts(spark: SparkSession, seg: DataFrame) -> DataFrame:
+    """Chi-square report from a (segment, bucket, n) counts frame — same
+    shared-core contract as ks_from_counts/mannwhitney_from_counts, so a
+    streaming twin's drained counts state reuses it verbatim."""
+    seg = seg.localCheckpoint(eager=False)
+    spine = spark.range(PSI_N_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+
+    def _cnt(name: str, alias: str) -> DataFrame:
+        part = seg.filter(F.col("segment") == name).drop("segment")
+        return spine.join(part, "bucket", "left").select(
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(alias),
+        )
+
+    cnt = _cnt("click", "a").join(_cnt("purchase", "c"), "bucket").select(
+        "bucket", "a", "c", (F.col("a") + F.col("c")).alias("t")
+    )
+    tot = cnt.agg(
+        F.sum("a").cast("long").alias("r1"),
+        F.sum("c").cast("long").alias("r2"),
+        F.sum("t").cast("long").alias("n"),
+        F.sum(F.when(F.col("t") > 0, 1).otherwise(0))
+        .cast("int")
+        .alias("cols"),
+    )
+    per = cnt.join(F.broadcast(tot))
+    fp = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    nd = F.col("n").cast("double")
+    td = F.col("t").cast("double")
+
+    def _term(obs: str, row_tot: str) -> F.Column:
+        # (O*N - R*C)^2 / (R*C*N) == (O-E)^2/E, numerator exact BIGINT;
+        # the double steps are spelled in the oracle's exact op order
+        num_d = (
+            F.col(obs) * F.col("n") - F.col(row_tot) * F.col("t")
+        ).cast("double")
+        rd = F.col(row_tot).cast("double")
+        return F.when(
+            (F.col(row_tot) > 0) & (F.col("t") > 0),
+            (num_d * num_d) / ((rd * td) * nd),
+        ).otherwise(F.lit(0.0))
+
+    def _expected(row_tot: str) -> F.Column:
+        rd = F.col(row_tot).cast("double")
+        return F.round(
+            F.when(F.col("n") > 0, (rd * td) / nd).otherwise(F.lit(0.0)), 6
+        )
+
+    per = per.select(
+        "bucket",
+        F.col("a").alias("o_click"),
+        F.col("c").alias("o_purchase"),
+        _expected("r1").alias("e_click"),
+        _expected("r2").alias("e_purchase"),
+        (fp(_term("a", "r1")) + fp(_term("c", "r2"))).alias("contrib_e6"),
+        "r1",
+        "r2",
+        "n",
+        "cols",
+    ).localCheckpoint(eager=False)  # grid-bounded (10 rows), two consumers
+    rows_nonempty = (
+        F.when(F.col("r1") > 0, 1).otherwise(0)
+        + F.when(F.col("r2") > 0, 1).otherwise(0)
+    )
+    stats = per.agg(
+        F.sum("contrib_e6").cast("long").alias("chi2_e6"),
+        F.max("n").alias("n"),  # constant per row — max is a pick
+        F.max("cols").alias("cols"),
+        F.max("r1").alias("r1"),
+        F.max("r2").alias("r2"),
+    ).select(
+        "chi2_e6",
+        ((F.col("cols") - F.lit(1)) * (rows_nonempty - F.lit(1))).alias(
+            "dof"
+        ),
+        F.when(
+            F.col("n") > 0,
+            fp(
+                F.sqrt(
+                    (F.col("chi2_e6").cast("double") / F.lit(1e6))
+                    / F.col("n").cast("double")
+                )
+            ),
+        ).otherwise(F.lit(None).cast("long")).alias("v_e6"),
+    ).select(
+        "chi2_e6",
+        "dof",
+        "v_e6",
+        F.when(
+            (F.col("dof") >= 1) & (F.col("dof") <= len(CHI2_CRIT_E6)),
+            F.element_at(
+                F.array(*[F.lit(c) for c in CHI2_CRIT_E6]), F.col("dof")
+            ),
+        ).alias("crit_e6"),
+    )
+    return (
+        per.join(F.broadcast(stats))
+        .select(
+            "bucket",
+            "o_click",
+            "o_purchase",
+            "e_click",
+            "e_purchase",
+            "contrib_e6",
+            (F.col("chi2_e6").cast("double") / F.lit(1e6)).alias(
+                "chi2_stat"
+            ),
+            "dof",
+            (F.col("crit_e6").cast("double") / F.lit(1e6)).alias(
+                "chi2_crit_5pct"
+            ),
+            (F.col("v_e6").cast("double") / F.lit(1e6)).alias("cramers_v"),
+            F.coalesce(
+                F.col("chi2_e6") > F.col("crit_e6"), F.lit(False)
+            ).alias("drifted"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def chi2_drift_sql() -> str:
+    """DuckDB replay: identical grid, BIGINT cross-multiplied numerators,
+    identical-op-order double terms, e6 fixed-point order-independent
+    contribution sum, same dof/critical lookup."""
+    side = """
+        SELECT s.bucket, CAST(coalesce(n, 0) AS BIGINT) AS {alias}
+        FROM (SELECT unnest(range(0, {nb}))::INTEGER AS bucket) s
+        LEFT JOIN (
+            SELECT CAST(least(floor(value / CAST({w} AS DOUBLE)), {top})
+                        AS INTEGER) AS bucket, count(*) AS n
+            FROM events WHERE event_type = '{seg}' GROUP BY 1
+        ) c USING (bucket)
+    """
+    a = side.format(alias="a", nb=PSI_N_BUCKETS, w=PSI_BUCKET_WIDTH,
+                    top=PSI_N_BUCKETS - 1, seg="click")
+    c = side.format(alias="c", nb=PSI_N_BUCKETS, w=PSI_BUCKET_WIDTH,
+                    top=PSI_N_BUCKETS - 1, seg="purchase")
+    crit = " ".join(
+        f"WHEN {d + 1} THEN {v}" for d, v in enumerate(CHI2_CRIT_E6)
+    )
+    term = """
+        CASE WHEN {r} > 0 AND t > 0 THEN
+            ((({o} * n - {r} * t)::DOUBLE) * (({o} * n - {r} * t)::DOUBLE))
+            / ((({r}::DOUBLE) * (t::DOUBLE)) * (n::DOUBLE))
+        ELSE CAST(0.0 AS DOUBLE) END
+    """
+    exp = """
+        round(CASE WHEN n > 0
+                   THEN (({r}::DOUBLE) * (t::DOUBLE)) / (n::DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END, 6)
+    """
+    fp = "CAST(floor({x} * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    return f"""
+        WITH cnt AS (
+            SELECT a.bucket, a, c, a + c AS t
+            FROM ({a}) a JOIN ({c}) c USING (bucket)
+        ),
+        tot AS (
+            SELECT CAST(sum(a) AS BIGINT) AS r1,
+                   CAST(sum(c) AS BIGINT) AS r2,
+                   CAST(sum(a + c) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN a + c > 0 THEN 1 ELSE 0 END)
+                        AS INTEGER) AS cols
+            FROM cnt
+        ),
+        per AS (
+            SELECT bucket, a AS o_click, c AS o_purchase,
+                   {exp.format(r='r1')} AS e_click,
+                   {exp.format(r='r2')} AS e_purchase,
+                   {fp.format(x=term.format(o='a', r='r1'))}
+                     + {fp.format(x=term.format(o='c', r='r2'))}
+                       AS contrib_e6,
+                   r1, r2, n, cols
+            FROM cnt CROSS JOIN tot
+        ),
+        stats AS (
+            SELECT CAST(sum(contrib_e6) AS BIGINT) AS chi2_e6,
+                   (max(cols) - 1)
+                     * ((CASE WHEN max(r1) > 0 THEN 1 ELSE 0 END)
+                        + (CASE WHEN max(r2) > 0 THEN 1 ELSE 0 END) - 1)
+                       AS dof,
+                   CASE WHEN max(n) > 0 THEN
+                       {fp.format(
+                           x="sqrt((CAST(sum(contrib_e6) AS BIGINT)::DOUBLE"
+                             " / 1e6) / (max(n)::DOUBLE))")}
+                   END AS v_e6
+            FROM per
+        ),
+        crit AS (
+            SELECT chi2_e6, dof, v_e6,
+                   CASE dof {crit} END AS crit_e6
+            FROM stats
+        )
+        SELECT bucket, o_click, o_purchase, e_click, e_purchase,
+               contrib_e6,
+               chi2_e6::DOUBLE / 1e6 AS chi2_stat,
+               dof,
+               crit_e6::DOUBLE / 1e6 AS chi2_crit_5pct,
+               v_e6::DOUBLE / 1e6 AS cramers_v,
+               coalesce(chi2_e6 > crit_e6, FALSE) AS drifted
+        FROM per CROSS JOIN crit
+        ORDER BY bucket
+    """
+
+
 def psi_drift_sql() -> str:
     """DuckDB replay: identical buckets, clamps, fixed-point contributions
     and banding."""

@@ -1178,3 +1178,38 @@ def file_stream_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return mannwhitney_from_counts(spark, spark.table(name))
+
+
+def file_stream_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming chi-square drift monitor — fourth member of the
+    streaming drift family (PSI magnitude, KS sup-gap, U rank order,
+    chi-square full-table shape): the SAME complete-mode (segment,
+    bucket) histogram (bounded 2x10 state) drained into the shared
+    exact-integer contingency core (plans/advanced.chi2_from_counts), so
+    on bounded replay the streamed statistic and verdict are
+    bit-identical to the batch chi2_drift and the driver reuses its
+    oracle."""
+    from marketstream_etl_spark.plans.advanced import (
+        chi2_from_counts,
+        psi_bucket_col,
+    )
+
+    events = stream_events(spark, sf_dir)
+    seg_stream = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(
+            F.col("event_type").alias("segment"),
+            psi_bucket_col().alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    name = sink_name("stream_chi2", sf_dir)
+    q = (
+        seg_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return chi2_from_counts(spark, spark.table(name))

@@ -711,6 +711,86 @@ def test_mwu_empty_segment_guarded(spark, monkeypatch):
     assert r["drifted"] is False
 
 
+# --- chi-square drift -------------------------------------------------------------
+
+def test_chi2_identical_distributions_not_drifted(spark, monkeypatch):
+    """Same bucket shape on both sides -> every O == E, chi2 = 0."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    vals = [10.0] * 4 + [60.0] * 2 + [120.0] * 2
+    ev = _mwu_events(spark, vals, vals)
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_chi2_drift(spark, "x").collect()
+    assert len(out) == adv.PSI_N_BUCKETS
+    r = out[0]
+    assert r["chi2_stat"] == 0.0 and r["cramers_v"] == 0.0
+    assert r["drifted"] is False
+    assert r["e_click"] == float(r["o_click"])
+    assert all(row["contrib_e6"] == 0 for row in out)
+
+
+def test_chi2_fully_separated_drifted(spark, monkeypatch):
+    """Complete separation in a 2x2 effective table: chi2 == N, dof 1,
+    Cramer's V == 1, far past the 3.84 critical line."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    ev = _mwu_events(spark, [10.0] * 12, [210.0] * 12)
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_chi2_drift(spark, "x").collect()
+    r = out[0]
+    assert r["chi2_stat"] == 24.0  # == N for total separation
+    assert r["dof"] == 1  # 2 nonempty columns x 2 rows
+    assert r["chi2_crit_5pct"] == 3.841459
+    assert r["cramers_v"] == 1.0
+    assert r["drifted"] is True
+
+
+def test_chi2_matches_hand_computed_table(spark, monkeypatch):
+    """Mixed overlap case cross-checked against a from-scratch Pearson
+    computation (plain Python) of the same binned contingency table."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    click = [10.0] * 5 + [60.0] * 3 + [120.0] * 1
+    purchase = [10.0] * 2 + [60.0] * 4 + [120.0] * 6
+    ev = _mwu_events(spark, click, purchase)
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_chi2_drift(spark, "x").collect()
+    r = out[0]
+
+    a = [5, 3, 1]
+    c = [2, 4, 6]
+    r1, r2 = sum(a), sum(c)
+    n = r1 + r2
+    chi2 = 0.0
+    for ab, cb in zip(a, c):
+        t = ab + cb
+        for obs, row in ((ab, r1), (cb, r2)):
+            e = row * t / n
+            chi2 += (obs - e) ** 2 / e
+    assert abs(r["chi2_stat"] - chi2) < 2e-6  # two e6-rounded cells/bucket
+    assert r["dof"] == 2  # 3 nonempty columns
+    assert r["chi2_crit_5pct"] == 5.991465
+    assert abs(r["cramers_v"] - (chi2 / n) ** 0.5) < 1e-5
+    assert r["drifted"] is (chi2 > 5.991465)
+    # expected counts surface per bucket
+    assert out[0]["e_click"] == round(r1 * (a[0] + c[0]) / n, 6)
+
+
+def test_chi2_empty_segment_guarded(spark, monkeypatch):
+    """Zero purchase rows: one nonempty row -> dof 0, chi2 0, NULL
+    critical value, verdict pinned False rather than a crash."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    ev = _mwu_events(spark, [10.0] * 5, [])
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_chi2_drift(spark, "x").collect()
+    assert len(out) == adv.PSI_N_BUCKETS
+    r = out[0]
+    assert r["chi2_stat"] == 0.0 and r["dof"] == 0
+    assert r["chi2_crit_5pct"] is None
+    assert r["drifted"] is False
+
+
 # --- A/B test --------------------------------------------------------------------
 
 def _ab_events(spark, rows):
