@@ -229,6 +229,16 @@ def _stream_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_token_drift(spark, sf_dir)
 
 
+def _stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming calibration monitor: stream-safe quality scoring per
+    micro-batch, complete-mode 10-bin histogram, reliability report via
+    the shared integer core (training_data.calibration_from_counts) —
+    bit-identical to batch calibration_ece on bounded replay."""
+    from marketstream_etl_spark.streaming.docs import file_stream_calibration
+
+    return file_stream_calibration(spark, sf_dir)
+
+
 def _stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6: corrupt-frame dead-letter split as a real streaming ingest."""
     from marketstream_etl_spark.streaming.ticks import file_stream_deadletter
@@ -587,6 +597,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": advanced.q_rolling_distinct_users,
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
+        # r9-new: classifier evaluation (exact midrank AUC + reliability)
+        "roc_auc": training_data.q_roc_auc,
+        "calibration_ece": training_data.q_calibration_ece,
+        # r9-new: privacy family third member (skewness-attack audit)
+        "t_closeness": advanced.q_t_closeness,
         # r9-new: rank-based drift (third member of the PSI/KS family)
         "mannwhitney_drift": advanced.q_mannwhitney_drift,
         "streaming_mwu": _stream_mwu,
@@ -645,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": training_data.q_source_overlap,
         "streaming_contamination": _stream_contamination,
         "streaming_token_drift": _stream_token_drift,
+        "streaming_calibration": _stream_calibration,
         "streaming_socket": _stream_socket,
         "embedding_neardup_ivf": training_data.q_embedding_neardup_ivf,
         "source_mixture": training_data.q_source_mixture,
@@ -1930,6 +1946,9 @@ def oracle_sql() -> dict[str, str]:
         "rolling_distinct_users": advanced.rolling_distinct_users_sql(),
         "lateness_audit": advanced.lateness_audit_sql(),
         "padding_efficiency": training_data.padding_efficiency_sql(),
+        "roc_auc": training_data.roc_auc_sql(),
+        "calibration_ece": training_data.calibration_ece_sql(),
+        "t_closeness": advanced.t_closeness_sql(),
         # the streaming twin's final complete-mode state equals the batch
         # (segment, bucket) histogram, so it shares psi_drift's oracle
         "streaming_psi": advanced.psi_drift_sql(),
@@ -3548,6 +3567,9 @@ def oracle_sql() -> dict[str, str]:
     # streaming twin shares the batch core (chi2_by_source), so the final
     # replayed snapshot must equal the batch statistic exactly
     sql["streaming_token_drift"] = sql["token_drift"]
+    # streaming twin drains its complete-mode histogram into the shared
+    # integer core, so it reuses the batch calibration oracle
+    sql["streaming_calibration"] = sql["calibration_ece"]
     # the WS ingest shares the socket query's corruption contract exactly
     sql["streaming_websocket"] = sql["streaming_socket"]
     return sql

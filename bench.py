@@ -103,6 +103,9 @@ EXTRAS = [
     # r9 additions
     "mannwhitney_drift",
     "chi2_drift",
+    "roc_auc",
+    "calibration_ece",
+    "t_closeness",
 ]
 
 

@@ -3075,3 +3075,185 @@ def l_diversity_sql() -> str:
         FROM banded CROSS JOIN total
         ORDER BY band
     """
+
+
+T_CLOSE_T_E6 = 200_000  # t-closeness threshold t = 0.2 (Li et al. usage)
+T_CLOSE_SENS_BUCKETS = 10  # sensitive attribute deciles (k in 0..99)
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness census — third member of the privacy-audit family:
+    a class can be k-anonymous AND l-diverse yet still leak if its
+    sensitive-value DISTRIBUTION differs sharply from the global one
+    (skewness attack: 'this class is 90% high-value when the population
+    is 10%').  Per quasi-identifier class (the q_k_anonymity tuple),
+    total-variation distance between the class's sensitive-decile
+    distribution (props 'k' DIV 10 -> 10 categories) and the corpus
+    distribution; band by the conventional t = 0.2 line.
+
+    Exact integer core with NO per-class spine: for categories PRESENT
+    in the class, gap_fp(s) = |c_cs*N - g_s*n_c| is a BIGINT
+    cross-multiplication; categories ABSENT from the class contribute
+    sum(g_s*n_c) = n_c*(N - sum_present g_s) in one algebraic term — so
+    TVD = (sum_present gap_fp + n_c*(N - sum_present g_s)) / (2*n_c*N)
+    takes exactly ONE double division per class, e6 fixed-pointed
+    identically in the oracle.  Exact while c*N < 2^63 (~3e9 rows) —
+    same documented bound as chi2_drift.
+
+    Output: (band, n_classes, n_rows, share_rows, max_tvd) — the census
+    shape of the k_anonymity/l_diversity siblings plus the worst-class
+    distance.
+
+    Scale: one (qi, decile) hash aggregate bounded by the attribute
+    cross-product (never row count); the decile margin is a 10-row
+    broadcast; everything downstream operates on the bounded class
+    frame."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.expr(
+        f"CAST(get_json_object(props, '$.k') AS INT)"
+        f" DIV {T_CLOSE_SENS_BUCKETS}"
+    )
+    cls_s = ev.groupBy(
+        F.col("event_type"),
+        F.floor(F.col("value") / F.lit(K_ANON_VALUE_BUCKET)).alias("vb"),
+        F.expr(f"(ts DIV {3_600_000_000_000}) % 24").alias("hod"),
+        s.alias("s"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    cls_s = cls_s.localCheckpoint(eager=False)  # margins + cells read it
+    dom = cls_s.groupBy("s").agg(F.sum("c").cast("long").alias("g"))
+    tot = dom.agg(F.sum("g").cast("long").alias("n_total"))
+    cells = cls_s.join(F.broadcast(dom), "s").join(F.broadcast(tot))
+    # window-free two-pass: n_c per class first, then the gap sum joins it
+    n_c = cls_s.groupBy("event_type", "vb", "hod").agg(
+        F.sum("c").cast("long").alias("n_c")
+    )
+    gaps = (
+        cells.join(n_c, ["event_type", "vb", "hod"])
+        .groupBy("event_type", "vb", "hod")
+        .agg(
+            F.max("n_c").alias("n_c"),  # constant per class — max is a pick
+            F.max("n_total").alias("n_total"),
+            F.sum(
+                F.abs(
+                    F.col("c") * F.col("n_total")
+                    - F.col("g") * F.col("n_c")
+                )
+            ).cast("long").alias("gap_present_fp"),
+            F.sum("g").cast("long").alias("g_present"),
+        )
+    )
+    fp = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    tvd_fp = F.col("gap_present_fp") + F.col("n_c") * (
+        F.col("n_total") - F.col("g_present")
+    )
+    tvd_e6 = fp(
+        tvd_fp.cast("double")
+        / (
+            F.lit(2.0)
+            * (F.col("n_c").cast("double") * F.col("n_total").cast("double"))
+        )
+    )
+    classes = gaps.select(
+        "n_c", tvd_e6.alias("tvd_e6")
+    ).localCheckpoint(eager=False)  # bounded class frame, two consumers
+    band = F.when(F.col("tvd_e6") <= F.lit(T_CLOSE_T_E6), F.lit("<=t")).otherwise(
+        F.lit(">t")
+    )
+    banded = (
+        classes.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("n_c").cast("long").alias("n_rows"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = banded.agg(F.sum("n_rows").alias("t"))
+    worst = classes.agg(F.max("tvd_e6").alias("max_tvd_e6"))
+    share = (
+        F.floor(
+            F.col("n_rows").cast("double") / F.col("t").cast("double")
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("double")
+        / F.lit(1e6)
+    )
+    return (
+        banded.join(F.broadcast(total))
+        .join(F.broadcast(worst))
+        .select(
+            "band",
+            "n_classes",
+            "n_rows",
+            share.alias("share_rows"),
+            (F.col("max_tvd_e6").cast("double") / F.lit(1e6)).alias(
+                "max_tvd"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+def t_closeness_sql() -> str:
+    """DuckDB replay: identical quasi-identifier tuple, decile bucketing,
+    BIGINT cross-multiplied gaps, absent-category algebraic term, e6
+    fixed-point TVD and banding."""
+    hod = "((CAST(epoch_us(ts) AS BIGINT) * 1000) // 3600000000000) % 24"
+    return f"""
+        WITH cls_s AS (
+            SELECT event_type,
+                   CAST(floor(value / CAST({K_ANON_VALUE_BUCKET} AS DOUBLE))
+                        AS BIGINT) AS vb,
+                   {hod} AS hod,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       // {T_CLOSE_SENS_BUCKETS} AS s,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2, 3, 4
+        ),
+        dom AS (
+            SELECT s, CAST(sum(c) AS BIGINT) AS g FROM cls_s GROUP BY s
+        ),
+        tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total FROM dom),
+        n_c AS (
+            SELECT event_type, vb, hod, CAST(sum(c) AS BIGINT) AS n_c
+            FROM cls_s GROUP BY 1, 2, 3
+        ),
+        gaps AS (
+            SELECT cls_s.event_type, cls_s.vb, cls_s.hod,
+                   max(n_c.n_c) AS n_c,
+                   max(n_total) AS n_total,
+                   CAST(sum(abs(c * n_total - g * n_c.n_c)) AS BIGINT)
+                       AS gap_present_fp,
+                   CAST(sum(g) AS BIGINT) AS g_present
+            FROM cls_s
+            JOIN dom USING (s)
+            CROSS JOIN tot
+            JOIN n_c USING (event_type, vb, hod)
+            GROUP BY 1, 2, 3
+        ),
+        classes AS (
+            SELECT n_c,
+                   CAST(floor(
+                       (gap_present_fp
+                        + n_c * (n_total - g_present))::DOUBLE
+                       / (2.0 * (n_c::DOUBLE * n_total::DOUBLE))
+                       * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS tvd_e6
+            FROM gaps
+        ),
+        banded AS (
+            SELECT CASE WHEN tvd_e6 <= {T_CLOSE_T_E6} THEN '<=t'
+                        ELSE '>t' END AS band,
+                   count(*) AS n_classes,
+                   CAST(sum(n_c) AS BIGINT) AS n_rows
+            FROM classes GROUP BY 1
+        ),
+        total AS (SELECT CAST(sum(n_rows) AS BIGINT) AS t FROM banded),
+        worst AS (SELECT max(tvd_e6) AS max_tvd_e6 FROM classes)
+        SELECT band, n_classes, n_rows,
+               floor(n_rows::DOUBLE / t::DOUBLE * 1e6
+                     + CAST(0.5 AS DOUBLE)) / 1e6 AS share_rows,
+               max_tvd_e6::DOUBLE / 1e6 AS max_tvd
+        FROM banded CROSS JOIN total CROSS JOIN worst
+        ORDER BY band
+    """

@@ -256,3 +256,35 @@ def file_stream_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return chi2_by_source(per)
+
+
+def file_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming calibration monitor: documents stream in, each
+    micro-batch is scored by the stream-safe quality scorer
+    (plans/training_data.scored_from_raw — one map-only projection,
+    bit-identical to the batch cached-frame path), and the (bin, n,
+    n_pos, conf_sum_e6) histogram runs as a real complete-mode streaming
+    aggregation (bounded CAL_N_BINS-row state).  The reliability report
+    is computed from the drained final state through the SAME integer
+    core as the batch query (calibration_from_counts), so on bounded
+    replay the streamed ECE/MCE and verdict are bit-identical to batch
+    calibration_ece and the driver reuses its oracle.
+
+    This is the live-quality-gate shape: a production filter scores docs
+    as they arrive; the calibration dashboard reads the 10-row sink, not
+    the corpus."""
+    from marketstream_etl_spark.plans.training_data import (
+        _calibration_counts,
+        calibration_from_counts,
+        scored_from_raw,
+    )
+    from marketstream_etl_spark.streaming.replay import drain_to_memory
+
+    docs = stream_documents(spark, sf_dir)
+    grp = _calibration_counts(scored_from_raw(docs))
+    state = drain_to_memory(
+        grp, "stream_calibration", sf_dir, output_mode="complete"
+    )
+    # lineage-truncate the memory-sink view before the core's spine join
+    # (same DeduplicateRelations guard as file_stream_token_drift)
+    return calibration_from_counts(spark, state.localCheckpoint(eager=False))

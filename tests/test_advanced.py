@@ -849,3 +849,81 @@ def test_ab_single_variant_null_guard(spark, monkeypatch):
     out = adv.q_ab_test(spark, "x").collect()
     assert len(out) == 1 and out[0]["variant"] == "control"
     assert out[0]["z_stat"] is None and out[0]["significant"] is False
+
+
+# --- t-closeness ------------------------------------------------------------------
+
+def _tc_events(spark, rows):
+    """rows: (value, k) with fixed ts=0/event_type so qi = value bucket."""
+    data = [
+        (i, 1, 0, "click", float(v), '{"k": %d}' % k)
+        for i, (v, k) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+
+
+def test_t_closeness_uniform_classes_pass(spark, monkeypatch):
+    """Every class mirrors the global sensitive mix -> TVD 0 -> '<=t'."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows = [(10, 5), (10, 95), (60, 5), (60, 95)] * 3
+    ev = _tc_events(spark, rows)
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_t_closeness(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["band"] == "<=t" and r["n_classes"] == 2
+    assert r["n_rows"] == 12 and r["share_rows"] == 1.0
+    assert r["max_tvd"] == 0.0
+
+
+def test_t_closeness_disjoint_classes_flagged(spark, monkeypatch):
+    """Two classes with disjoint sensitive deciles: TVD 0.5 each, both
+    past the t=0.2 line (skewness attack both ways)."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    rows = [(10, 5)] * 4 + [(60, 95)] * 4
+    ev = _tc_events(spark, rows)
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_t_closeness(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["band"] == ">t" and r["n_classes"] == 2
+    assert r["max_tvd"] == 0.5
+
+
+def test_t_closeness_matches_hand_computed_tvd(spark, monkeypatch):
+    """Mixed case cross-checked against a from-scratch TVD computation
+    including the absent-category algebraic term."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    cls_a = [(10, 5)] * 6 + [(10, 25)] * 2  # deciles 0, 2
+    cls_b = [(60, 5)] * 2 + [(60, 95)] * 4  # deciles 0, 9
+    ev = _tc_events(spark, cls_a + cls_b)
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_t_closeness(spark, "x").collect()
+
+    # reference: global deciles over all 14 rows
+    from collections import Counter
+
+    def deciles(rows):
+        return Counter(k // 10 for _, k in rows)
+
+    g = deciles(cls_a + cls_b)
+    n = sum(g.values())
+    tvds = []
+    for cls in (cls_a, cls_b):
+        d = deciles(cls)
+        nc = sum(d.values())
+        tvd = 0.5 * sum(
+            abs(d.get(s, 0) / nc - g[s] / n) for s in g
+        )
+        tvds.append(tvd)
+    worst = max(tvds)
+    flagged = [t for t in tvds if t > 0.2]
+    by_band = {r["band"]: r for r in out}
+    assert abs(by_band[">t" if flagged else "<=t"]["max_tvd"] - worst) < 1e-6
+    assert sum(r["n_classes"] for r in out) == 2
+    assert sum(r["n_rows"] for r in out) == 14

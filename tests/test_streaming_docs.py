@@ -53,3 +53,17 @@ def test_stream_ivf_assign_matches_batch_final_state(spark, sf_dir):
         .collect()
     )
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_stream_calibration_matches_batch(spark):
+    """Bounded replay of the streaming calibration monitor must equal the
+    batch calibration_ece report row-for-row (shared integer core +
+    stream-safe scorer bit-identity)."""
+    from marketstream_etl_spark.plans.training_data import q_calibration_ece
+    from marketstream_etl_spark.streaming.docs import file_stream_calibration
+
+    sf = "/root/testdata/sf0.001"
+    streamed = [tuple(r) for r in file_stream_calibration(spark, sf).collect()]
+    batch = [tuple(r) for r in q_calibration_ece(spark, sf).collect()]
+    assert sorted(streamed, key=str) == sorted(batch, key=str)
+    assert len(streamed) == 10

@@ -282,3 +282,123 @@ def test_snapshot_diff_identity_and_partition(spark):
         r2["n_added"] + r2["n_removed"] + r2["n_changed"] + r2["n_identical"]
         == r2["n_union"]
     )
+
+
+# --- ROC-AUC + calibration --------------------------------------------------
+
+
+def _scored_frame(spark, rows):
+    """(doc_id, score_e6, pos) rows for monkeypatching _quality_scored."""
+    return spark.createDataFrame(rows, ["doc_id", "score_e6", "pos"])
+
+
+def test_roc_auc_perfect_separation(spark, monkeypatch):
+    from marketstream_etl_spark.plans import training_data as td
+
+    rows = [(i, 900_000, 1) for i in range(6)] + [
+        (10 + i, 100_000, 0) for i in range(4)
+    ]
+    monkeypatch.setattr(
+        td, "_quality_scored", lambda sp, sf: _scored_frame(sp, rows)
+    )
+    r = td.q_roc_auc(spark, "x").collect()[0]
+    assert r["n_pos"] == 6 and r["n_neg"] == 4
+    assert r["auc"] == 1.0 and r["gini"] == 1.0
+
+
+def test_roc_auc_all_tied_is_chance(spark, monkeypatch):
+    """Every score identical: AUC = 0.5 by midrank tie handling."""
+    from marketstream_etl_spark.plans import training_data as td
+
+    rows = [(i, 500_000, i % 2) for i in range(10)]
+    monkeypatch.setattr(
+        td, "_quality_scored", lambda sp, sf: _scored_frame(sp, rows)
+    )
+    r = td.q_roc_auc(spark, "x").collect()[0]
+    assert r["auc"] == 0.5 and r["gini"] == 0.0
+
+
+def test_roc_auc_matches_pair_counting(spark, monkeypatch):
+    """Mixed overlap cross-checked against from-scratch pair counting:
+    AUC = (wins + 0.5*ties) / (n_pos*n_neg) on the binned scores."""
+    from marketstream_etl_spark.plans import training_data as td
+
+    pos = [100_000, 400_000, 400_000, 700_000, 900_000]
+    neg = [100_000, 200_000, 400_000, 600_000]
+    rows = [(i, s, 1) for i, s in enumerate(pos)] + [
+        (100 + i, s, 0) for i, s in enumerate(neg)
+    ]
+    monkeypatch.setattr(
+        td, "_quality_scored", lambda sp, sf: _scored_frame(sp, rows)
+    )
+    r = td.q_roc_auc(spark, "x").collect()[0]
+    pb = [s // 1000 for s in pos]
+    nb = [s // 1000 for s in neg]
+    wins = sum(1 for p in pb for q in nb if p > q)
+    ties = sum(1 for p in pb for q in nb if p == q)
+    auc = (wins + 0.5 * ties) / (len(pb) * len(nb))
+    assert abs(r["auc"] - auc) < 1e-6
+    assert abs(r["gini"] - (2 * auc - 1)) < 1e-6
+
+
+def test_roc_auc_degenerate_single_class(spark, monkeypatch):
+    from marketstream_etl_spark.plans import training_data as td
+
+    rows = [(i, 500_000, 1) for i in range(5)]
+    monkeypatch.setattr(
+        td, "_quality_scored", lambda sp, sf: _scored_frame(sp, rows)
+    )
+    r = td.q_roc_auc(spark, "x").collect()[0]
+    assert r["n_pos"] == 5 and r["n_neg"] == 0
+    assert r["auc"] is None and r["gini"] is None
+
+
+def test_calibration_perfectly_calibrated_bin(spark, monkeypatch):
+    """A bin whose mean prediction equals its positive rate contributes
+    zero gap; ECE over only such bins is 0 -> well_calibrated."""
+    from marketstream_etl_spark.plans import training_data as td
+
+    # bin 2 (0.2-0.3): 4 docs at 0.25, exactly 1 positive -> conf == acc
+    rows = [
+        (0, 250_000, 1),
+        (1, 250_000, 0),
+        (2, 250_000, 0),
+        (3, 250_000, 0),
+    ]
+    monkeypatch.setattr(
+        td, "_quality_scored", lambda sp, sf: _scored_frame(sp, rows)
+    )
+    out = td.q_calibration_ece(spark, "x").collect()
+    assert len(out) == td.CAL_N_BINS
+    b2 = [r for r in out if r["bin"] == 2][0]
+    assert b2["n"] == 4 and b2["confidence"] == 0.25 and b2["accuracy"] == 0.25
+    assert b2["bin_gap"] == 0.0
+    assert b2["ece"] == 0.0 and b2["well_calibrated"] is True
+
+
+def test_calibration_matches_hand_computed_ece(spark, monkeypatch):
+    from marketstream_etl_spark.plans import training_data as td
+
+    # bin 1: two docs at 0.15, both positive (conf 0.15, acc 1.0)
+    # bin 8: two docs at 0.85, none positive (conf 0.85, acc 0.0)
+    rows = [
+        (0, 150_000, 1),
+        (1, 150_000, 1),
+        (2, 850_000, 0),
+        (3, 850_000, 0),
+    ]
+    monkeypatch.setattr(
+        td, "_quality_scored", lambda sp, sf: _scored_frame(sp, rows)
+    )
+    out = td.q_calibration_ece(spark, "x").collect()
+    ece = 0.5 * abs(1.0 - 0.15) + 0.5 * abs(0.0 - 0.85)
+    r = out[0]
+    assert abs(r["ece"] - ece) < 1e-6
+    assert abs(r["mce"] - 0.85) < 1e-6
+    assert r["well_calibrated"] is False
+    b1 = [x for x in out if x["bin"] == 1][0]
+    assert b1["accuracy"] == 1.0 and b1["confidence"] == 0.15
+    empty = [x for x in out if x["n"] == 0]
+    assert all(
+        x["confidence"] is None and x["bin_gap"] is None for x in empty
+    )
