@@ -444,13 +444,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # funnel_steps (behavioral by session_transitions),
         # microstructure (audit by benford_audit + key_skew_profile),
         # hybrid_search_rrf (retrieval by bm25_search).
+        # r10 rotation: the six r9-NEW never-gated rows take slots —
+        # chi2_drift + streaming_chi2 (contingency drift, fourth drift
+        # member), roc_auc + calibration_ece + streaming_calibration
+        # (classifier evaluation family), t_closeness (privacy third
+        # member).  OUT (all driver-green r8 or earlier, family kept
+        # in-gate, still check_oracle-verified locally): rsi_signals
+        # (F4/top-k by rsi_wilder + symbol_leaderboard), streaming_cms +
+        # streaming_hll (sketch family by hll_cardinality +
+        # bloom_contamination; streaming stays 13 rows via the two new
+        # twins), semantic_dedup (dedup by minhash_lsh + winnowing),
+        # json_corrupt_records (props-JSON access by chi2_drift/
+        # ks_drift/t_closeness in-gate; corrupt-record semantics local),
+        # purged_kfold (CV/sampling by generator_invariants + the local
+        # kfold family).
         "validate_split": analytics.q_validate_split,
         "csv_fixture_roundtrip": analytics.q_csv_fixture_roundtrip,
         "validation_counts": analytics.q_validation_counts,
         "indicators": analytics.q_indicators,
         "rsi_wilder": analytics.q_rsi_wilder,
         "symbol_leaderboard": analytics.q_symbol_leaderboard,
-        "rsi_signals": analytics.q_rsi_signals,
+        "chi2_drift": advanced.q_chi2_drift,
         "parquet_sink_roundtrip": analytics.q_parquet_sink_roundtrip,
         "parallel_jdbc_roundtrip": analytics.q_parallel_jdbc_roundtrip,  # S9
         # r8 rotation (r7 VERDICT item 3): seven rows that had never held
@@ -491,7 +505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful": _stream_stateful,
         "streaming_sessions": _stream_sessions,
         "streaming_jdbc_sink": _stream_jdbc_sink,
-        "streaming_cms": _stream_cms,
+        "streaming_chi2": _stream_chi2,
+        "streaming_calibration": _stream_calibration,
         # --- one per remaining SURVEY-§2 family — 10 ---
         "asof_enrich": advanced.q_asof_enrich,  # J2
         "bucketed_join": _bucketed_join,  # S7 + co-located join
@@ -511,7 +526,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-gate) — all still check_oracle-verified locally.
         "key_skew_profile": advanced.q_key_skew_profile,
         "cusum_changepoints": analytics.q_cusum_changepoints,
-        "purged_kfold": analytics.q_purged_kfold,
         "ks_drift": advanced.q_ks_drift,
         "ab_test": advanced.q_ab_test,
         "benford_audit": advanced.q_benford_audit,
@@ -549,10 +563,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bloom_contamination's exact-audit columns, text by
         # text_analysis.
         "hll_cardinality": training_data.q_hll_cardinality,
-        "streaming_hll": _stream_hll,
         "bloom_contamination": training_data.q_bloom_contamination,
         "winnowing_pairs": training_data.q_winnowing_pairs,
-        "semantic_dedup": training_data.q_semantic_dedup,
+        # r10: classifier evaluation takes semantic_dedup's slot (dedup
+        # family kept by minhash_lsh + winnowing); both read the analyzed
+        # cache text_analysis populated above, so the gate attributes the
+        # analysis cost to the text row as before
+        "roc_auc": training_data.q_roc_auc,
         # late-r6 rotation: psi_drift (statistical drift audit, a family
         # the gate lacked) takes hdr_quantiles' slot — the sketch family
         # keeps THREE in-gate rows (hll_cardinality, streaming_hll,
@@ -561,8 +578,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # twins
         "bm25_search": training_data.q_bm25_search,
         "lm_perplexity": training_data.q_lm_perplexity,
-        "json_corrupt_records": training_data.q_json_corrupt_records,
+        "calibration_ece": training_data.q_calibration_ece,
+        "t_closeness": advanced.q_t_closeness,
         # ---------------- fold: slot 51+ ----------------
+        # r10 rotation OUT rows (all driver-green r8 or earlier):
+        "rsi_signals": analytics.q_rsi_signals,
+        "streaming_cms": _stream_cms,
+        "streaming_hll": _stream_hll,
+        "semantic_dedup": training_data.q_semantic_dedup,
+        "json_corrupt_records": training_data.q_json_corrupt_records,
+        "purged_kfold": analytics.q_purged_kfold,
         # r9 rotation OUT rows (all long-green in prior driver gates):
         "trades_view": analytics.q_trades_view,
         "volume_bars": analytics.q_volume_bars,
@@ -597,17 +622,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": advanced.q_rolling_distinct_users,
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
-        # r9-new: classifier evaluation (exact midrank AUC + reliability)
-        "roc_auc": training_data.q_roc_auc,
-        "calibration_ece": training_data.q_calibration_ece,
-        # r9-new: privacy family third member (skewness-attack audit)
-        "t_closeness": advanced.q_t_closeness,
         # r9-new: rank-based drift (third member of the PSI/KS family)
         "mannwhitney_drift": advanced.q_mannwhitney_drift,
         "streaming_mwu": _stream_mwu,
-        # r9-new: contingency-table drift (fourth member) + its twin
-        "chi2_drift": advanced.q_chi2_drift,
-        "streaming_chi2": _stream_chi2,
         "streaming_psi": _stream_psi,
         "streaming_benford": _stream_benford,
         "streaming_upsert": _stream_upsert,
@@ -660,7 +677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": training_data.q_source_overlap,
         "streaming_contamination": _stream_contamination,
         "streaming_token_drift": _stream_token_drift,
-        "streaming_calibration": _stream_calibration,
         "streaming_socket": _stream_socket,
         "embedding_neardup_ivf": training_data.q_embedding_neardup_ivf,
         "source_mixture": training_data.q_source_mixture,
