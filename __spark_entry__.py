@@ -239,6 +239,16 @@ def _stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_calibration(spark, sf_dir)
 
 
+def _stream_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ROC-AUC monitor: stream-safe scoring per micro-batch,
+    complete-mode e3-grid histogram, AUC via the shared exact-integer
+    midrank core (training_data.roc_from_counts) — bit-identical to
+    batch roc_auc on bounded replay."""
+    from marketstream_etl_spark.streaming.docs import file_stream_roc
+
+    return file_stream_roc(spark, sf_dir)
+
+
 def _stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6: corrupt-frame dead-letter split as a real streaming ingest."""
     from marketstream_etl_spark.streaming.ticks import file_stream_deadletter
@@ -581,6 +591,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_ece": training_data.q_calibration_ece,
         "t_closeness": advanced.q_t_closeness,
         # ---------------- fold: slot 51+ ----------------
+        # late-r9: streaming ROC twin + IV audit (below fold; r11 gate
+        # candidates)
+        "streaming_roc": _stream_roc,
+        "information_value": training_data.q_information_value,
         # r10 rotation OUT rows (all driver-green r8 or earlier):
         "rsi_signals": analytics.q_rsi_signals,
         "streaming_cms": _stream_cms,
@@ -1964,6 +1978,7 @@ def oracle_sql() -> dict[str, str]:
         "padding_efficiency": training_data.padding_efficiency_sql(),
         "roc_auc": training_data.roc_auc_sql(),
         "calibration_ece": training_data.calibration_ece_sql(),
+        "information_value": training_data.information_value_sql(),
         "t_closeness": advanced.t_closeness_sql(),
         # the streaming twin's final complete-mode state equals the batch
         # (segment, bucket) histogram, so it shares psi_drift's oracle
@@ -3583,9 +3598,10 @@ def oracle_sql() -> dict[str, str]:
     # streaming twin shares the batch core (chi2_by_source), so the final
     # replayed snapshot must equal the batch statistic exactly
     sql["streaming_token_drift"] = sql["token_drift"]
-    # streaming twin drains its complete-mode histogram into the shared
-    # integer core, so it reuses the batch calibration oracle
+    # streaming twins drain their complete-mode histograms into the
+    # shared integer cores, so they reuse the batch oracles
     sql["streaming_calibration"] = sql["calibration_ece"]
+    sql["streaming_roc"] = sql["roc_auc"]
     # the WS ingest shares the socket query's corruption contract exactly
     sql["streaming_websocket"] = sql["streaming_socket"]
     return sql

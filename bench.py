@@ -106,6 +106,7 @@ EXTRAS = [
     "roc_auc",
     "calibration_ece",
     "t_closeness",
+    "information_value",
 ]
 
 

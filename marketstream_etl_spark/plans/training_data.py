@@ -2297,9 +2297,15 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     across languages, so the honest verdict IS near-zero separation;
     the operator is the measuring instrument a real pipeline points at
     trained weights."""
-    grp = (
-        _quality_scored(spark, sf_dir)
-        .select(
+    return roc_from_counts(spark, _roc_counts(_quality_scored(spark, sf_dir)))
+
+
+def _roc_counts(scored: DataFrame) -> DataFrame:
+    """(bucket, a, c) positive/negative counts on the e3 score grid from
+    a (score_e6, pos) frame — the only corpus-sized work, so it doubles
+    as the streaming twin's complete-mode state (<= ROC_N_BUCKETS+1 rows)."""
+    return (
+        scored.select(
             F.least(
                 F.expr("score_e6 DIV 1000"),
                 F.lit(ROC_N_BUCKETS - 1),
@@ -2311,7 +2317,15 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pos").cast("long").alias("a"),
             F.sum(F.lit(1) - F.col("pos")).cast("long").alias("c"),
         )
-        .withColumn("t", F.col("a") + F.col("c"))
+    )
+
+
+def roc_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """AUC report from a (bucket, a, c) counts frame — same shared-core
+    contract as calibration_from_counts, so a streaming twin's drained
+    state reuses it verbatim."""
+    grp = (
+        counts.withColumn("t", F.col("a") + F.col("c"))
         .localCheckpoint(eager=False)  # grid-bounded, two consumers
     )
     lower = grp.select(F.col("bucket").alias("b2"), F.col("t").alias("t2"))
@@ -2576,5 +2590,153 @@ def calibration_ece_sql() -> str:
                coalesce(ece_e6 <= {CAL_ECE_THRESH_E6}, FALSE)
                    AS well_calibrated
         FROM per CROSS JOIN tot
+        ORDER BY bin
+    """
+
+
+# Siddiqi's conventional IV predictiveness bands, e6 fixed-point:
+# < 0.02 useless, < 0.1 weak, < 0.3 medium, else strong.
+IV_CLAMP = 1e-4  # same share-smoothing discipline as the PSI family
+IV_BANDS_FP = ((20_000, "useless"), (100_000, "weak"), (300_000, "medium"))
+
+
+def q_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information Value audit of the quality score
+    against the lang='en' label — the third member of the classifier-
+    evaluation family: AUC measures RANKING, calibration measures
+    probability HONESTY, IV measures per-bin SIGNAL (which score regions
+    separate the classes, and how much predictive power the binned
+    feature carries overall).  Algebraically IV is the PSI between the
+    two class-conditional score distributions, so this reuses the PSI
+    family's exact discipline: clamped shares, per-bin e6 fixed-point
+    contributions, order-independent BIGINT total, conventional
+    (Siddiqi) banding.
+
+    Scale shape: one map-side projection over the generation-cached
+    scored frame, one (bin) hash aggregate; everything downstream is
+    bounded by the CAL_N_BINS grid (spine join, 1-row totals broadcasts).
+    Output per bin: (bin, share_pos, share_neg, woe, iv_part) plus the
+    iv_total and predictiveness band on every row."""
+    scored = _quality_scored(spark, sf_dir)
+    grp = (
+        scored.select(
+            F.least(
+                F.expr(f"score_e6 DIV {1_000_000 // CAL_N_BINS}"),
+                F.lit(CAL_N_BINS - 1),
+            ).cast("int").alias("bin"),
+            "pos",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("pos").cast("long").alias("a"),
+            F.sum(F.lit(1) - F.col("pos")).cast("long").alias("c"),
+        )
+        .localCheckpoint(eager=False)  # bounded, four consumers
+    )
+    spine = spark.range(CAL_N_BINS).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    share = F.when(
+        F.col("n_cls") > 0,
+        F.coalesce(F.col("x"), F.lit(0)).cast("double")
+        / F.col("n_cls").cast("double"),
+    ).otherwise(F.lit(0.0))
+    clamped = F.greatest(share, F.lit(IV_CLAMP))
+
+    def _side(col: str, alias: str) -> DataFrame:
+        part = grp.select("bin", F.col(col).alias("x"))
+        tot = grp.agg(F.coalesce(F.sum(col), F.lit(0)).alias("n_cls"))
+        return spine.join(part, "bin", "left").join(
+            F.broadcast(tot)
+        ).select("bin", clamped.alias(alias))
+
+    both = _side("a", "p_pos").join(_side("c", "p_neg"), "bin")
+    fp = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    woe = F.log(F.col("p_pos") / F.col("p_neg"))
+    contrib = (F.col("p_pos") - F.col("p_neg")) * woe
+    fixed = both.select(
+        "bin",
+        F.round("p_pos", 6).alias("share_pos"),
+        F.round("p_neg", 6).alias("share_neg"),
+        fp(woe).alias("woe_fp"),
+        fp(contrib).alias("iv_fp"),
+    ).localCheckpoint(eager=False)  # bounded, two consumers
+    total = fixed.agg(F.sum("iv_fp").cast("long").alias("iv_total_fp"))
+    band = (
+        F.when(F.col("iv_total_fp") < IV_BANDS_FP[0][0], IV_BANDS_FP[0][1])
+        .when(F.col("iv_total_fp") < IV_BANDS_FP[1][0], IV_BANDS_FP[1][1])
+        .when(F.col("iv_total_fp") < IV_BANDS_FP[2][0], IV_BANDS_FP[2][1])
+        .otherwise("strong")
+    )
+    return (
+        fixed.join(F.broadcast(total))
+        .select(
+            "bin",
+            "share_pos",
+            "share_neg",
+            (F.col("woe_fp").cast("double") / F.lit(1e6)).alias("woe"),
+            (F.col("iv_fp").cast("double") / F.lit(1e6)).alias("iv_part"),
+            (F.col("iv_total_fp").cast("double") / F.lit(1e6)).alias(
+                "iv_total"
+            ),
+            band.alias("predictiveness"),
+        )
+        .orderBy("bin")
+    )
+
+
+def information_value_sql() -> str:
+    """DuckDB replay: identical score fixed-point, bins, clamped shares,
+    e6 fixed-point WoE/contributions, Siddiqi banding."""
+    scored = _QUALITY_SCORED_SQL.format(analyzed=text.analyze_documents_sql())
+    w = 1_000_000 // CAL_N_BINS
+    side = f"""
+        SELECT s.bin,
+               greatest(CASE WHEN n_cls > 0
+                             THEN coalesce(x, 0)::DOUBLE / n_cls::DOUBLE
+                             ELSE CAST(0.0 AS DOUBLE) END,
+                        CAST({IV_CLAMP} AS DOUBLE)) AS {{alias}}
+        FROM (SELECT unnest(range(0, {CAL_N_BINS}))::INTEGER AS bin) s
+        LEFT JOIN (
+            SELECT CAST(least(score_e6 // {w}, {CAL_N_BINS - 1})
+                        AS INTEGER) AS bin,
+                   CAST(sum({{x}}) AS BIGINT) AS x
+            FROM scored GROUP BY 1
+        ) c USING (bin)
+        CROSS JOIN (
+            SELECT CAST(coalesce(sum({{x}}), 0) AS BIGINT) AS n_cls
+            FROM scored
+        ) t
+    """
+    a = side.format(alias="p_pos", x="pos")
+    b = side.format(alias="p_neg", x="1 - pos")
+    bands = (
+        f"WHEN iv_total_fp < {IV_BANDS_FP[0][0]} THEN '{IV_BANDS_FP[0][1]}' "
+        f"WHEN iv_total_fp < {IV_BANDS_FP[1][0]} THEN '{IV_BANDS_FP[1][1]}' "
+        f"WHEN iv_total_fp < {IV_BANDS_FP[2][0]} THEN '{IV_BANDS_FP[2][1]}' "
+    )
+    return f"""
+        WITH scored AS ({scored}),
+        fixed AS (
+            SELECT a.bin,
+                   round(p_pos, 6) AS share_pos,
+                   round(p_neg, 6) AS share_neg,
+                   CAST(floor(ln(p_pos / p_neg) * 1e6
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS woe_fp,
+                   CAST(floor((p_pos - p_neg) * ln(p_pos / p_neg) * 1e6
+                              + CAST(0.5 AS DOUBLE)) AS BIGINT) AS iv_fp
+            FROM ({a}) a JOIN ({b}) b USING (bin)
+        ),
+        total AS (
+            SELECT CAST(sum(iv_fp) AS BIGINT) AS iv_total_fp FROM fixed
+        )
+        SELECT bin, share_pos, share_neg,
+               woe_fp::DOUBLE / 1e6 AS woe,
+               iv_fp::DOUBLE / 1e6 AS iv_part,
+               iv_total_fp::DOUBLE / 1e6 AS iv_total,
+               CASE {bands} ELSE 'strong' END AS predictiveness
+        FROM fixed CROSS JOIN total
         ORDER BY bin
     """

@@ -288,3 +288,30 @@ def file_stream_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage-truncate the memory-sink view before the core's spine join
     # (same DeduplicateRelations guard as file_stream_token_drift)
     return calibration_from_counts(spark, state.localCheckpoint(eager=False))
+
+
+def file_stream_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ROC-AUC monitor — the calibration twin's ranking
+    companion: documents stream in, each micro-batch is scored by the
+    stream-safe scorer, and the (bucket, a, c) e3-grid histogram runs as
+    a complete-mode streaming aggregation (bounded <= 1001-row state).
+    The AUC is computed from the drained final state through the SAME
+    exact-integer midrank core as the batch query
+    (plans/training_data.roc_from_counts), so on bounded replay the
+    streamed AUC/Gini are bit-identical to batch roc_auc and the driver
+    reuses its oracle."""
+    from marketstream_etl_spark.plans.training_data import (
+        _roc_counts,
+        roc_from_counts,
+        scored_from_raw,
+    )
+    from marketstream_etl_spark.streaming.replay import drain_to_memory
+
+    docs = stream_documents(spark, sf_dir)
+    grp = _roc_counts(scored_from_raw(docs))
+    state = drain_to_memory(
+        grp, "stream_roc", sf_dir, output_mode="complete"
+    )
+    # lineage-truncate before the core's triangular self-join (same
+    # DeduplicateRelations guard as file_stream_token_drift)
+    return roc_from_counts(spark, state.localCheckpoint(eager=False))

@@ -402,3 +402,54 @@ def test_calibration_matches_hand_computed_ece(spark, monkeypatch):
     assert all(
         x["confidence"] is None and x["bin_gap"] is None for x in empty
     )
+
+
+def test_information_value_separating_feature_is_strong(spark, monkeypatch):
+    """Classes concentrated in disjoint bins -> large IV, 'strong' band;
+    WoE positive where positives concentrate, negative where negatives
+    do."""
+    from marketstream_etl_spark.plans import training_data as td
+
+    rows = [(i, 150_000, 1) for i in range(20)] + [
+        (100 + i, 850_000, 0) for i in range(20)
+    ]
+    monkeypatch.setattr(
+        td, "_quality_scored", lambda sp, sf: _scored_frame(sp, rows)
+    )
+    out = td.q_information_value(spark, "x").collect()
+    assert len(out) == td.CAL_N_BINS
+    by_bin = {r["bin"]: r for r in out}
+    assert by_bin[1]["woe"] > 0 and by_bin[8]["woe"] < 0
+    assert out[0]["predictiveness"] == "strong"
+    assert out[0]["iv_total"] > 0.3
+
+
+def test_information_value_identical_distributions_useless(
+    spark, monkeypatch
+):
+    """Same score mix in both classes -> every WoE 0, IV 0, 'useless'."""
+    from marketstream_etl_spark.plans import training_data as td
+
+    rows = []
+    for i, s in enumerate([150_000, 450_000, 750_000] * 4):
+        rows.append((i, s, i % 2))
+    monkeypatch.setattr(
+        td, "_quality_scored", lambda sp, sf: _scored_frame(sp, rows)
+    )
+    out = td.q_information_value(spark, "x").collect()
+    assert all(r["iv_total"] == 0.0 for r in out)
+    assert out[0]["predictiveness"] == "useless"
+    nonempty = [r for r in out if r["share_pos"] > td.IV_CLAMP]
+    assert all(r["woe"] == 0.0 for r in nonempty)
+
+
+def test_stream_roc_matches_batch(spark):
+    """Bounded replay of the streaming ROC monitor equals batch roc_auc
+    (shared midrank core + stream-safe scorer bit-identity)."""
+    from marketstream_etl_spark.plans.training_data import q_roc_auc
+    from marketstream_etl_spark.streaming.docs import file_stream_roc
+
+    sf = "/root/testdata/sf0.001"
+    s = [tuple(r) for r in file_stream_roc(spark, sf).collect()]
+    b = [tuple(r) for r in q_roc_auc(spark, sf).collect()]
+    assert s == b and len(s) == 1
