@@ -595,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidates)
         "streaming_roc": _stream_roc,
         "information_value": training_data.q_information_value,
+        "embedding_drift": training_data.q_embedding_drift,
         # r10 rotation OUT rows (all driver-green r8 or earlier):
         "rsi_signals": analytics.q_rsi_signals,
         "streaming_cms": _stream_cms,
@@ -1979,6 +1980,7 @@ def oracle_sql() -> dict[str, str]:
         "roc_auc": training_data.roc_auc_sql(),
         "calibration_ece": training_data.calibration_ece_sql(),
         "information_value": training_data.information_value_sql(),
+        "embedding_drift": training_data.embedding_drift_sql(),
         "t_closeness": advanced.t_closeness_sql(),
         # the streaming twin's final complete-mode state equals the batch
         # (segment, bucket) histogram, so it shares psi_drift's oracle

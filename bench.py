@@ -107,6 +107,7 @@ EXTRAS = [
     "calibration_ece",
     "t_closeness",
     "information_value",
+    "embedding_drift",
 ]
 
 

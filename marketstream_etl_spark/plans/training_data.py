@@ -2740,3 +2740,192 @@ def information_value_sql() -> str:
         FROM fixed CROSS JOIN total
         ORDER BY bin
     """
+
+
+# --- embedding drift ---------------------------------------------------------
+# Train/serve skew detection for vector features: per-DIMENSION PSI between
+# two embedding snapshots (even vec_ids = baseline, odd = candidate — the
+# deterministic stand-in for "yesterday's index vs today's crawl").  A
+# centroid-cosine check misses axis-aligned variance shifts; per-dim PSI
+# localizes WHICH coordinates moved, the report an embedding pipeline
+# alarms on before ANN recall silently degrades.
+
+EMB_DRIFT_LO = -0.5  # synthetic embeddings live in ~[-0.5, 0.5]
+EMB_DRIFT_W = 0.1
+EMB_DRIFT_BUCKETS = 10
+EMB_DRIFT_CLAMP = 1e-4  # PSI-family share smoothing
+EMB_DRIFT_FP = 250_000  # per-dim drift line (the PSI 'drifted' band)
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension PSI drift between embedding snapshots.
+
+    Scale shape: ONE posexplode projection (dim x rows, map-side) into
+    one (snap, dim, bucket) hash aggregate; everything downstream is
+    bounded by dims x buckets (the spine is a broadcast nested-loop of
+    two bounded frames, never a scale-growing cross).  Per-dim PSI uses
+    the family's exact discipline: clamped shares, e6 fixed-point
+    contributions, order-independent BIGINT per-dim totals.  Output per
+    dimension: (dim, psi, dim_drifted) plus corpus-level max_psi /
+    n_drifted_dims on every row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        (F.col("vec_id") % 2).cast("int").alias("snap"),
+        F.posexplode("embedding").alias("dim", "val"),
+    )
+    bucket = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("val").cast("double") - F.lit(EMB_DRIFT_LO))
+                / F.lit(EMB_DRIFT_W)
+            ),
+            F.lit(0),
+        ),
+        F.lit(EMB_DRIFT_BUCKETS - 1),
+    ).cast("int")
+    cnt = (
+        dims.groupBy("snap", "dim", bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)  # bounded (2 x dims x 10), 4 readers
+    )
+    spine = (
+        cnt.select("dim").distinct()
+        .join(
+            F.broadcast(
+                spark.range(EMB_DRIFT_BUCKETS).select(
+                    F.col("id").cast("int").alias("bucket")
+                )
+            )
+        )
+    )
+    share = F.when(
+        F.col("n_sd") > 0,
+        F.coalesce(F.col("n"), F.lit(0)).cast("double")
+        / F.col("n_sd").cast("double"),
+    ).otherwise(F.lit(0.0))
+    clamped = F.greatest(share, F.lit(EMB_DRIFT_CLAMP))
+
+    def _side(snap: int, alias: str) -> DataFrame:
+        part = cnt.filter(F.col("snap") == snap).drop("snap")
+        tot = (
+            cnt.filter(F.col("snap") == snap)
+            .groupBy("dim")
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_sd"))
+        )
+        return (
+            spine.join(part, ["dim", "bucket"], "left")
+            .join(F.broadcast(tot), "dim", "left")
+            .select("dim", "bucket", clamped.alias(alias))
+        )
+
+    both = _side(0, "p_a").join(_side(1, "p_b"), ["dim", "bucket"])
+    fp = lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    contrib = (F.col("p_a") - F.col("p_b")) * F.log(
+        F.col("p_a") / F.col("p_b")
+    )
+    per_dim = (
+        both.select("dim", fp(contrib).alias("c_fp"))
+        .groupBy("dim")
+        .agg(F.sum("c_fp").cast("long").alias("psi_fp"))
+        .localCheckpoint(eager=False)  # bounded (dims), two consumers
+    )
+    glob = per_dim.agg(
+        F.max("psi_fp").alias("max_psi_fp"),
+        F.sum(
+            F.when(F.col("psi_fp") > EMB_DRIFT_FP, 1).otherwise(0)
+        ).cast("int").alias("n_drifted_dims"),
+    )
+    return (
+        per_dim.join(F.broadcast(glob))
+        .select(
+            "dim",
+            (F.col("psi_fp").cast("double") / F.lit(1e6)).alias("psi"),
+            (F.col("psi_fp") > EMB_DRIFT_FP).alias("dim_drifted"),
+            (F.col("max_psi_fp").cast("double") / F.lit(1e6)).alias(
+                "max_psi"
+            ),
+            "n_drifted_dims",
+        )
+        .orderBy("dim")
+    )
+
+
+def embedding_drift_sql() -> str:
+    """DuckDB replay: parallel-unnest dim zip, identical buckets/clamps/
+    fixed-point contributions and per-dim integer totals."""
+    return f"""
+        WITH dims AS (
+            SELECT CAST(vec_id % 2 AS INTEGER) AS snap,
+                   unnest(range(len(embedding))) AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        ),
+        cnt AS (
+            SELECT snap, dim,
+                   CAST(least(greatest(floor((val - CAST({EMB_DRIFT_LO}
+                                   AS DOUBLE)) / CAST({EMB_DRIFT_W}
+                                   AS DOUBLE)), 0),
+                              {EMB_DRIFT_BUCKETS - 1}) AS INTEGER)
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM dims GROUP BY 1, 2, 3
+        ),
+        spine AS (
+            SELECT DISTINCT dim, b.bucket
+            FROM cnt CROSS JOIN (
+                SELECT unnest(range(0, {EMB_DRIFT_BUCKETS}))::INTEGER
+                    AS bucket
+            ) b
+        ),
+        side AS (
+            SELECT s.dim, s.bucket, c0.n AS n0, c1.n AS n1
+            FROM spine s
+            LEFT JOIN (SELECT dim, bucket, n FROM cnt WHERE snap = 0) c0
+                USING (dim, bucket)
+            LEFT JOIN (SELECT dim, bucket, n FROM cnt WHERE snap = 1) c1
+                USING (dim, bucket)
+        ),
+        tots AS (
+            SELECT dim,
+                   CAST(sum(CASE WHEN snap = 0 THEN n ELSE 0 END)
+                        AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN snap = 1 THEN n ELSE 0 END)
+                        AS BIGINT) AS nc
+            FROM cnt GROUP BY dim
+        ),
+        shares AS (
+            SELECT side.dim, bucket,
+                   greatest(CASE WHEN na > 0
+                                 THEN coalesce(n0, 0)::DOUBLE / na::DOUBLE
+                                 ELSE CAST(0.0 AS DOUBLE) END,
+                            CAST({EMB_DRIFT_CLAMP} AS DOUBLE)) AS p_a,
+                   greatest(CASE WHEN nc > 0
+                                 THEN coalesce(n1, 0)::DOUBLE / nc::DOUBLE
+                                 ELSE CAST(0.0 AS DOUBLE) END,
+                            CAST({EMB_DRIFT_CLAMP} AS DOUBLE)) AS p_b
+            FROM side JOIN tots USING (dim)
+        ),
+        per_dim AS (
+            SELECT dim,
+                   CAST(sum(CAST(floor((p_a - p_b) * ln(p_a / p_b) * 1e6
+                                       + CAST(0.5 AS DOUBLE)) AS BIGINT))
+                        AS BIGINT) AS psi_fp
+            FROM shares GROUP BY dim
+        ),
+        corpus AS (
+            SELECT max(psi_fp) AS max_psi_fp,
+                   CAST(sum(CASE WHEN psi_fp > {EMB_DRIFT_FP}
+                                 THEN 1 ELSE 0 END) AS INTEGER)
+                       AS n_drifted_dims
+            FROM per_dim
+        )
+        SELECT dim,
+               psi_fp::DOUBLE / 1e6 AS psi,
+               psi_fp > {EMB_DRIFT_FP} AS dim_drifted,
+               max_psi_fp::DOUBLE / 1e6 AS max_psi,
+               n_drifted_dims
+        FROM per_dim CROSS JOIN corpus
+        ORDER BY dim
+    """

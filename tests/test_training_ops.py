@@ -453,3 +453,48 @@ def test_stream_roc_matches_batch(spark):
     s = [tuple(r) for r in file_stream_roc(spark, sf).collect()]
     b = [tuple(r) for r in q_roc_auc(spark, sf).collect()]
     assert s == b and len(s) == 1
+
+
+# --- embedding drift ----------------------------------------------------------
+
+
+def _emb_frame(spark, vecs):
+    return spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding", "label"],
+    )
+
+
+def test_embedding_drift_identical_snapshots_quiet(spark, monkeypatch):
+    """Even/odd snapshots drawn identically -> every per-dim PSI 0."""
+    from marketstream_etl_spark.plans import training_data as td
+
+    v = [0.05, -0.2, 0.4]
+    vecs = [v] * 8  # both snapshots identical
+    monkeypatch.setattr(
+        td, "load_table", lambda sp, sf, name: _emb_frame(sp, vecs)
+    )
+    out = td.q_embedding_drift(spark, "x").collect()
+    assert len(out) == 3
+    assert all(r["psi"] == 0.0 and r["dim_drifted"] is False for r in out)
+    assert out[0]["max_psi"] == 0.0 and out[0]["n_drifted_dims"] == 0
+
+
+def test_embedding_drift_localizes_shifted_dimension(spark, monkeypatch):
+    """Dim 1 shifts bucket between snapshots; dims 0/2 stay put -> only
+    dim 1 crosses the drift line."""
+    from marketstream_etl_spark.plans import training_data as td
+
+    base = [0.05, -0.2, 0.4]
+    moved = [0.05, 0.3, 0.4]  # dim 1: bucket 3 -> bucket 8
+    # even vec_ids (snap 0) get base, odd (snap 1) get moved
+    vecs = [base if i % 2 == 0 else moved for i in range(12)]
+    monkeypatch.setattr(
+        td, "load_table", lambda sp, sf, name: _emb_frame(sp, vecs)
+    )
+    out = td.q_embedding_drift(spark, "x").collect()
+    by_dim = {r["dim"]: r for r in out}
+    assert by_dim[0]["psi"] == 0.0 and by_dim[2]["psi"] == 0.0
+    assert by_dim[1]["dim_drifted"] is True
+    assert out[0]["n_drifted_dims"] == 1
+    assert out[0]["max_psi"] == by_dim[1]["psi"] > 0.25
