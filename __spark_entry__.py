@@ -249,6 +249,19 @@ def _stream_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_roc(spark, sf_dir)
 
 
+def _stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding-drift monitor: map-side (snap, dim, bucket)
+    explode per micro-batch, complete-mode bounded histogram, per-dim
+    PSI via the shared fixed-point core
+    (training_data.emb_drift_from_counts) — bit-identical to batch
+    embedding_drift on bounded replay."""
+    from marketstream_etl_spark.streaming.docs import (
+        file_stream_embedding_drift,
+    )
+
+    return file_stream_embedding_drift(spark, sf_dir)
+
+
 def _stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6: corrupt-frame dead-letter split as a real streaming ingest."""
     from marketstream_etl_spark.streaming.ticks import file_stream_deadletter
@@ -596,6 +609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_roc": _stream_roc,
         "information_value": training_data.q_information_value,
         "embedding_drift": training_data.q_embedding_drift,
+        "streaming_embedding_drift": _stream_embedding_drift,
         # r10 rotation OUT rows (all driver-green r8 or earlier):
         "rsi_signals": analytics.q_rsi_signals,
         "streaming_cms": _stream_cms,
@@ -3604,6 +3618,7 @@ def oracle_sql() -> dict[str, str]:
     # shared integer cores, so they reuse the batch oracles
     sql["streaming_calibration"] = sql["calibration_ece"]
     sql["streaming_roc"] = sql["roc_auc"]
+    sql["streaming_embedding_drift"] = sql["embedding_drift"]
     # the WS ingest shares the socket query's corruption contract exactly
     sql["streaming_websocket"] = sql["streaming_socket"]
     return sql

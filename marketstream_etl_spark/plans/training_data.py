@@ -2768,7 +2768,16 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions, order-independent BIGINT per-dim totals.  Output per
     dimension: (dim, psi, dim_drifted) plus corpus-level max_psi /
     n_drifted_dims on every row."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    return emb_drift_from_counts(
+        spark, _emb_drift_counts(load_table(spark, sf_dir, "embeddings"))
+    )
+
+
+def _emb_drift_counts(emb: DataFrame) -> DataFrame:
+    """(snap, dim, bucket, n) histogram from an embeddings frame — the
+    posexplode + hash aggregate is the only input-sized work, so it
+    doubles as the streaming twin's complete-mode state (bounded
+    2 x dims x EMB_DRIFT_BUCKETS rows)."""
     dims = emb.select(
         (F.col("vec_id") % 2).cast("int").alias("snap"),
         F.posexplode("embedding").alias("dim", "val"),
@@ -2783,11 +2792,15 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(EMB_DRIFT_BUCKETS - 1),
     ).cast("int")
-    cnt = (
-        dims.groupBy("snap", "dim", bucket.alias("bucket"))
-        .agg(F.count("*").cast("long").alias("n"))
-        .localCheckpoint(eager=False)  # bounded (2 x dims x 10), 4 readers
+    return dims.groupBy("snap", "dim", bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n")
     )
+
+
+def emb_drift_from_counts(spark: SparkSession, cnt: DataFrame) -> DataFrame:
+    """Per-dim PSI report from a (snap, dim, bucket, n) counts frame —
+    same shared-core contract as the drift family's *_from_counts."""
+    cnt = cnt.localCheckpoint(eager=False)  # bounded, 4 readers
     spine = (
         cnt.select("dim").distinct()
         .join(

@@ -315,3 +315,29 @@ def file_stream_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage-truncate before the core's triangular self-join (same
     # DeduplicateRelations guard as file_stream_token_drift)
     return roc_from_counts(spark, state.localCheckpoint(eager=False))
+
+
+def file_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding-drift monitor — the live index-health view of
+    q_embedding_drift: embeddings stream in, each micro-batch explodes
+    map-side into (snap, dim, bucket) cells, and the histogram runs as a
+    complete-mode streaming aggregation (bounded 2 x dims x buckets
+    state).  The per-dim PSI report is computed from the drained final
+    state through the SAME fixed-point core as the batch query
+    (training_data.emb_drift_from_counts), so on bounded replay the
+    streamed report is bit-identical to batch embedding_drift and the
+    driver reuses its oracle."""
+    from marketstream_etl_spark.plans.training_data import (
+        _emb_drift_counts,
+        emb_drift_from_counts,
+    )
+    from marketstream_etl_spark.streaming.replay import drain_to_memory
+
+    emb = stream_embeddings(spark, sf_dir)
+    grp = _emb_drift_counts(emb)
+    state = drain_to_memory(
+        grp, "stream_emb_drift", sf_dir, output_mode="complete"
+    )
+    # lineage-truncate before the core's spine joins (DeduplicateRelations
+    # guard, same as the other drained-state twins)
+    return emb_drift_from_counts(spark, state.localCheckpoint(eager=False))

@@ -67,3 +67,18 @@ def test_stream_calibration_matches_batch(spark):
     batch = [tuple(r) for r in q_calibration_ece(spark, sf).collect()]
     assert sorted(streamed, key=str) == sorted(batch, key=str)
     assert len(streamed) == 10
+
+
+def test_stream_embedding_drift_matches_batch(spark):
+    """Bounded replay of the streaming embedding-drift monitor equals
+    the batch per-dim PSI report row-for-row (shared fixed-point core)."""
+    from marketstream_etl_spark.plans.training_data import q_embedding_drift
+    from marketstream_etl_spark.streaming.docs import (
+        file_stream_embedding_drift,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s = [tuple(r) for r in file_stream_embedding_drift(spark, sf).collect()]
+    b = [tuple(r) for r in q_embedding_drift(spark, sf).collect()]
+    assert sorted(s) == sorted(b)
+    assert len(s) == 64
