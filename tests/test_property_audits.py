@@ -143,3 +143,128 @@ def test_funnel_matches_bruteforce_on_random_journeys(spark, monkeypatch):
         n1 += seen1; n2 += seen2; n3 += seen3
     assert (out[1], out[2], out[3]) == (n1, n2, n3)
     assert out[1] >= out[2] >= out[3]
+
+
+# --- late-r9 wave invariants -------------------------------------------------
+
+
+def _drift_events(spark, click_vals, purchase_vals, swap=False):
+    a, b = ("purchase", "click") if swap else ("click", "purchase")
+    rows, eid = [], 0
+    for seg, vals in ((a, click_vals), (b, purchase_vals)):
+        for v in vals:
+            rows.append((eid, 1, 1000 + eid, seg, float(v), '{"k": 1}'))
+            eid += 1
+    return spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
+    )
+
+
+def test_chi2_segment_swap_symmetry(spark, monkeypatch):
+    """A contingency test is symmetric in its rows: relabeling the
+    segments must not change chi2, dof, or Cramer's V."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    c = [10.0] * 7 + [60.0] * 3 + [120.0] * 2
+    p = [10.0] * 2 + [60.0] * 5 + [260.0] * 4
+    outs = []
+    for swap in (False, True):
+        ev = _drift_events(spark, c, p, swap=swap)
+        monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+        outs.append(adv.q_chi2_drift(spark, "x").collect()[0])
+    assert outs[0]["chi2_stat"] == outs[1]["chi2_stat"]
+    assert outs[0]["dof"] == outs[1]["dof"]
+    assert outs[0]["cramers_v"] == outs[1]["cramers_v"]
+    assert outs[0]["drifted"] == outs[1]["drifted"]
+
+
+def test_chi2_contributions_nonnegative_and_sum(spark, monkeypatch):
+    """Every (O-E)^2/E cell term is >= 0 and the statistic equals the
+    per-bucket contribution sum exactly (integer e6 identity)."""
+    from marketstream_etl_spark.plans import advanced as adv
+
+    ev = _drift_events(
+        spark, [10.0] * 5 + [60.0] * 5, [10.0] * 3 + [110.0] * 7
+    )
+    monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
+    out = adv.q_chi2_drift(spark, "x").collect()
+    assert all(r["contrib_e6"] >= 0 for r in out)
+    total_e6 = round(out[0]["chi2_stat"] * 1e6)
+    assert total_e6 == sum(r["contrib_e6"] for r in out)
+
+
+def test_roc_auc_label_flip_complements(spark, monkeypatch):
+    """Flipping the labels maps AUC -> 1 - AUC (midrank identity) and
+    negates Gini."""
+    from marketstream_etl_spark.plans import training_data as td
+
+    scores = [(i, s, p) for i, (s, p) in enumerate([
+        (120_000, 1), (300_000, 0), (300_000, 1), (520_000, 0),
+        (520_000, 0), (700_000, 1), (880_000, 1), (880_000, 0),
+    ])]
+    flipped = [(i, s, 1 - p) for i, s, p in scores]
+    outs = []
+    for rows in (scores, flipped):
+        monkeypatch.setattr(
+            td,
+            "_quality_scored",
+            lambda sp, sf, _r=rows: sp.createDataFrame(
+                _r, ["doc_id", "score_e6", "pos"]
+            ),
+        )
+        outs.append(td.q_roc_auc(spark, "x").collect()[0])
+    assert abs(outs[0]["auc"] + outs[1]["auc"] - 1.0) < 2e-6
+    assert abs(outs[0]["gini"] + outs[1]["gini"]) < 2e-6
+
+
+def test_information_value_label_swap_invariant(spark, monkeypatch):
+    """IV = sum (p-n)ln(p/n) is symmetric under class exchange: iv_total
+    unchanged, every WoE negated."""
+    from marketstream_etl_spark.plans import training_data as td
+
+    rows = [(i, s, p) for i, (s, p) in enumerate([
+        (150_000, 1), (150_000, 1), (150_000, 0),
+        (450_000, 0), (450_000, 1),
+        (850_000, 0), (850_000, 0), (850_000, 1),
+    ])]
+    flipped = [(i, s, 1 - p) for i, s, p in rows]
+    outs = []
+    for r in (rows, flipped):
+        monkeypatch.setattr(
+            td,
+            "_quality_scored",
+            lambda sp, sf, _r=r: sp.createDataFrame(
+                _r, ["doc_id", "score_e6", "pos"]
+            ),
+        )
+        outs.append(td.q_information_value(spark, "x").collect())
+    for a, b in zip(outs[0], outs[1]):
+        assert a["iv_part"] == b["iv_part"]
+        assert a["woe"] == -b["woe"]
+    assert outs[0][0]["iv_total"] == outs[1][0]["iv_total"]
+
+
+def test_embedding_drift_snapshot_swap_symmetry(spark, monkeypatch):
+    """PSI is symmetric in (a, b): exchanging which rows form the
+    baseline vs candidate snapshot leaves every per-dim PSI unchanged."""
+    from marketstream_etl_spark.plans import training_data as td
+
+    base = [0.05, -0.2, 0.4]
+    moved = [0.05, 0.3, -0.1]
+    vecs = [base if i % 2 == 0 else moved for i in range(10)]
+
+    def frame(sp, shift):
+        return sp.createDataFrame(
+            [(i + shift, v, 0) for i, v in enumerate(vecs)],
+            ["vec_id", "embedding", "label"],
+        )
+
+    outs = []
+    for shift in (0, 1):  # +1 flips every row's snapshot parity
+        monkeypatch.setattr(
+            td, "load_table", lambda sp, sf, name, _s=shift: frame(sp, _s)
+        )
+        outs.append(td.q_embedding_drift(spark, "x").collect())
+    for a, b in zip(outs[0], outs[1]):
+        assert a["dim"] == b["dim"] and a["psi"] == b["psi"]
+    assert outs[0][0]["max_psi"] == outs[1][0]["max_psi"]
