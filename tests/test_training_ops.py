@@ -498,3 +498,24 @@ def test_embedding_drift_localizes_shifted_dimension(spark, monkeypatch):
     assert by_dim[1]["dim_drifted"] is True
     assert out[0]["n_drifted_dims"] == 1
     assert out[0]["max_psi"] == by_dim[1]["psi"] > 0.25
+
+
+def test_embedding_drift_empty_snapshot_max_drift(spark, monkeypatch):
+    """Only odd vec_ids exist (candidate snapshot empty on the other
+    side): every baseline share compares against the clamp floor, so all
+    dims report drift — deterministic, no nulls/crash (the 'first
+    snapshot of a new index' corner)."""
+    from marketstream_etl_spark.plans import training_data as td
+
+    vecs = [(2 * i + 1, [0.05, -0.2], 0) for i in range(6)]  # snap 1 only
+    monkeypatch.setattr(
+        td,
+        "load_table",
+        lambda sp, sf, name: sp.createDataFrame(
+            vecs, ["vec_id", "embedding", "label"]
+        ),
+    )
+    out = td.q_embedding_drift(spark, "x").collect()
+    assert len(out) == 2
+    assert all(r["dim_drifted"] is True and r["psi"] > 1.0 for r in out)
+    assert out[0]["n_drifted_dims"] == 2
