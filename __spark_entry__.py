@@ -262,6 +262,16 @@ def _stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_stream_embedding_drift(spark, sf_dir)
 
 
+def _stream_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Information-Value monitor: stream-safe scoring per
+    micro-batch, complete-mode bounded (bin, a, c) histogram, WoE/IV via
+    the shared clamped-share core (training_data.iv_from_counts) —
+    bit-identical to batch information_value on bounded replay."""
+    from marketstream_etl_spark.streaming.docs import file_stream_iv
+
+    return file_stream_iv(spark, sf_dir)
+
+
 def _stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6: corrupt-frame dead-letter split as a real streaming ingest."""
     from marketstream_etl_spark.streaming.ticks import file_stream_deadletter
@@ -610,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "information_value": training_data.q_information_value,
         "embedding_drift": training_data.q_embedding_drift,
         "streaming_embedding_drift": _stream_embedding_drift,
+        "streaming_iv": _stream_iv,
         # r10 rotation OUT rows (all driver-green r8 or earlier):
         "rsi_signals": analytics.q_rsi_signals,
         "streaming_cms": _stream_cms,
@@ -3619,6 +3630,7 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_calibration"] = sql["calibration_ece"]
     sql["streaming_roc"] = sql["roc_auc"]
     sql["streaming_embedding_drift"] = sql["embedding_drift"]
+    sql["streaming_iv"] = sql["information_value"]
     # the WS ingest shares the socket query's corruption contract exactly
     sql["streaming_websocket"] = sql["streaming_socket"]
     return sql

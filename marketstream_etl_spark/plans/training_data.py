@@ -2617,8 +2617,16 @@ def q_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the CAL_N_BINS grid (spine join, 1-row totals broadcasts).
     Output per bin: (bin, share_pos, share_neg, woe, iv_part) plus the
     iv_total and predictiveness band on every row."""
-    scored = _quality_scored(spark, sf_dir)
-    grp = (
+    return iv_from_counts(
+        spark, _iv_counts(_quality_scored(spark, sf_dir))
+    )
+
+
+def _iv_counts(scored: DataFrame) -> DataFrame:
+    """(bin, a, c) class counts per score bin from a (score_e6, pos)
+    frame — the only corpus-sized work; doubles as the streaming twin's
+    complete-mode state (bounded CAL_N_BINS rows)."""
+    return (
         scored.select(
             F.least(
                 F.expr(f"score_e6 DIV {1_000_000 // CAL_N_BINS}"),
@@ -2631,8 +2639,13 @@ def q_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pos").cast("long").alias("a"),
             F.sum(F.lit(1) - F.col("pos")).cast("long").alias("c"),
         )
-        .localCheckpoint(eager=False)  # bounded, four consumers
     )
+
+
+def iv_from_counts(spark: SparkSession, grp: DataFrame) -> DataFrame:
+    """WoE/IV report from a (bin, a, c) counts frame — same shared-core
+    contract as the family's other *_from_counts."""
+    grp = grp.localCheckpoint(eager=False)  # bounded, four consumers
     spine = spark.range(CAL_N_BINS).select(
         F.col("id").cast("int").alias("bin")
     )

@@ -341,3 +341,26 @@ def file_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage-truncate before the core's spine joins (DeduplicateRelations
     # guard, same as the other drained-state twins)
     return emb_drift_from_counts(spark, state.localCheckpoint(eager=False))
+
+
+def file_stream_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Information-Value monitor — the fourth streaming member
+    of the classifier-evaluation family (ROC ranks, calibration checks
+    honesty, IV localizes per-bin signal): stream-safe scoring per
+    micro-batch, complete-mode (bin, a, c) histogram (bounded CAL_N_BINS
+    state), drained into the shared clamped-share fixed-point core
+    (training_data.iv_from_counts) — bit-identical to batch
+    information_value on bounded replay, shared oracle."""
+    from marketstream_etl_spark.plans.training_data import (
+        _iv_counts,
+        iv_from_counts,
+        scored_from_raw,
+    )
+    from marketstream_etl_spark.streaming.replay import drain_to_memory
+
+    docs = stream_documents(spark, sf_dir)
+    grp = _iv_counts(scored_from_raw(docs))
+    state = drain_to_memory(
+        grp, "stream_iv", sf_dir, output_mode="complete"
+    )
+    return iv_from_counts(spark, state.localCheckpoint(eager=False))

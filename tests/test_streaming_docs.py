@@ -82,3 +82,18 @@ def test_stream_embedding_drift_matches_batch(spark):
     b = [tuple(r) for r in q_embedding_drift(spark, sf).collect()]
     assert sorted(s) == sorted(b)
     assert len(s) == 64
+
+
+def test_stream_iv_matches_batch(spark):
+    """Bounded replay of the streaming IV monitor equals the batch
+    information_value report row-for-row (shared clamped-share core)."""
+    from marketstream_etl_spark.plans.training_data import (
+        q_information_value,
+    )
+    from marketstream_etl_spark.streaming.docs import file_stream_iv
+
+    sf = "/root/testdata/sf0.001"
+    s = [tuple(r) for r in file_stream_iv(spark, sf).collect()]
+    b = [tuple(r) for r in q_information_value(spark, sf).collect()]
+    assert sorted(s, key=str) == sorted(b, key=str)
+    assert len(s) == 10
