@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": training_data.q_embedding_drift,
         "streaming_embedding_drift": _stream_embedding_drift,
         "streaming_iv": _stream_iv,
+        "dedup_sorted_neighborhood": training_data.q_dedup_sorted_neighborhood,
         # r10 rotation OUT rows (all driver-green r8 or earlier):
         "rsi_signals": analytics.q_rsi_signals,
         "streaming_cms": _stream_cms,
@@ -1972,6 +1973,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": _sim.kmeans_sql(),
         "ann_lsh": _sim.ann_lsh_sql(),
         "dedup_edit_distance": _dedup.edit_distance_pairs_sql(),
+        "dedup_sorted_neighborhood": _dedup.snm_pairs_sql(),
         "ann_pq": _sim.ann_pq_sql(),
         "source_pagerank": _graph.source_pagerank_sql(),
         "ann_ivfpq": _sim.ann_ivfpq_sql(),

@@ -108,6 +108,7 @@ EXTRAS = [
     "t_closeness",
     "information_value",
     "embedding_drift",
+    "dedup_sorted_neighborhood",
 ]
 
 

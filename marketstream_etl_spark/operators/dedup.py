@@ -21,7 +21,7 @@ deterministic result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from marketstream_etl_spark.functions.hashing import (
@@ -943,3 +943,122 @@ CONTAINMENT_PAIRS_SQL = f"""
     WHERE inter * {CONTAINMENT_DEN} >= {CONTAINMENT_NUM} * least(sa.n, sb.n)
     ORDER BY doc_a, doc_b
 """
+
+
+# --- sorted-neighborhood method (SNM) ---------------------------------------
+# The classic blocking alternative to LSH/gram indexes (Hernandez &
+# Stolfo): sort the corpus by a normalized key and compare only records
+# within a fixed window w of each other in the sort order.  Catches
+# near-dups whose PREFIX agrees (retitled re-posts, versioned copies)
+# with candidate volume exactly n*(w-1) — no similarity index at all.
+#
+# Scale shape — exact GLOBAL sort positions without a global window:
+# rank within a bounded prefix block (partitioned row_number, lint-clean),
+# block offsets via the repo's bounded triangular join (prefix domain
+# <= ~1.4K blocks at SNM_BLOCK_LEN=2), global_pos = offset + rank.  A hot
+# prefix skews one block's sort partition; production lengthens the block
+# key — the window math is key-length-agnostic.  Neighbor pairs use the
+# banded self-join (band = pos DIV w, probe exploded to its two candidate
+# bands — the property-tested interval-join machinery): each qualifying
+# pair matches via exactly one band copy.  Verification is
+# levenshtein-on-leads, the edit-distance family's exact check, on the
+# O(n*w) candidates only.
+
+SNM_WINDOW = 8  # sliding window width over the sort order
+SNM_BLOCK_LEN = 2  # prefix block key length (bounded block domain)
+SNM_MAX_DIST = EDIT_MAX_DIST  # same verify bar as the gram-index family
+
+
+def snm_pairs(docs: DataFrame, window: int = SNM_WINDOW) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: (doc_a, doc_b, pos_gap,
+    edit_dist) for docs within `window` positions in the (normalized
+    lead, doc_id) sort order whose leads verify within SNM_MAX_DIST
+    edits; doc_a < doc_b, ordered."""
+    lead = _doc_leads(docs)
+    ranked = lead.select(
+        "doc_id",
+        "lead",
+        F.substring("lead", 1, SNM_BLOCK_LEN).alias("blk"),
+    ).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("blk").orderBy("lead", "doc_id")
+        ),
+    )
+    cnts = ranked.groupBy("blk").agg(F.count("*").alias("cnt"))
+    cnts = cnts.localCheckpoint(eager=False)  # bounded, two triangular legs
+    lower = cnts.select(F.col("blk").alias("b2"), F.col("cnt").alias("c2"))
+    off = (
+        cnts.join(lower, F.col("b2") < F.col("blk"), "left")
+        .groupBy("blk")
+        .agg(F.coalesce(F.sum("c2"), F.lit(0)).cast("long").alias("off"))
+    )
+    pos = (
+        ranked.join(F.broadcast(off), "blk")
+        .select(
+            "doc_id",
+            "lead",
+            (F.col("off") + F.col("r")).alias("pos"),
+        )
+        .localCheckpoint(eager=False)  # two consumers (both band sides)
+    )
+    w = F.lit(window)
+    a = pos.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lead").alias("la"),
+        F.col("pos").alias("pa"),
+        F.expr(f"(pos - 1) DIV {window}").alias("bd"),
+    )
+    b = pos.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lead").alias("lb"),
+        F.col("pos").alias("pb"),
+        F.explode(
+            F.array(
+                F.expr(f"(pos - 1) DIV {window}"),
+                F.expr(f"(pos - 1) DIV {window} - 1"),
+            )
+        ).alias("bd"),
+    )
+    pairs = (
+        a.join(b, "bd")
+        .filter(
+            (F.col("pb") > F.col("pa"))
+            & (F.col("pb") - F.col("pa") <= w - F.lit(1))
+        )
+        .withColumn("edit_dist", F.levenshtein("la", "lb"))
+        .filter(F.col("edit_dist") <= SNM_MAX_DIST)
+    )
+    return pairs.select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+        (F.col("pb") - F.col("pa")).alias("pos_gap"),
+        "edit_dist",
+    ).orderBy("doc_a", "doc_b", "pos_gap")
+
+
+def snm_pairs_sql(window: int = SNM_WINDOW) -> str:
+    """DuckDB twin: one global row_number (DuckDB is the oracle, not the
+    scale path) over the identical sort key, gap-bounded self-join,
+    identical levenshtein verify."""
+    return f"""
+        WITH lead AS (
+            SELECT doc_id,
+                   substr(regexp_replace(lower(text), '\\s+', ' ', 'g'),
+                          1, {EDIT_LEAD_LEN}) AS lead
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, lead,
+                   row_number() OVER (ORDER BY lead, doc_id) AS pos
+            FROM lead
+        )
+        SELECT least(a.doc_id, b.doc_id) AS doc_a,
+               greatest(a.doc_id, b.doc_id) AS doc_b,
+               b.pos - a.pos AS pos_gap,
+               levenshtein(a.lead, b.lead) AS edit_dist
+        FROM pos a JOIN pos b
+          ON b.pos > a.pos AND b.pos - a.pos <= {window - 1}
+        WHERE levenshtein(a.lead, b.lead) <= {SNM_MAX_DIST}
+        ORDER BY doc_a, doc_b, pos_gap
+    """

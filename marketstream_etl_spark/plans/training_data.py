@@ -2955,3 +2955,13 @@ def embedding_drift_sql() -> str:
         FROM per_dim CROSS JOIN corpus
         ORDER BY dim
     """
+
+
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (operators/dedup.py::snm_pairs)
+    — the ninth dedup family: Hernandez-Stolfo SNM with EXACT global sort
+    positions computed scalably (partitioned per-block row_number +
+    bounded triangular block offsets, never a global window), banded
+    self-join candidates (n*(w-1) volume), levenshtein verify on
+    candidates only."""
+    return dedup.snm_pairs(load_table(spark, sf_dir, "documents"))

@@ -201,3 +201,65 @@ def test_containment_threshold_is_exact_integer(spark):
            for r in containment_pairs(docs).collect()}
     assert got.get((0, 1)) == 0.7
     assert (0, 2) not in got
+
+
+# --- sorted-neighborhood method ----------------------------------------------
+
+
+def _snm_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def test_snm_finds_adjacent_near_dups(spark):
+    """Two near-identical leads adjacent in the sort order pair up; an
+    unrelated doc far away in the order does not."""
+    from marketstream_etl_spark.operators.dedup import snm_pairs
+
+    docs = _snm_docs(spark, [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zets",  # 1 edit from doc 0
+        "zzz completely different tail text",
+    ])
+    out = snm_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(0, 1)]
+    assert out[0]["edit_dist"] == 1 and out[0]["pos_gap"] == 1
+
+
+def test_snm_crosses_block_boundary(spark):
+    """Docs whose 2-char prefix blocks DIFFER but that sit adjacently in
+    the global sort order still pair — the two-level global-position
+    construction (block offsets + in-block rank) is exact, not
+    block-local."""
+    from marketstream_etl_spark.operators.dedup import snm_pairs
+
+    docs = _snm_docs(spark, [
+        "az near identical lead text here",
+        "bz near identical lead text here",  # block 'bz' vs 'az', 1 edit
+    ])
+    out = snm_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(0, 1)]
+    assert out[0]["edit_dist"] == 1
+
+
+def test_snm_window_and_verify_bounds(spark):
+    """Every emitted pair respects the window gap and the edit bar; a
+    doc > w-1 positions away never pairs even if identical-ish."""
+    from marketstream_etl_spark.operators.dedup import (
+        SNM_MAX_DIST,
+        SNM_WINDOW,
+        snm_pairs,
+    )
+
+    # 12 docs sharing a prefix so they sort contiguously; doc 0 and doc 11
+    # are 11 positions apart -> outside the window even though similar
+    texts = [f"common prefix shared by all {i:02d}" for i in range(12)]
+    out = snm_pairs(_snm_docs(spark, texts)).collect()
+    assert out, "contiguous near-dups must produce pairs"
+    for r in out:
+        assert 1 <= r["pos_gap"] <= SNM_WINDOW - 1
+        assert r["edit_dist"] <= SNM_MAX_DIST
+        assert r["doc_a"] < r["doc_b"]
+    assert (0, 11) not in {(r["doc_a"], r["doc_b"]) for r in out}
