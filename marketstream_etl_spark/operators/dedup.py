@@ -984,7 +984,7 @@ def snm_pairs(docs: DataFrame, window: int = SNM_WINDOW) -> DataFrame:
         F.row_number().over(
             Window.partitionBy("blk").orderBy("lead", "doc_id")
         ),
-    )
+    ).localCheckpoint(eager=False)  # regex+window once; counts AND pos read it
     cnts = ranked.groupBy("blk").agg(F.count("*").alias("cnt"))
     cnts = cnts.localCheckpoint(eager=False)  # bounded, two triangular legs
     lower = cnts.select(F.col("blk").alias("b2"), F.col("cnt").alias("c2"))
