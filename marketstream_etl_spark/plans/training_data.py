@@ -2240,10 +2240,17 @@ def scored_from_raw(docs: DataFrame) -> DataFrame:
     cache): features are rounded to 6 exactly as analyze_documents
     rounds them before scoring, so the score is bit-identical to
     _quality_scored's cached-frame path and the streaming twin shares
-    the batch oracle."""
-    from marketstream_etl_spark.functions.hashing import tokens
+    the batch oracle.
 
-    docs = docs.select(
+    The batch (micro- or otherwise) is SPREAD before the regex-heavy
+    tokenize: a file-source micro-batch arrives as ONE partition and
+    would otherwise score on a single thread (the r8 in-stream shingle
+    lesson; measured 22.4 s -> ~6 s for the streaming IV monitor at the
+    520K-doc sf10 replay)."""
+    from marketstream_etl_spark.functions.hashing import tokens
+    from marketstream_etl_spark.sources.tables import spread
+
+    docs = spread(docs).select(
         "doc_id", "text", "lang", tokens(F.col("text")).alias("_toks")
     )
     q = text.quality_features(F.col("text"), toks=F.col("_toks"))
