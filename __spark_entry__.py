@@ -477,27 +477,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # funnel_steps (behavioral by session_transitions),
         # microstructure (audit by benford_audit + key_skew_profile),
         # hybrid_search_rrf (retrieval by bm25_search).
-        # r10 rotation: the six r9-NEW never-gated rows take slots —
-        # chi2_drift + streaming_chi2 (contingency drift, fourth drift
-        # member), roc_auc + calibration_ece + streaming_calibration
-        # (classifier evaluation family), t_closeness (privacy third
-        # member).  OUT (all driver-green r8 or earlier, family kept
-        # in-gate, still check_oracle-verified locally): rsi_signals
-        # (F4/top-k by rsi_wilder + symbol_leaderboard), streaming_cms +
+        # r9-staged rotation (ran in the r9 gate): chi2_drift +
+        # streaming_chi2 (contingency drift, fourth drift member),
+        # roc_auc + calibration_ece + streaming_calibration (classifier
+        # evaluation family), t_closeness (privacy third member).  OUT
+        # (all driver-green r8 or earlier, family kept in-gate, still
+        # check_oracle-verified locally): rsi_signals (F4/top-k by
+        # rsi_wilder + symbol_leaderboard), streaming_cms +
         # streaming_hll (sketch family by hll_cardinality +
-        # bloom_contamination; streaming stays 13 rows via the two new
-        # twins), semantic_dedup (dedup by minhash_lsh + winnowing),
-        # json_corrupt_records (props-JSON access by chi2_drift/
-        # ks_drift/t_closeness in-gate; corrupt-record semantics local),
-        # purged_kfold (CV/sampling by generator_invariants + the local
-        # kfold family).
+        # bloom_contamination), semantic_dedup (dedup by minhash_lsh +
+        # winnowing), json_corrupt_records (props-JSON access by
+        # chi2_drift/ks_drift/t_closeness in-gate; corrupt-record
+        # semantics local), purged_kfold (CV/sampling by
+        # generator_invariants + the local kfold family).
+        # r10 rotation (r9 VERDICT item 1): ALL EIGHT late-r9 rows that
+        # have never held a driver slot take the gate —
+        # mannwhitney_drift + streaming_mwu (rank-based drift, third
+        # member of the KS/chi2 family), information_value +
+        # streaming_iv (WoE/IV predictive-power audit), embedding_drift
+        # + streaming_embedding_drift (per-dimension PSI over embedding
+        # vectors), streaming_roc (streaming classifier-eval twin), and
+        # dedup_sorted_neighborhood (SNM, the ninth dedup family).  OUT
+        # (ALL driver-green in the r9 gate — CORRECTNESS_r09.json —
+        # family kept in-gate, still check_oracle-verified locally):
+        # chi2_drift + streaming_chi2 (drift family by ks_drift +
+        # mannwhitney_drift; streaming drift by streaming_ks +
+        # streaming_mwu), streaming_calibration (classifier eval by
+        # roc_auc + calibration_ece + streaming_roc), ab_test
+        # (statistical tests by ks_drift + mannwhitney_drift),
+        # benford_audit (audit family by key_skew_profile),
+        # l_diversity (privacy by t_closeness), hdr_quantiles (sketch
+        # by hll_cardinality + bloom_contamination),
+        # readability_scores (text quality by text_analysis).
         "validate_split": analytics.q_validate_split,
         "csv_fixture_roundtrip": analytics.q_csv_fixture_roundtrip,
         "validation_counts": analytics.q_validation_counts,
         "indicators": analytics.q_indicators,
         "rsi_wilder": analytics.q_rsi_wilder,
         "symbol_leaderboard": analytics.q_symbol_leaderboard,
-        "chi2_drift": advanced.q_chi2_drift,
+        "mannwhitney_drift": advanced.q_mannwhitney_drift,
         "parquet_sink_roundtrip": analytics.q_parquet_sink_roundtrip,
         "parallel_jdbc_roundtrip": analytics.q_parallel_jdbc_roundtrip,  # S9
         # r8 rotation (r7 VERDICT item 3): seven rows that had never held
@@ -538,8 +556,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_stateful": _stream_stateful,
         "streaming_sessions": _stream_sessions,
         "streaming_jdbc_sink": _stream_jdbc_sink,
-        "streaming_chi2": _stream_chi2,
-        "streaming_calibration": _stream_calibration,
+        "streaming_mwu": _stream_mwu,
+        "streaming_roc": _stream_roc,
+        "streaming_iv": _stream_iv,
+        "streaming_embedding_drift": _stream_embedding_drift,
         # --- one per remaining SURVEY-§2 family — 10 ---
         "asof_enrich": advanced.q_asof_enrich,  # J2
         "bucketed_join": _bucketed_join,  # S7 + co-located join
@@ -560,12 +580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": advanced.q_key_skew_profile,
         "cusum_changepoints": analytics.q_cusum_changepoints,
         "ks_drift": advanced.q_ks_drift,
-        "ab_test": advanced.q_ab_test,
-        "benford_audit": advanced.q_benford_audit,
-        "l_diversity": advanced.q_l_diversity,
         "session_transitions": advanced.q_session_transitions,
-        "hdr_quantiles": advanced.q_hdr_quantiles,
-        "readability_scores": training_data.q_readability_scores,
+        "dedup_sorted_neighborhood": training_data.q_dedup_sorted_neighborhood,
         # --- LLM training-data north star — 15 (rest after the fold) ---
         "text_analysis": training_data.q_text_analysis,
         # late-r5 rotation: source_pagerank (graph analytics, new op
@@ -612,17 +628,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": training_data.q_bm25_search,
         "lm_perplexity": training_data.q_lm_perplexity,
         "calibration_ece": training_data.q_calibration_ece,
-        "t_closeness": advanced.q_t_closeness,
-        # ---------------- fold: slot 51+ ----------------
-        # late-r9: streaming ROC twin + IV audit (below fold; r11 gate
-        # candidates)
-        "streaming_roc": _stream_roc,
+        # information_value + embedding_drift run after text_analysis /
+        # roc_auc so the gate attributes the shared analyzed-cache
+        # population to the text row, as before
         "information_value": training_data.q_information_value,
         "embedding_drift": training_data.q_embedding_drift,
-        "streaming_embedding_drift": _stream_embedding_drift,
-        "streaming_iv": _stream_iv,
-        "dedup_sorted_neighborhood": training_data.q_dedup_sorted_neighborhood,
-        # r10 rotation OUT rows (all driver-green r8 or earlier):
+        "t_closeness": advanced.q_t_closeness,
+        # ---------------- fold: slot 51+ ----------------
+        # r10 rotation OUT rows (all driver-green in the r9 gate):
+        "chi2_drift": advanced.q_chi2_drift,
+        "streaming_chi2": _stream_chi2,
+        "streaming_calibration": _stream_calibration,
+        "ab_test": advanced.q_ab_test,
+        "benford_audit": advanced.q_benford_audit,
+        "l_diversity": advanced.q_l_diversity,
+        "hdr_quantiles": advanced.q_hdr_quantiles,
+        "readability_scores": training_data.q_readability_scores,
+        # r9-staged rotation OUT rows (all driver-green r8 or earlier):
         "rsi_signals": analytics.q_rsi_signals,
         "streaming_cms": _stream_cms,
         "streaming_hll": _stream_hll,
@@ -663,9 +685,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": advanced.q_rolling_distinct_users,
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
-        # r9-new: rank-based drift (third member of the PSI/KS family)
-        "mannwhitney_drift": advanced.q_mannwhitney_drift,
-        "streaming_mwu": _stream_mwu,
         "streaming_psi": _stream_psi,
         "streaming_benford": _stream_benford,
         "streaming_upsert": _stream_upsert,
