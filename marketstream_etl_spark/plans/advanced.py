@@ -2316,9 +2316,12 @@ def chi2_from_counts(spark: SparkSession, seg: DataFrame) -> DataFrame:
         F.max("r2").alias("r2"),
     ).select(
         "chi2_e6",
-        ((F.col("cols") - F.lit(1)) * (rows_nonempty - F.lit(1))).alias(
-            "dof"
-        ),
+        # empty input would otherwise yield dof = (-1)*(-1) = 1 with a real
+        # critical value; report dof NULL like v_e6 instead
+        F.when(
+            F.col("n") > 0,
+            (F.col("cols") - F.lit(1)) * (rows_nonempty - F.lit(1)),
+        ).alias("dof"),
         F.when(
             F.col("n") > 0,
             fp(
@@ -2421,10 +2424,11 @@ def chi2_drift_sql() -> str:
         ),
         stats AS (
             SELECT CAST(sum(contrib_e6) AS BIGINT) AS chi2_e6,
-                   (max(cols) - 1)
-                     * ((CASE WHEN max(r1) > 0 THEN 1 ELSE 0 END)
-                        + (CASE WHEN max(r2) > 0 THEN 1 ELSE 0 END) - 1)
-                       AS dof,
+                   CASE WHEN max(n) > 0 THEN
+                       (max(cols) - 1)
+                         * ((CASE WHEN max(r1) > 0 THEN 1 ELSE 0 END)
+                            + (CASE WHEN max(r2) > 0 THEN 1 ELSE 0 END) - 1)
+                   END AS dof,
                    CASE WHEN max(n) > 0 THEN
                        {fp.format(
                            x="sqrt((CAST(sum(contrib_e6) AS BIGINT)::DOUBLE"
@@ -3109,9 +3113,13 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; everything downstream operates on the bounded class
     frame."""
     ev = load_table(spark, sf_dir, "events")
+    # rows whose props lack '$.k' coalesce to sentinel decile -1: they stay
+    # a REAL category in both the class and global distributions (a
+    # null-unsafe join on s would drop them from the present-gap sum while
+    # still counting them in n_c/n_total — phantom absent-category mass)
     s = F.expr(
-        f"CAST(get_json_object(props, '$.k') AS INT)"
-        f" DIV {T_CLOSE_SENS_BUCKETS}"
+        f"coalesce(CAST(get_json_object(props, '$.k') AS INT)"
+        f" DIV {T_CLOSE_SENS_BUCKETS}, -1)"
     )
     cls_s = ev.groupBy(
         F.col("event_type"),
@@ -3206,8 +3214,8 @@ def t_closeness_sql() -> str:
                    CAST(floor(value / CAST({K_ANON_VALUE_BUCKET} AS DOUBLE))
                         AS BIGINT) AS vb,
                    {hod} AS hod,
-                   CAST(json_extract_string(props, '$.k') AS INTEGER)
-                       // {T_CLOSE_SENS_BUCKETS} AS s,
+                   coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                       // {T_CLOSE_SENS_BUCKETS}, -1) AS s,
                    CAST(count(*) AS BIGINT) AS c
             FROM events GROUP BY 1, 2, 3, 4
         ),

@@ -2206,6 +2206,9 @@ def padding_efficiency_sql() -> str:
 # a 100 TB pipeline uses (exact distinct-score AUC needs a global sort).
 
 ROC_N_BUCKETS = 1000  # e3 probability grid
+# e6 score units per ROC bucket — derived so changing ROC_N_BUCKETS keeps
+# the grid width and the ROC_N_BUCKETS-1 clamp in sync (in both engines)
+ROC_BUCKET_WIDTH_E6 = 1_000_000 // ROC_N_BUCKETS
 CAL_N_BINS = 10  # reliability-diagram bins
 CAL_ECE_THRESH_E6 = 100_000  # conventional "well calibrated" line: 0.1
 
@@ -2314,7 +2317,7 @@ def _roc_counts(scored: DataFrame) -> DataFrame:
     return (
         scored.select(
             F.least(
-                F.expr("score_e6 DIV 1000"),
+                F.expr(f"score_e6 DIV {ROC_BUCKET_WIDTH_E6}"),
                 F.lit(ROC_N_BUCKETS - 1),
             ).cast("int").alias("bucket"),
             "pos",
@@ -2395,7 +2398,8 @@ def roc_auc_sql() -> str:
     return f"""
         WITH scored AS ({scored}),
         grp AS (
-            SELECT CAST(least(score_e6 // 1000, {ROC_N_BUCKETS - 1})
+            SELECT CAST(least(score_e6 // {ROC_BUCKET_WIDTH_E6},
+                              {ROC_N_BUCKETS - 1})
                         AS INTEGER) AS bucket,
                    CAST(sum(pos) AS BIGINT) AS a,
                    CAST(sum(1 - pos) AS BIGINT) AS c

@@ -68,6 +68,10 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     _silence_benign_scheduler_errors(spark)
+    # keep embedded Derby's engine log out of the process CWD (repo root)
+    from marketstream_etl_spark.streaming.jdbc_sink import redirect_derby_log
+
+    redirect_derby_log(spark)
     return spark
 
 

@@ -27,6 +27,27 @@ from marketstream_etl_spark.sources.tables import sink_name
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
+_DERBY_LOG_REDIRECTED = False
+
+
+def redirect_derby_log(spark: SparkSession) -> None:
+    """Point Derby's engine log at /tmp instead of the process CWD.
+
+    Embedded Derby writes ``derby.log`` to the working directory the first
+    time the engine boots in a JVM (so a sweep run from the repo root
+    litters ``git status``).  The path is controlled by the JVM system
+    property ``derby.stream.error.file``, read at engine boot — set it via
+    py4j before the first connection.  Idempotent; a no-op once the engine
+    has already booted in this JVM (the property is only read once).
+    """
+    global _DERBY_LOG_REDIRECTED
+    if _DERBY_LOG_REDIRECTED:
+        return
+    spark._sc._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", "/tmp/spark_graft_derby.log"
+    )
+    _DERBY_LOG_REDIRECTED = True
+
 
 def _derby_url(name: str) -> str:
     return f"jdbc:derby:memory:{name};create=true"
@@ -34,6 +55,7 @@ def _derby_url(name: str) -> str:
 
 def _drop_if_exists(spark: SparkSession, url: str, tables: list[str]) -> None:
     """Derby has no DROP TABLE IF EXISTS; probe the catalog first."""
+    redirect_derby_log(spark)
     jvm = spark._sc._jvm
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:

@@ -35,7 +35,13 @@ def main() -> int:
     limit = DEFAULT_LIMIT
     if "--limit" in args:
         i = args.index("--limit")
+        if i + 1 >= len(args) or not args[i + 1].lstrip("-").isdigit():
+            print("usage: --limit N  (N a non-negative integer)")
+            return 2
         limit = int(args[i + 1])
+        if limit < 0:
+            print("usage: --limit N  (N a non-negative integer)")
+            return 2
         del args[i : i + 2]
     qs = entrymod.queries()
     if not args:
@@ -59,9 +65,17 @@ def main() -> int:
     if explain:
         df.explain("formatted")
         return 0
-    df.show(limit, truncate=False)
-    n = df.count()
-    print(f"{name}: {n} rows in {time.perf_counter() - t0:.2f}s ({sf_dir})")
+    # One materialization: collect limit+1 rows, display locally, and report
+    # "N rows" exactly up to the display limit ("> limit" past it) — a
+    # bare .count() after .show() would re-execute the whole query and
+    # double the printed wall time.
+    rows = df.limit(limit + 1).collect()
+    truncated = len(rows) > limit
+    df.sparkSession.createDataFrame(
+        rows[:limit], schema=df.schema
+    ).show(limit, truncate=False)
+    shown = f"> {limit}" if truncated else str(len(rows))
+    print(f"{name}: {shown} rows in {time.perf_counter() - t0:.2f}s ({sf_dir})")
     return 0
 
 
