@@ -2245,23 +2245,44 @@ def scored_from_raw(docs: DataFrame) -> DataFrame:
     _quality_scored's cached-frame path and the streaming twin shares
     the batch oracle.
 
-    The batch (micro- or otherwise) is SPREAD before the regex-heavy
-    tokenize: a file-source micro-batch arrives as ONE partition and
+    The batch (micro- or otherwise) is SPREAD before the scoring
+    expressions: a file-source micro-batch arrives as ONE partition and
     would otherwise score on a single thread (the r8 in-stream shingle
     lesson; measured 22.4 s -> ~6 s for the streaming IV monitor at the
-    520K-doc sf10 replay)."""
-    from marketstream_etl_spark.functions.hashing import tokens
+    520K-doc sf10 replay).
+
+    VECTORIZED COUNT SHAPE (r10): the hot path never materializes the
+    token array — n_tokens is regexp_count of maximal [a-z0-9] runs
+    (== size of the filtered split, tokens are exactly those runs),
+    stop_hits is one longest-first whole-token alternation scan
+    (lookarounds pin run boundaries, so each disjoint token matches at
+    most one alternative — == the list_filter hit count), and the punct
+    count is the regex-free text.punct_count translate.  All three are
+    the SAME integers as the quality_features array path (checksum-equal
+    over the 520K-doc corpus; property-locked in tests/test_text.py), so
+    the score stays bit-identical to _quality_scored and the batch
+    oracle; measured 20.8 s -> ~2 s per 520K-doc replay."""
     from marketstream_etl_spark.sources.tables import spread
 
-    docs = spread(docs).select(
-        "doc_id", "text", "lang", tokens(F.col("text")).alias("_toks")
+    docs = spread(docs)
+    low = F.lower(F.col("text"))
+    n_tokens = F.regexp_count(low, F.lit("[a-z0-9]+"))
+    alt = "|".join(sorted(text.STOPWORDS, key=len, reverse=True))
+    stop_hits = F.regexp_count(
+        low, F.lit(f"(?<![a-z0-9])(?:{alt})(?![a-z0-9])")
     )
-    q = text.quality_features(F.col("text"), toks=F.col("_toks"))
+    n_chars = F.length(F.col("text"))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(
+        n_chars > 0, text.punct_count(F.col("text")) / n_chars
+    ).otherwise(F.lit(0.0))
     z = (
         F.lit(-1.5)
-        + F.lit(4.0) * F.round(q["stop_ratio"], 6)
-        - F.lit(6.0) * F.round(q["punct_ratio"], 6)
-        + F.lit(0.01) * F.least(q["n_tokens"], F.lit(200))
+        + F.lit(4.0) * F.round(stop_ratio, 6)
+        - F.lit(6.0) * F.round(punct_ratio, 6)
+        + F.lit(0.01) * F.least(n_tokens, F.lit(200))
     )
     score = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
     return docs.select(

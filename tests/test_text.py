@@ -341,3 +341,70 @@ def test_padding_efficiency_buckets_and_truncation(spark, monkeypatch):
     assert top["real_tokens"] == 1024 and top["pad_waste"] == 0
     assert top["efficiency"] == 1.0
     assert rows[128]["efficiency"] == round(100 / 128, 6)
+
+
+def test_vectorized_count_shape_matches_array_path(spark):
+    """Lock the r10 vectorized scorer counts to the quality_features array
+    path: punct_count (translate) == the regexp_replace strip count,
+    regexp_count of [a-z0-9]+ runs == size(filtered split), and the
+    longest-first stopword alternation == the list_filter hit count —
+    over an adversarial edge corpus (empty, all-punct, stopword-prefix
+    words like 'one'/'android'/'forward', every Java \\s char, unicode,
+    digit-glued tokens, 200+-token doc)."""
+    from pyspark.sql import Row
+    from marketstream_etl_spark.functions.hashing import tokens
+    from marketstream_etl_spark.operators.text import (
+        STOPWORDS,
+        punct_count,
+        quality_features,
+    )
+
+    corpus = [
+        "",
+        "!!! ,,, ;;; €éñ中 ---",
+        "the and of to a in is that it for on with as this",
+        "one android forward aa ona theo onthe is2 2is a1a",
+        "tab\tnewline\nvtab\x0bff\x0ccr\rspace end",
+        "The, quick; brown! fox? (and) [the] {lazy} dog",
+        "a" * 500 + " " + "b1c2 " * 100,
+        " ".join(["the"] * 250),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(corpus)])
+    toks = tokens(F.col("text"))
+    q = quality_features(F.col("text"), toks=toks)
+    low = F.lower(F.col("text"))
+    alt = "|".join(sorted(STOPWORDS, key=len, reverse=True))
+    old_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9\s]", "")
+    )
+    old_stops = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    rows = df.select(
+        old_punct.alias("punct_a"),
+        punct_count(F.col("text")).alias("punct_b"),
+        q["n_tokens"].alias("ntok_a"),
+        F.regexp_count(low, F.lit("[a-z0-9]+")).alias("ntok_b"),
+        old_stops.alias("stop_a"),
+        F.regexp_count(
+            low, F.lit(f"(?<![a-z0-9])(?:{alt})(?![a-z0-9])")
+        ).alias("stop_b"),
+    ).collect()
+    for r in rows:
+        assert r["punct_a"] == r["punct_b"], r
+        assert r["ntok_a"] == r["ntok_b"], r
+        assert r["stop_a"] == r["stop_b"], r
+
+
+def test_scored_from_raw_matches_batch_scorer(spark, sf_dir):
+    """The stream-safe vectorized scorer must be bit-identical to the
+    batch cached-frame path (_quality_scored) on real testdata — the
+    invariant that lets every streaming scoring twin share the batch
+    oracle."""
+    from marketstream_etl_spark.plans import training_data as td
+    from marketstream_etl_spark.sources.tables import load_table
+
+    batch = {r["doc_id"]: (r["score_e6"], r["pos"])
+             for r in td._quality_scored(spark, sf_dir).collect()}
+    stream_shape = {r["doc_id"]: (r["score_e6"], r["pos"])
+                    for r in td.scored_from_raw(
+                        load_table(spark, sf_dir, "documents")).collect()}
+    assert batch == stream_shape
