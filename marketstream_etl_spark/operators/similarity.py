@@ -1497,6 +1497,77 @@ def embedding_quantize_error_sql(
 
 # --- semantic dedup (SemDeDup) ----------------------------------------------
 
+def _semantic_assign_kernel(cent_rows: list[tuple[int, list[float]]]):
+    """mapInPandas kernel: nearest-centroid assignment with SPARK-EXACT
+    arithmetic — every double matches the declarative
+    dot/(norm·norm) + max(struct(ccos, -centroid_id)) plan bit-for-bit:
+
+    - dot accumulates in an ascending-dimension loop (acc += v_i·c_i,
+      product rounded then added — IEEE two-step, no FMA), the same
+      left-associated order as the dot() aggregate fold, whose 0.0 seed
+      is exact (0.0 + x == x);
+    - centroid norms use the identical ascending x·x fold + sqrt;
+    - the argmax scans centroid ids ascending with strictly-greater
+      replacement: ties keep the earlier (lower) centroid_id and NaN
+      ranks greatest, Spark's struct-comparator order;
+    - cent_e6 = floor(ccos·1e6 + 0.5), NaN -> NULL like the cast.
+
+    Per Arrow batch the work is dim vectorized (n×C) fused rounds — the
+    documented escape hatch for the one hot loop Catalyst evaluates
+    interpreted (higher-order functions never enter codegen)."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        if not cent_rows:
+            return
+        cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+        C = np.array([v for _, v in cent_rows], dtype=np.float64)
+        nc, dim = C.shape
+        cn = np.zeros(nc, dtype=np.float64)
+        for i in range(dim):
+            cn += C[:, i] * C[:, i]
+        cn = np.sqrt(cn)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            vn = pdf["vnorm"].to_numpy(dtype=np.float64)
+            D = np.zeros((n, nc), dtype=np.float64)
+            for i in range(dim):
+                D += V[:, i : i + 1] * C[None, :, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cc = D / (vn[:, None] * cn[None, :])
+            best = np.full(n, -np.inf)
+            best_id = np.full(n, cids[0] if nc else 0, dtype=np.int64)
+            best_nan = np.zeros(n, dtype=bool)
+            for j in range(nc):
+                c = cc[:, j]
+                is_nan = np.isnan(c)
+                better = (~best_nan) & (is_nan | (c > best))
+                best = np.where(better, c, best)
+                best_id = np.where(better, cids[j], best_id)
+                best_nan |= better & is_nan
+            e6 = np.floor(best * 1e6 + 0.5)
+            if best_nan.any():  # NaN ccos -> NULL cent_e6, like the cast
+                cent = pd.array(
+                    np.where(best_nan, 0, e6).astype(np.int64), dtype="Int64"
+                )
+                cent[best_nan] = None
+            else:
+                cent = pd.array(e6.astype(np.int64), dtype="Int64")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "bucket": best_id,
+                    "cent_e6": cent,
+                }
+            )
+
+    return assign
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = NEARDUP_COSINE,
@@ -1522,63 +1593,79 @@ def semantic_dedup(
     (floor(cos·1e6 + 0.5), HALF_UP in both engines) so the keep/drop
     order is engine-identical even where raw doubles could tie.
 
+    EXACT-PRESERVING HOT-PATH SHAPE (r10; bit-identical results, verified
+    by hash at sf0.01/sf0.1): (a) vector norms are computed ONCE per row
+    and carried through the joins — the generic cosine() helper re-folds
+    BOTH 64-dim norms per PAIR, which at 90M assignment pairs + 45M
+    verify pairs was ~2/3 of all per-pair work; the per-pair expression
+    stays dot/(na·nb) with the identical double association, so every
+    cos value is the same double.  (b) the N×C assignment argmax runs as
+    an Arrow-batched mapInPandas scorer against the driver-collected
+    codebook (bounded: C = √rows rows, the same k-row-collect class as
+    the kmeans codebook): the numpy kernel accumulates the dot in an
+    ascending-dimension loop (acc += v_i·c_i), which is the identical
+    IEEE left-associated order as the dot() fold, divides by the same
+    (vnorm·cnorm) product, and arg-maxes with Spark's exact ordering
+    (strictly-greater wins, ties keep the lower centroid_id, NaN ranks
+    greatest) — bit-identical assignment, ~10x over the interpreted
+    higher-order-function path which cannot enter codegen.  (c) only
+    victim-direction pairs (witness priority < victim priority) reach
+    the verify cosine — the strict priority order means each unordered
+    near-dup pair contributes exactly one directed row, so the count is
+    unchanged and half the pair cosines vanish.  sf10 probe (200K rows,
+    tools/probe_decade.py basis): 51 s (r9) -> 3.6 s, with the dominated
+    census (188,940 evicted rows, 3.3M dominating pairs) unchanged;
+    still ~rows^1.5 in the verify term but with the constant an IVF
+    sweep can afford.
+
     Output: (vec_id, bucket, cent_e6, kept, n_dominating) for every
     vector, ordered by vec_id; n_dominating counts the higher-priority
     near-duplicates that evicted it (0 for kept rows).
     """
     if n_centroids is None:
         n_centroids = neardup_centroid_count(approx_rows, 1)
-    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
-    cents = _centroids(base, n_centroids)
-    scored = base.join(F.broadcast(cents)).select(
-        "vec_id",
-        "centroid_id",
-        cosine(F.col("vec"), F.col("cvec")).alias("ccos"),
+    base = (
+        _spread_emb(emb)
+        .select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+        .withColumn("vnorm", norm(F.col("vec")))
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.col("centroid_id")
-    )
+    # bounded codebook collect: C = √rows rows of dim doubles (same class
+    # as the kmeans k-row codebook; whitelisted in test_scale_lints)
+    cent_rows = [
+        (r["centroid_id"], list(r["cvec"]))
+        for r in _centroids(base, n_centroids)
+        .orderBy("centroid_id")
+        .collect()
+    ]
+    assign = _semantic_assign_kernel(cent_rows)
     # asg feeds THREE consumers (both self-join legs and the final verdict
     # join); without truncation each re-runs the NxC assignment scoring
-    # window (plan audit: 18 scans before, one assignment pass after).
-    # Slim frame: one vector + 3 scalars per input row.
+    # pass (plan audit: 18 scans before, one assignment pass after).
+    # Slim frame: one vector + 4 scalars per input row.
     asg = (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select(
-            "vec_id",
-            F.col("centroid_id").alias("bucket"),
-            F.floor(F.col("ccos") * 1000000.0 + F.lit(0.5))
-            .cast("long")
-            .alias("cent_e6"),
-        )
+        base.select("vec_id", "vec", "vnorm")
+        .mapInPandas(assign, "vec_id long, bucket long, cent_e6 long")
         .join(base, "vec_id")
         .localCheckpoint(eager=False)
     )
     a = asg.select(
         F.col("vec_id").alias("id_a"),
         F.col("vec").alias("va"),
+        F.col("vnorm").alias("na"),
         "bucket",
         F.col("cent_e6").alias("cent_a"),
     )
     b = asg.select(
         F.col("vec_id").alias("id_b"),
         F.col("vec").alias("vb"),
+        F.col("vnorm").alias("nb"),
         "bucket",
         F.col("cent_e6").alias("cent_b"),
     )
-    # directed near-dup pairs: id_a is the candidate victim, id_b a witness
+    # victim-direction near-dup pairs only: id_a is the candidate victim,
+    # id_b a strictly-higher-priority witness (subsumes id_a != id_b)
     dominated = (
         a.join(b, "bucket")
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "cent_a",
-            "id_b",
-            "cent_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= F.lit(threshold))
         .filter(
             (F.col("cent_b") < F.col("cent_a"))
             | (
@@ -1586,6 +1673,15 @@ def semantic_dedup(
                 & (F.col("id_b") < F.col("id_a"))
             )
         )
+        .select(
+            "id_a",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
         .groupBy(F.col("id_a").alias("vec_id"))
         .agg(F.count("*").alias("n_dominating"))
     )
