@@ -334,7 +334,12 @@ def join_horizon_ns(sf_dir: str) -> int:
 
     n = table_row_count(sf_dir, "events") or JOIN_REF_ROWS
     scale = max(1, n // JOIN_REF_ROWS)
-    return JOIN_HORIZON_NS // (scale * scale)
+    # 1 ms floor: the band math divides by horizon µs (horizon_ns DIV
+    # 1000), which would hit zero once scale² exceeds 3.6e9 (≈ 6B rows)
+    # — far past any probe SF (sf10 = 10M rows → 0.36 s) but a real
+    # divide-by-zero at extrapolated scale; property-locked in
+    # tests/test_property_interval_join.py
+    return max(JOIN_HORIZON_NS // (scale * scale), 1_000_000)
 
 
 def _band(col: str, horizon_ns: int) -> F.Column:

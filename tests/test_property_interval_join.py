@@ -98,3 +98,46 @@ def test_banded_join_equals_plain_interval_join(spark_prop, rows, horizon):
     # multiset equality: every pair exactly once (no boundary miss, no
     # double-match through both probe copies)
     assert banded == plain
+
+
+def test_adaptive_horizon_threshold_and_pair_volume_bound(monkeypatch):
+    """The density-adaptive horizon (ticks.join_horizon_ns) across the
+    100K-row threshold: unchanged 1 HOUR for every n <= 2*REF-1 (driver
+    and bench SFs keep oracle semantics), 1/scale² shrink above it, the
+    emitted-pair-volume invariant n²·horizon <= 4·REF²·H at every n, and
+    the 1 ms floor that keeps the µs band divisor nonzero at extrapolated
+    scale."""
+    from marketstream_etl_spark.sources import tables
+    from marketstream_etl_spark.streaming import ticks
+
+    HOUR = ticks.JOIN_HORIZON_NS
+    REF = ticks.JOIN_REF_ROWS
+
+    def horizon_for(n):
+        monkeypatch.setattr(tables, "table_row_count", lambda sf, t: n)
+        return ticks.join_horizon_ns("whatever")
+
+    # below and at the threshold: the reference 1-hour horizon, exactly
+    for n in (1, 1_000, REF - 1, REF, 2 * REF - 1):
+        assert horizon_for(n) == HOUR, n
+    # first shrink step lands at the threshold crossing, as documented
+    assert horizon_for(2 * REF) == HOUR // 4
+    assert horizon_for(10 * REF) == HOUR // 100  # sf1: 36 s
+    assert horizon_for(100 * REF) == HOUR // 10_000  # sf10: 0.36 s
+    # pair-volume invariant: floor(n/REF) >= n/(2*REF) for n >= REF, so
+    # n²·horizon never exceeds 4·REF²·HOUR — emitted pairs stay pinned
+    # at their sf0.1 level while input grows linearly
+    for n in (REF, 2 * REF, 3 * REF - 1, 7 * REF, 10 * REF, 100 * REF,
+              1000 * REF, 12_345_678):
+        h = horizon_for(n)
+        assert n * n * h <= 4 * REF * REF * HOUR, n
+    # 1 ms floor: past scale² > 3.6e9 the unfloored horizon would round
+    # to ZERO µs and the band divisor (horizon_ns DIV 1000) would divide
+    # by zero; the floor keeps it >= 1000 µs forever
+    for n in (100_000 * REF, 10_000_000 * REF):
+        h = horizon_for(n)
+        assert h == 1_000_000 and h // 1000 >= 1, n
+    # the µs divisor is nonzero at EVERY row count (the property the
+    # band expression actually needs)
+    for n in (1, REF, 60 * REF, 999 * REF, 123_456 * REF):
+        assert horizon_for(n) // 1000 >= 1, n
