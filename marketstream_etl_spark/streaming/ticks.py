@@ -28,6 +28,14 @@ from marketstream_etl_spark.sources.tables import sink_name
 # fail loudly rather than grow the collect without bound.
 SOCKET_EMITTER_MAX_ROWS = 200_000
 
+
+class EmitterCapExceeded(RuntimeError):
+    """The socket fixture would need a driver-side frame buffer past
+    SOCKET_EMITTER_MAX_ROWS — a deliberate guard (the single-process
+    emitter is a test harness, not a benchmarkable source), distinct
+    from an operator failure so sweeps can record it as a by-design
+    skip."""
+
 STREAM_EPOCH_NS = 1_698_208_500_000_000_000  # TickServer.hpp:186
 STREAM_SYMBOLS = ["RELIANCE", "TCS", "INFY", "HDFC", "WIPRO"]  # :196
 
@@ -588,7 +596,7 @@ def build_deadletter_payload(
     )
     n_expected = frames.count()
     if n_expected > SOCKET_EMITTER_MAX_ROWS:
-        raise RuntimeError(
+        raise EmitterCapExceeded(
             f"{caller} fixture: {n_expected} frames exceeds "
             f"the driver-side emitter cap of {SOCKET_EMITTER_MAX_ROWS}; "
             "point this query at a smaller sf_dir or raise the cap knowingly"
