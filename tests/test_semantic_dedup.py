@@ -68,3 +68,85 @@ def test_no_kept_near_dup_pair_survives(spark, sf_dir):
         "NOT kept AND n_dominating < 1"
     ).count()
     assert dropped_bad == 0
+
+
+def test_assignment_kernel_matches_declarative_plan(spark):
+    """The r10 Arrow-batched assignment kernel must be bit-identical to
+    the declarative dot/(norm*norm) + max(struct(ccos, -centroid_id))
+    plan it replaced: same left-associated dot accumulation, same
+    argmax tie order (lower centroid_id wins), same e6 fixed point —
+    over vectors engineered for ties (duplicates of centroids, shared
+    directions at different magnitudes) and an edge corpus."""
+    import numpy as np
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+    from marketstream_etl_spark.operators.similarity import (
+        _centroids,
+        _dvec,
+        _semantic_assign_kernel,
+        dot,
+        norm,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 5
+    vecs = []
+    for i in range(40):
+        v = rng.normal(size=dim)
+        vecs.append((i, [float(x) for x in v]))
+    # engineered ties: exact copies of centroid vectors (ccos == 1.0 vs
+    # several centroids when centroids repeat) and scaled copies
+    vecs.append((40, vecs[0][1]))                       # copy of centroid 0
+    vecs.append((41, [2.0 * x for x in vecs[1][1]]))    # scaled centroid 1
+    vecs.append((42, vecs[0][1]))                       # second copy
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs]
+    )
+    base = df.select(
+        "vec_id", _dvec(F.col("embedding")).alias("vec")
+    ).withColumn("vnorm", norm(F.col("vec")))
+    n_cent = 6
+    cents = _centroids(base, n_cent).withColumn("cnorm", norm(F.col("cvec")))
+
+    # declarative reference: the exact pre-r10 plan shape
+    scored = base.join(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        (dot(F.col("vec"), F.col("cvec"))
+         / (F.col("vnorm") * F.col("cnorm"))).alias("ccos"),
+    )
+    ref = {
+        (r["vec_id"]): (r["bucket"], r["cent_e6"])
+        for r in scored.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("ccos"), F.col("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select(
+            "vec_id",
+            F.col("centroid_id").alias("bucket"),
+            F.floor(F.col("ccos") * 1000000.0 + F.lit(0.5))
+            .cast("long")
+            .alias("cent_e6"),
+        )
+        .collect()
+    }
+
+    cent_rows = [
+        (r["centroid_id"], list(r["cvec"]))
+        for r in cents.orderBy("centroid_id").collect()
+    ]
+    got = {
+        r["vec_id"]: (r["bucket"], r["cent_e6"])
+        for r in base.select("vec_id", "vec", "vnorm")
+        .mapInPandas(
+            _semantic_assign_kernel(cent_rows),
+            "vec_id long, bucket long, cent_e6 long",
+        )
+        .collect()
+    }
+    assert got == ref
