@@ -56,6 +56,14 @@ def main() -> None:
         ops = args[i + 1].split(",")
         del args[i : i + 2]
     dirs = args or [SF01, SF1]
+    # same fail-fast heap provisioning as the scale-abort sweep: a probe
+    # list that includes a >64 MB decade must not OOM the default 4g test
+    # heap mid-batch (an sf10 dedup_clusters probe killed the context via
+    # GCLocker allocation failure and poisoned every later row)
+    from tools.sweep_sf import ensure_driver_mem
+
+    for d in dirs:
+        ensure_driver_mem(d)
     spark = get_spark("probe-decade")
     qs = entrymod.queries()
     hdr = "".join(f"{d.rstrip('/').rsplit('/', 1)[-1]:>18}" for d in dirs)
