@@ -408,3 +408,38 @@ def test_scored_from_raw_matches_batch_scorer(spark, sf_dir):
                     for r in td.scored_from_raw(
                         load_table(spark, sf_dir, "documents")).collect()}
     assert batch == stream_shape
+
+
+def test_punct_count_equivalence_fuzz(spark):
+    """Hypothesis-style fuzz (fixed seed, driver-side corpus) of the
+    translate-based punct_count against the regex strip it replaced,
+    over arbitrary unicode including astral-plane chars, every ASCII
+    control char, and combining marks."""
+    import random
+
+    from pyspark.sql import Row
+    from marketstream_etl_spark.operators.text import punct_count
+
+    rng = random.Random(1234)
+    alphabet = (
+        [chr(c) for c in range(0x20, 0x7F)]          # printable ASCII
+        + ["\t", "\n", "\x0b", "\x0c", "\r"]          # Java \s set
+        + [chr(c) for c in range(0x00, 0x20)]         # all controls
+        + ["é", "ñ", "中", "🙂", "́", " ", " ", "€"]
+    )
+    corpus = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
+    )
+    old = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9\s]", "")
+    )
+    diffs = (
+        df.select((old != punct_count(F.col("text"))).alias("d"))
+        .filter("d")
+        .count()
+    )
+    assert diffs == 0
