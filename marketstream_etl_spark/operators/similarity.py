@@ -1514,7 +1514,15 @@ def _semantic_assign_kernel(cent_rows: list[tuple[int, list[float]]]):
 
     Per Arrow batch the work is dim vectorized (n×C) fused rounds — the
     documented escape hatch for the one hot loop Catalyst evaluates
-    interpreted (higher-order functions never enter codegen)."""
+    interpreted (higher-order functions never enter codegen).
+
+    Scope of the bit-identity claim: it holds for nonzero vector and
+    centroid norms.  On a zero-norm vector or centroid the declarative
+    plan under ANSI mode (Spark 4 default) would raise DIVIDE_BY_ZERO,
+    while this kernel's 0/0 silently yields NaN -> NULL cent_e6 and
+    keeps the row (the NaN-ranks-greatest argmax path).  Embeddings here
+    are L2-normalized upstream so the case is unreachable in practice,
+    but degenerate input diverges rather than matching the SQL plan."""
     import numpy as np
     import pandas as pd
 

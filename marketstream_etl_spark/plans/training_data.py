@@ -5,6 +5,8 @@ over the operators, paired with DuckDB oracle SQL in __spark_entry__.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2267,7 +2269,12 @@ def scored_from_raw(docs: DataFrame) -> DataFrame:
     docs = spread(docs)
     low = F.lower(F.col("text"))
     n_tokens = F.regexp_count(low, F.lit("[a-z0-9]+"))
-    alt = "|".join(sorted(text.STOPWORDS, key=len, reverse=True))
+    # regex-escape each word: all current stopwords are pure [a-z]+, but a
+    # future metacharacter-bearing entry must not silently change the
+    # pattern semantics vs the list_filter hit count it is locked against
+    alt = "|".join(
+        re.escape(w) for w in sorted(text.STOPWORDS, key=len, reverse=True)
+    )
     stop_hits = F.regexp_count(
         low, F.lit(f"(?<![a-z0-9])(?:{alt})(?![a-z0-9])")
     )

@@ -27,26 +27,35 @@ from marketstream_etl_spark.sources.tables import sink_name
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
-_DERBY_LOG_REDIRECTED = False
+
+def _derby_log_path() -> str:
+    """Per-user, per-process log path — never a fixed world-shared file.
+
+    A fixed /tmp name on a multi-user host could be owned by another user
+    (or pre-planted as a symlink), making Derby's engine boot fail or write
+    through the link; uid+pid in the name sidesteps both."""
+    import os
+
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_derby_{uid}_{os.getpid()}.log"
+    )
 
 
 def redirect_derby_log(spark: SparkSession) -> None:
-    """Point Derby's engine log at /tmp instead of the process CWD.
+    """Point Derby's engine log at a per-process temp path instead of CWD.
 
     Embedded Derby writes ``derby.log`` to the working directory the first
     time the engine boots in a JVM (so a sweep run from the repo root
     litters ``git status``).  The path is controlled by the JVM system
     property ``derby.stream.error.file``, read at engine boot — set it via
-    py4j before the first connection.  Idempotent; a no-op once the engine
-    has already booted in this JVM (the property is only read once).
+    py4j before the first connection.  Idempotence is keyed on the JVM
+    (System.getProperty probe), not a Python global, so a new JVM created
+    later in the same Python process gets the property re-applied.
     """
-    global _DERBY_LOG_REDIRECTED
-    if _DERBY_LOG_REDIRECTED:
-        return
-    spark._sc._jvm.java.lang.System.setProperty(
-        "derby.stream.error.file", "/tmp/spark_graft_derby.log"
-    )
-    _DERBY_LOG_REDIRECTED = True
+    jsys = spark._sc._jvm.java.lang.System
+    if jsys.getProperty("derby.stream.error.file") is None:
+        jsys.setProperty("derby.stream.error.file", _derby_log_path())
 
 
 def _derby_url(name: str) -> str:

@@ -35,6 +35,18 @@ def test_limit_negative_is_usage_error(capsys):
     assert "usage" in capsys.readouterr().out
 
 
+def test_limit_double_dash_is_usage_error(capsys):
+    # r10 ADVICE: "--5" passed the old lstrip("-").isdigit() check, then
+    # int("--5") raised an uncaught ValueError instead of exit 2
+    assert _main_rc(["symbol_leaderboard", "--limit", "--5"]) == 2
+    assert "usage" in capsys.readouterr().out
+
+
+def test_limit_plus_and_float_are_usage_errors(capsys):
+    assert _main_rc(["symbol_leaderboard", "--limit", "+4"]) == 2
+    assert _main_rc(["symbol_leaderboard", "--limit", "1e3"]) == 2
+
+
 def test_unknown_query_suggests_close_names(capsys):
     assert _main_rc(["symbol_leaderboar"]) == 2
     out = capsys.readouterr().out

@@ -135,3 +135,30 @@ def test_bulk_options_reach_the_writer(spark, truncate, monkeypatch):
     assert captured["options"]["batchsize"] == str(DEFAULT_BATCHSIZE)
     assert captured["options"]["isolationLevel"] == "READ_COMMITTED"
     assert captured["properties"]["reWriteBatchedInserts"] == "true"
+
+
+def test_derby_log_path_is_per_user_per_process():
+    """r10 ADVICE: a fixed world-shared /tmp path is a symlink/ownership
+    hazard on multi-user hosts — the path must embed uid and pid."""
+    import os
+
+    from marketstream_etl_spark.streaming.jdbc_sink import _derby_log_path
+
+    p = _derby_log_path()
+    assert str(os.getpid()) in p
+    assert p != "/tmp/spark_graft_derby.log"
+
+
+def test_redirect_derby_log_keys_idempotence_on_jvm(spark):
+    """Idempotence probes the JVM property, not a Python global, so a
+    fresh JVM later in the same process would be re-covered."""
+    from marketstream_etl_spark.streaming import jdbc_sink
+
+    jdbc_sink.redirect_derby_log(spark)
+    jsys = spark._sc._jvm.java.lang.System
+    val = jsys.getProperty("derby.stream.error.file")
+    assert val is not None
+    # second call leaves the already-set value alone
+    jdbc_sink.redirect_derby_log(spark)
+    assert jsys.getProperty("derby.stream.error.file") == val
+    assert not hasattr(jdbc_sink, "_DERBY_LOG_REDIRECTED")

@@ -15,6 +15,7 @@ formatted physical plan — the first-order scale signal.
 
 from __future__ import annotations
 
+import re
 import sys
 import time
 
@@ -35,13 +36,12 @@ def main() -> int:
     limit = DEFAULT_LIMIT
     if "--limit" in args:
         i = args.index("--limit")
-        if i + 1 >= len(args) or not args[i + 1].lstrip("-").isdigit():
+        # re.fullmatch rather than .isdigit() so every malformed value
+        # ("--5", "1e3", "+4") takes the usage path, not a ValueError
+        if i + 1 >= len(args) or not re.fullmatch(r"\d+", args[i + 1]):
             print("usage: --limit N  (N a non-negative integer)")
             return 2
         limit = int(args[i + 1])
-        if limit < 0:
-            print("usage: --limit N  (N a non-negative integer)")
-            return 2
         del args[i : i + 2]
     qs = entrymod.queries()
     if not args:
