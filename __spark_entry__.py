@@ -451,190 +451,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family and the LLM-pipeline north-star ops.  Everything after slot 50
     # still runs under tools/check_oracle.py locally.
     qs = {
+        # r11 rotation (r10 VERDICT item 1 — retire gate-rotation debt):
+        # 29 rows that have NEVER held a driver slot take the gate this
+        # round (never-gated count 93 -> 64), leaving 21 family anchors
+        # in-gate.  Anchors kept (one per SURVEY-§2 / north-star family):
+        # validate_split (V1-V6/F1), csv_fixture_roundtrip (S1/S2
+        # golden), indicators (A1-A4/W), symbol_leaderboard (A8/O2/O3),
+        # parquet_sink_roundtrip (S11/S12/X11), parallel_jdbc_roundtrip
+        # (S8/S9), streaming_websocket (S4/S5/ST6), streaming_ohlc
+        # (ST4 watermark+window bars), streaming_join_full_outer (banded
+        # interval join), streaming_stateful (ST3 +
+        # applyInPandasWithState surface), streaming_jdbc_sink
+        # (ST7/S10/S13), asof_enrich (J2), bucketed_join (S7),
+        # partition_pruning (F5/O5), generator_invariants (S3/X7/X8/
+        # X10), ks_drift (drift), text_analysis (text; populates the
+        # analyzed cache for everything after it), dedup_minhash_lsh
+        # (dedup), multimodal_features (multimodal), roc_auc
+        # (classifier eval), t_closeness (privacy).
+        # OUT — 29 rows, every one driver-green in the r10 gate
+        # (CORRECTNESS_r10.json) or earlier, each family kept in-gate
+        # per the anchor list above, all still check_oracle-verified
+        # in the 232-query local sweep below the fold:
+        # validation_counts, rsi_wilder, mannwhitney_drift (drift by
+        # ks_drift), candlestick_patterns (bars by streaming_ohlc),
+        # streaming_counts/windowed/deadletter/dedup_watermarked/ks/
+        # sessions/mwu/roc/iv/embedding_drift (streaming family keeps 5
+        # anchors + gains 8 first-time rows), key_skew_profile (skew
+        # engineering by skew_salted_join), cusum_changepoints,
+        # session_transitions (sequences by sessionization),
+        # dedup_sorted_neighborhood (dedup gains 4 first-time rows),
+        # source_pagerank (graph by link_prediction), ann_bruteforce
+        # (ANN gains 4 first-time rows), corpus_curation,
+        # hll_cardinality (sketch by hll_set_ops), bloom_contamination
+        # (decontamination by contamination_verbatim/neardup),
+        # winnowing_pairs, bm25_search, lm_perplexity (retrieval/text
+        # stats by tfidf_keywords + text_analysis), calibration_ece,
+        # information_value, embedding_drift (eval/drift by roc_auc +
+        # ks_drift).
         # --- trade domain (reference parity, SURVEY §2.2-2.5) ---
-        # r6 slot rotation (r5 VERDICT item 4): bm25_search, lm_perplexity,
-        # weighted_reservoir, json_corrupt_records, streaming_anomaly take
-        # driver rows.  Displaced — validate_fixture (validate_split +
-        # validation_counts + csv_fixture_roundtrip keep the V-family
-        # golden), ewma_price (W family held by indicators +
-        # rolling_indicators), dedup_ngram_jaccard (minhash/simhash/
-        # clusters keep the family), ann_lsh (bruteforce/pq/kmeans keep
-        # ANN), streaming_dedup (the watermarked twin is the stronger
-        # row) — all long-green, still check_oracle-verified locally.
-        # r9 rotation (r8 VERDICT item 4): eight rows that had never held
-        # a driver slot take the gate — ks_drift + streaming_ks + ab_test
-        # (r8-new statistical tests, never gated), hdr_quantiles (the
-        # sketch family's quantile member), l_diversity (privacy),
-        # session_transitions (behavioral sequences), benford_audit
-        # (statistical audit), readability_scores (text quality).  OUT
-        # (all long-green, family kept in-gate, still check_oracle-
-        # verified locally below the fold): trades_view (X2/X4/X12 casts
-        # kept by json_corrupt_records; the CSV golden by
-        # csv_fixture_roundtrip), volume_bars (bar family by
-        # candlestick_patterns + streaming_ohlc), streaming_anomaly
-        # (streaming stays 12 rows via streaming_ks), psi_drift (drift
-        # family by ks_drift), k_anonymity (privacy by l_diversity),
-        # funnel_steps (behavioral by session_transitions),
-        # microstructure (audit by benford_audit + key_skew_profile),
-        # hybrid_search_rrf (retrieval by bm25_search).
-        # r9-staged rotation (ran in the r9 gate): chi2_drift +
-        # streaming_chi2 (contingency drift, fourth drift member),
-        # roc_auc + calibration_ece + streaming_calibration (classifier
-        # evaluation family), t_closeness (privacy third member).  OUT
-        # (all driver-green r8 or earlier, family kept in-gate, still
-        # check_oracle-verified locally): rsi_signals (F4/top-k by
-        # rsi_wilder + symbol_leaderboard), streaming_cms +
-        # streaming_hll (sketch family by hll_cardinality +
-        # bloom_contamination), semantic_dedup (dedup by minhash_lsh +
-        # winnowing), json_corrupt_records (props-JSON access by
-        # chi2_drift/ks_drift/t_closeness in-gate; corrupt-record
-        # semantics local), purged_kfold (CV/sampling by
-        # generator_invariants + the local kfold family).
-        # r10 rotation (r9 VERDICT item 1): ALL EIGHT late-r9 rows that
-        # have never held a driver slot take the gate —
-        # mannwhitney_drift + streaming_mwu (rank-based drift, third
-        # member of the KS/chi2 family), information_value +
-        # streaming_iv (WoE/IV predictive-power audit), embedding_drift
-        # + streaming_embedding_drift (per-dimension PSI over embedding
-        # vectors), streaming_roc (streaming classifier-eval twin), and
-        # dedup_sorted_neighborhood (SNM, the ninth dedup family).  OUT
-        # (ALL driver-green in the r9 gate — CORRECTNESS_r09.json —
-        # family kept in-gate, still check_oracle-verified locally):
-        # chi2_drift + streaming_chi2 (drift family by ks_drift +
-        # mannwhitney_drift; streaming drift by streaming_ks +
-        # streaming_mwu), streaming_calibration (classifier eval by
-        # roc_auc + calibration_ece + streaming_roc), ab_test
-        # (statistical tests by ks_drift + mannwhitney_drift),
-        # benford_audit (audit family by key_skew_profile),
-        # l_diversity (privacy by t_closeness), hdr_quantiles (sketch
-        # by hll_cardinality + bloom_contamination),
-        # readability_scores (text quality by text_analysis).
         "validate_split": analytics.q_validate_split,
         "csv_fixture_roundtrip": analytics.q_csv_fixture_roundtrip,
-        "validation_counts": analytics.q_validation_counts,
         "indicators": analytics.q_indicators,
-        "rsi_wilder": analytics.q_rsi_wilder,
         "symbol_leaderboard": analytics.q_symbol_leaderboard,
-        "mannwhitney_drift": advanced.q_mannwhitney_drift,
         "parquet_sink_roundtrip": analytics.q_parquet_sink_roundtrip,
         "parallel_jdbc_roundtrip": analytics.q_parallel_jdbc_roundtrip,  # S9
-        # r8 rotation (r7 VERDICT item 3): seven rows that had never held
-        # a driver slot take the gate.  IN: volume_bars + candlestick_
-        # patterns (event-driven bar sampling + OHLC pattern flags),
-        # cusum_changepoints (sequential change detection; also keeps a
-        # pandas-path row in-gate after udaf_vwap rotates out),
-        # purged_kfold (leakage-safe time-series CV splits), k_anonymity
-        # (privacy audit family, previously ungated), funnel_steps
-        # (ordered sequence statistics), streaming_join_full_outer (emits
-        # BOTH sides' watermark-evicted unmatched rows — strictly
-        # subsumes the left-outer row it replaces).  OUT (all long-green,
-        # family kept in-gate, still check_oracle-verified locally):
-        # ohlc_bars (bar family held by volume_bars/candlestick/
-        # streaming_ohlc), benford_audit (audit family by psi_drift +
-        # key_skew_profile), attribution_touch + session_transitions
-        # (behavioral-sequence family by funnel_steps), udaf_vwap (A4 by
-        # indicators' VWAP; pandas surface by cusum + multimodal),
-        # weighted_reservoir (X10/sampling by generator_invariants +
-        # purged_kfold), streaming_join_outer (subsumed as above).
-        "candlestick_patterns": analytics.q_candlestick_patterns,
-        # --- streaming (real Structured Streaming runs; ST1-ST7) — 12 ---
-        "streaming_counts": _stream_counts,
-        "streaming_windowed": _stream_windowed,
-        "streaming_ohlc": _stream_ohlc,
-        "streaming_deadletter": _stream_deadletter,
-        # r6: real RFC 6455 ingest takes the gate slot; the plain-TCP
-        # twin (streaming_socket) moves below the fold, still green
+        # --- warehouse/relational surface (r11 first-timers) ---
+        "merge_upsert": advanced.q_merge_upsert,
+        "scd2_customers": advanced.q_scd2_customers,
+        "skew_salted_join": advanced.q_skew_salted_join,
+        "window_analytics": advanced.q_window_analytics,
+        "sessionization": advanced.q_sessionization,
+        # --- streaming (real Structured Streaming runs; ST1-ST7) — 13:
+        # 5 anchors + 8 first-time rows ---
         "streaming_websocket": _stream_websocket,
-        "streaming_dedup_watermarked": _stream_dedup_watermarked,
-        "streaming_ks": _stream_ks,
-        # r8: the FULL OUTER interval join takes the outer join's slot —
-        # it emits matched pairs PLUS watermark-evicted unmatched rows
-        # from BOTH sides, strictly subsuming the left-outer (r6-r7 gate
-        # row) and inner (r2-r5) semantics; both stay below the fold,
-        # check_oracle-verified locally.
+        "streaming_ohlc": _stream_ohlc,
         "streaming_join_full_outer": _stream_join_full_outer,
         "streaming_stateful": _stream_stateful,
-        "streaming_sessions": _stream_sessions,
         "streaming_jdbc_sink": _stream_jdbc_sink,
-        "streaming_mwu": _stream_mwu,
-        "streaming_roc": _stream_roc,
-        "streaming_iv": _stream_iv,
-        "streaming_embedding_drift": _stream_embedding_drift,
-        # --- one per remaining SURVEY-§2 family — 10 ---
+        "streaming_upsert": _stream_upsert,
+        "streaming_contamination": _stream_contamination,
+        "streaming_ivf_assign": training_data.q_streaming_ivf_assign,
+        "streaming_token_drift": _stream_token_drift,
+        "streaming_psi": _stream_psi,
+        "streaming_benford": _stream_benford,
+        "streaming_hdr": _stream_hdr,
+        "streaming_python_datasource": advanced.q_streaming_python_datasource,
+        # --- one per remaining SURVEY-§2 family ---
         "asof_enrich": advanced.q_asof_enrich,  # J2
         "bucketed_join": _bucketed_join,  # S7 + co-located join
         "partition_pruning": advanced.q_partition_pruning,  # F5/O5
         "generator_invariants": advanced.q_generator_invariants,  # S3/X7/X8
-        # r7 rotation: five driver-green rows move below the fold for the
-        # strongest r6 additions.  IN: benford_audit + attribution_touch
-        # (statistical-audit family, both hardened against degenerate
-        # inputs this round), key_skew_profile (the pre-flight salting/AQE
-        # diagnostic — the scale-engineering op), microstructure (Roll
-        # spread / Kyle lambda / Amihud panel), session_transitions
-        # (sequence statistics).  OUT: python_datasource (S3 stays
-        # evidenced by generator_invariants), zorder_skipping (O5 by
-        # partition_pruning), pattern_similarity (driver-green r5+r6),
-        # part_triangles (graph family keeps source_pagerank in-gate),
-        # weighted_sample (X10; sampling family keeps weighted_reservoir
-        # in-gate) — all still check_oracle-verified locally.
+        "ks_drift": advanced.q_ks_drift,
+        "link_prediction": tpch.q_link_prediction,
+        "hll_set_ops": training_data.q_hll_set_ops,
+        # --- LLM training-data north star; text_analysis first so the
+        # gate attributes the shared analyzed-cache population to the
+        # text row, as in every prior round ---
+        "text_analysis": training_data.q_text_analysis,
+        # dedup block: minhash_lsh first so the shared LSH/shingle cache
+        # is attributed to the anchor row
+        "dedup_minhash_lsh": training_data.q_dedup_minhash_lsh,
+        "containment_pairs": training_data.q_containment_pairs,
+        "dedup_edit_distance": training_data.q_dedup_edit_distance,
+        "sentence_dedup": training_data.q_sentence_dedup,
+        "incremental_dedup": training_data.q_incremental_dedup,
+        "embedding_neardup": training_data.q_embedding_neardup,
+        "embedding_neardup_ivf": training_data.q_embedding_neardup_ivf,
+        "ann_ivf_trained_recall": training_data.q_ann_ivf_trained_recall,
+        "ann_ivfpq": training_data.q_ann_ivfpq,
+        "contamination_verbatim": training_data.q_contamination_verbatim,
+        "contamination_neardup": training_data.q_contamination_neardup,
+        "tfidf_keywords": training_data.q_tfidf_keywords,
+        "vocab_topk": training_data.q_vocab_topk,
+        "sequence_packing": training_data.q_sequence_packing,
+        "tokenize_ids": training_data.q_tokenize_ids,
+        "multimodal_features": training_data.q_multimodal_features,
+        "roc_auc": training_data.q_roc_auc,
+        "t_closeness": advanced.q_t_closeness,
+        # ---------------- fold: slot 51+ ----------------
+        # r11 rotation OUT rows (all driver-green r10 or earlier):
+        "validation_counts": analytics.q_validation_counts,
+        "rsi_wilder": analytics.q_rsi_wilder,
+        "mannwhitney_drift": advanced.q_mannwhitney_drift,
+        "candlestick_patterns": analytics.q_candlestick_patterns,
+        "streaming_counts": _stream_counts,
+        "streaming_windowed": _stream_windowed,
+        "streaming_deadletter": _stream_deadletter,
+        "streaming_dedup_watermarked": _stream_dedup_watermarked,
+        "streaming_ks": _stream_ks,
+        "streaming_sessions": _stream_sessions,
+        "streaming_mwu": _stream_mwu,
+        "streaming_roc": _stream_roc,
+        "streaming_iv": _stream_iv,
+        "streaming_embedding_drift": _stream_embedding_drift,
         "key_skew_profile": advanced.q_key_skew_profile,
         "cusum_changepoints": analytics.q_cusum_changepoints,
-        "ks_drift": advanced.q_ks_drift,
         "session_transitions": advanced.q_session_transitions,
         "dedup_sorted_neighborhood": training_data.q_dedup_sorted_neighborhood,
-        # --- LLM training-data north star — 15 (rest after the fold) ---
-        "text_analysis": training_data.q_text_analysis,
-        # late-r5 rotation: source_pagerank (graph analytics, new op
-        # class) and ann_pq (PQ/ADC compression path) take the
-        # dedup_exact_docs / ann_ivf slots — both displaced queries are
-        # driver-green r3+r4 and stay check_oracle-verified locally.
-        "dedup_minhash_lsh": training_data.q_dedup_minhash_lsh,
-        # runs after minhash_lsh so the gate attributes the shared LSH
-        # cache population to the dedup row, not the graph row
         "source_pagerank": training_data.q_source_pagerank,
-        # r6 late rotation: hybrid_search_rrf (BM25 + cosine fused by
-        # exact-integer reciprocal-rank fusion — the production retrieval
-        # shape) takes the simhash_pairs slot; SimHash stays evidenced by
-        # dedup_minhash_lsh/dedup_clusters in-gate and simhash_pairs
-        # stays check_oracle-verified locally (driver-green r4+r5).
         "ann_bruteforce": training_data.q_ann_bruteforce,
-        "multimodal_features": training_data.q_multimodal_features,
         "corpus_curation": training_data.q_corpus_curation,
-        # r6 final rotation: the completed sketch family (HLL cardinality
-        # + its streaming twin, Bloom decontamination, HDR quantiles),
-        # winnowing fingerprints, and SemDeDup take six slots from
-        # long-green rows (rolling_indicators, kmeans_embeddings,
-        # dedup_clusters, ann_pq, contamination, doc_repetition — all
-        # driver-green in earlier rounds, all still check_oracle-verified
-        # locally below the fold).  Family coverage kept in-gate:
-        # W by indicators, clustering by semantic_dedup's assignment,
-        # dedup by minhash_lsh/winnowing, n-gram decontamination by
-        # bloom_contamination's exact-audit columns, text by
-        # text_analysis.
         "hll_cardinality": training_data.q_hll_cardinality,
         "bloom_contamination": training_data.q_bloom_contamination,
         "winnowing_pairs": training_data.q_winnowing_pairs,
-        # r10: classifier evaluation takes semantic_dedup's slot (dedup
-        # family kept by minhash_lsh + winnowing); both read the analyzed
-        # cache text_analysis populated above, so the gate attributes the
-        # analysis cost to the text row as before
-        "roc_auc": training_data.q_roc_auc,
-        # late-r6 rotation: psi_drift (statistical drift audit, a family
-        # the gate lacked) takes hdr_quantiles' slot — the sketch family
-        # keeps THREE in-gate rows (hll_cardinality, streaming_hll,
-        # bloom_contamination); hdr_quantiles is driver-green r6-mid and
-        # stays check_oracle-verified locally with its grouped/streaming
-        # twins
         "bm25_search": training_data.q_bm25_search,
         "lm_perplexity": training_data.q_lm_perplexity,
         "calibration_ece": training_data.q_calibration_ece,
-        # information_value + embedding_drift run after text_analysis /
-        # roc_auc so the gate attributes the shared analyzed-cache
-        # population to the text row, as before
         "information_value": training_data.q_information_value,
         "embedding_drift": training_data.q_embedding_drift,
-        "t_closeness": advanced.q_t_closeness,
-        # ---------------- fold: slot 51+ ----------------
         # r10 rotation OUT rows (all driver-green in the r9 gate):
         "chi2_drift": advanced.q_chi2_drift,
         "streaming_chi2": _stream_chi2,
@@ -666,15 +610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": analytics.q_ohlc_bars,
         "streaming_join": _stream_join,
         "streaming_join_outer": _stream_join_outer,
-        "streaming_hdr": _stream_hdr,
         "hdr_quantiles_grouped": advanced.q_hdr_quantiles_grouped,
-        "link_prediction": tpch.q_link_prediction,
         "bollinger_breaches": analytics.q_bollinger_breaches,
         "mad_outliers": training_data.q_mad_outliers,
         "kfold_assign": training_data.q_kfold_assign,
-        "hll_set_ops": training_data.q_hll_set_ops,
-        "tfidf_keywords": training_data.q_tfidf_keywords,
-        "containment_pairs": training_data.q_containment_pairs,
         "zipf_audit": training_data.q_zipf_audit,
         "source_entropy": training_data.q_source_entropy,
         "python_datasource": advanced.q_python_datasource,
@@ -685,9 +624,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": advanced.q_rolling_distinct_users,
         "lateness_audit": advanced.q_lateness_audit,
         "padding_efficiency": training_data.q_padding_efficiency,
-        "streaming_psi": _stream_psi,
-        "streaming_benford": _stream_benford,
-        "streaming_upsert": _stream_upsert,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -720,46 +656,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_outliers": analytics.q_price_outliers,
         "return_autocorr": analytics.q_return_autocorr,
         "ann_ivf_recall": training_data.q_ann_ivf_recall,
-        "embedding_neardup": training_data.q_embedding_neardup,
         "embedding_stats": training_data.q_embedding_stats,
         "simhash": training_data.q_simhash,
-        "vocab_topk": training_data.q_vocab_topk,
         "train_test_split": training_data.q_train_test_split,
         "array_functions": training_data.q_array_functions,
         "stratified_sample": training_data.q_stratified_sample,
-        "sequence_packing": training_data.q_sequence_packing,
         "chunk_documents": training_data.q_chunk_documents,
         "udtf_doc_terms": training_data.q_udtf_doc_terms,
         "bpe_merge_candidates": training_data.q_bpe_merge_candidates,
-        "sentence_dedup": training_data.q_sentence_dedup,
         "quality_classifier": training_data.q_quality_classifier,
-        "incremental_dedup": training_data.q_incremental_dedup,
         "source_overlap": training_data.q_source_overlap,
-        "streaming_contamination": _stream_contamination,
-        "streaming_token_drift": _stream_token_drift,
         "streaming_socket": _stream_socket,
-        "embedding_neardup_ivf": training_data.q_embedding_neardup_ivf,
         "source_mixture": training_data.q_source_mixture,
-        "tokenize_ids": training_data.q_tokenize_ids,
         "multimodal_metadata": training_data.q_multimodal_metadata,
         "multimodal_frames": training_data.q_multimodal_frames,
-        "ann_ivf_trained_recall": training_data.q_ann_ivf_trained_recall,
-        "dedup_edit_distance": training_data.q_dedup_edit_distance,
         "ann_ivf": training_data.q_ann_ivf,
-        "ann_ivfpq": training_data.q_ann_ivfpq,
         "dedup_collapse_weighted": training_data.q_dedup_collapse_weighted,
-        "streaming_ivf_assign": training_data.q_streaming_ivf_assign,
         "binary_ingest": training_data.q_binary_ingest,
         "embedding_quantize": training_data.q_embedding_quantize,
-        "streaming_python_datasource": advanced.q_streaming_python_datasource,
         "quality_percentile_filter": training_data.q_quality_percentile_filter,
         "top_pmi_bigrams": training_data.q_top_pmi_bigrams,
         "token_drift": training_data.q_token_drift,
         "dedup_family_agreement": training_data.q_dedup_family_agreement,
         "cluster_profile": training_data.q_cluster_profile,
         "ann_truncated_recall": training_data.q_ann_truncated_recall,
-        "contamination_verbatim": training_data.q_contamination_verbatim,
-        "contamination_neardup": training_data.q_contamination_neardup,
         "langid_confusion": training_data.q_langid_confusion,
         "split_leakage": training_data.q_split_leakage,
         "vwap_deviation": analytics.q_vwap_deviation,
@@ -792,7 +712,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_by_revenue": tpch.q_top_parts_by_revenue,
         # --- advanced OLAP surface ---
         "events_tumbling": advanced.q_events_tumbling,
-        "sessionization": advanced.q_sessionization,
         "range_join_bands": advanced.q_range_join_bands,
         "rollup_lineitem": advanced.q_rollup_lineitem,
         "pivot_status": advanced.q_pivot_status,
@@ -800,9 +719,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": advanced.q_percentiles,
         "json_props": advanced.q_json_props,
         "approx_aggs": advanced.q_approx_aggs,
-        "merge_upsert": advanced.q_merge_upsert,
-        "scd2_customers": advanced.q_scd2_customers,
-        "window_analytics": advanced.q_window_analytics,
         "cube_events": advanced.q_cube_events,
         "grouping_sets": advanced.q_grouping_sets,
         "variant_props": advanced.q_variant_props,
@@ -819,7 +735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution": advanced.q_schema_evolution,
         "xml_roundtrip": advanced.q_xml_roundtrip,
         "recursive_rollup": advanced.q_recursive_rollup,
-        "skew_salted_join": advanced.q_skew_salted_join,
         "funnel": advanced.q_funnel,
         "retention_cohorts": advanced.q_retention_cohorts,
     }

@@ -291,6 +291,44 @@ def bench_stream_1m(spark) -> dict[str, float]:
     }
 
 
+# Ambient-calibration canary (r10 VERDICT item 2): a fixed, code-stable
+# probe pair timed at bench open and close, recorded in the JSON so
+# round-over-round drift adjudication is a one-line ratio read instead of
+# a worktree-A/B ritual.  The probes never change between rounds:
+#   1. spark.range(500M).sum()         — pure-CPU whole-stage-codegen loop
+#   2. frozen parquet scan-agg         — I/O + shuffle-free aggregate over
+#      the FIXED sf0.1 lineitem table (independent of $SPARK_GRAFT_SF_DIR
+#      so the canary is comparable even when the bench SF changes)
+# Both are warmed once (codegen compile excluded, like every other timing
+# here), then the MEDIAN of 3 runs is recorded — median, not min, because
+# the canary's job is to measure ambient machine conditions, not to hide
+# them.  A round whose canary is 1.3× the prior round's explains a ~1.3×
+# uniform headline shift as ambient; same-canary rounds make any residual
+# per-query delta attributable to code.
+CANARY_RANGE_N = 500_000_000
+CANARY_PARQUET = "/root/testdata/sf0.1/lineitem.parquet"
+
+
+def run_canary(spark) -> float:
+    from pyspark.sql import functions as F
+
+    def probe() -> None:
+        spark.range(CANARY_RANGE_N).agg(F.sum("id")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        spark.read.parquet(CANARY_PARQUET).agg(
+            F.sum("l_quantity"), F.count("*")
+        ).write.format("noop").mode("overwrite").save()
+
+    probe()  # warm: codegen compile + parquet footer, excluded like all queries
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe()
+        runs.append(time.perf_counter() - t0)
+    return round(sorted(runs)[1], 4)
+
+
 N_RUNS = 3  # per-query warm repeats; ambient VM noise measured up to 1.5×
 # on single runs (r3 driver bench vs same-code quiet-session reruns), so the
 # recorded number is the best of N and the raw runs ship in "all_runs" to
@@ -304,6 +342,7 @@ def main() -> None:
         "marketstream-bench",
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
+    canary_open = run_canary(spark)
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
 
@@ -424,6 +463,9 @@ def main() -> None:
     extras["tpch_power_total"] = round(time.perf_counter() - t0, 4)
     extras["tpch_power_queries"] = len(tpch_names)
 
+    canary_close = run_canary(spark)
+    canary = {"open": canary_open, "close": canary_close}
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The driver captures only the LAST ~2000 chars of stdout and parses
@@ -443,6 +485,7 @@ def main() -> None:
         "all_runs": all_runs,
         "extras": extras,
         "extras_split": extras_split,
+        "canary_seconds": canary,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -459,6 +502,7 @@ def main() -> None:
             "sf": sf_val,
             "n_runs": N_RUNS,
             "extras_total": round(sum(extras.values()), 4),
+            "canary_seconds": canary,
             "detail": "BENCH_DETAIL.json",
         }
     )
@@ -476,6 +520,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_runs": N_RUNS,
                 "extras_total": round(sum(extras.values()), 4),
+                "canary_seconds": canary,
                 "detail": "BENCH_DETAIL.json",
                 "note": "queries dict trimmed: full line exceeded 1900 chars",
             }

@@ -412,19 +412,37 @@ def embedding_neardup_pairs_sql(
     """
 
 
+CODEBOOK_MAX_CENTROIDS = 65_536
+
+
 def neardup_centroid_count(
     approx_rows: int | None, nassign: int = 2
 ) -> int:
-    """Corpus-adaptive codebook size, C = nassign·√rows — the classic IVF
-    balance: assignment costs rows·C cosines and within-bucket verify
-    costs ≈ rows²·nassign²/C, which are EQUAL at C = nassign·√rows, so
-    both stages scale ~rows^1.5 (vs verify going quadratic under a fixed
-    tiny C — measured 84 s at 10k vectors — or assignment going quadratic
-    under a per-bucket-size target, C ∝ rows).  Shared by the DuckDB
-    oracle so both engines bucket identically."""
+    """Corpus-adaptive codebook size, C = min(nassign·√rows, 65,536) —
+    the classic IVF balance: assignment costs rows·C cosines and
+    within-bucket verify costs ≈ rows²·nassign²/C, which are EQUAL at
+    C = nassign·√rows, so both stages scale ~rows^1.5 (vs verify going
+    quadratic under a fixed tiny C — measured 84 s at 10k vectors — or
+    assignment going quadratic under a per-bucket-size target,
+    C ∝ rows).  Shared by the DuckDB oracle so both engines bucket
+    identically.
+
+    The CODEBOOK_MAX_CENTROIDS cap (r10 VERDICT item 4) bounds the one
+    driver-resident artifact that otherwise grows with data — the
+    codebook collect is ≤ 65,536 rows × dim doubles (~34 MB at 64 dims,
+    vs ~160 MB uncapped at 10¹¹ vectors).  Quality/cost note: the cap
+    binds only past rows ≈ (C_MAX/nassign)² — 4.3×10⁹ vectors at
+    nassign=1 — beyond which verify grows as rows²·nassign²/C_MAX
+    instead of rows^1.5; candidate generation stays within-bucket (no
+    recall change, near-dup groups only get cheaper to witness), so the
+    trade is compute balance, not result quality.  Gate SFs sit far
+    below the cap, so all oracle hashes are unchanged."""
     if approx_rows is None:
         return N_CENTROIDS
-    return max(N_CENTROIDS, int(nassign * approx_rows ** 0.5) + 1)
+    return max(
+        N_CENTROIDS,
+        min(int(nassign * approx_rows ** 0.5) + 1, CODEBOOK_MAX_CENTROIDS),
+    )
 
 
 def embedding_neardup_ivf(

@@ -150,3 +150,25 @@ def test_assignment_kernel_matches_declarative_plan(spark):
         .collect()
     }
     assert got == ref
+
+
+def test_codebook_cap_bounds_driver_collect():
+    """r10 VERDICT item 4: the √N codebook was the one driver-resident
+    artifact growing with data — C must saturate at CODEBOOK_MAX_CENTROIDS
+    while staying exactly nassign·√rows+1 below the cap (oracle parity)."""
+    from marketstream_etl_spark.operators.similarity import (
+        CODEBOOK_MAX_CENTROIDS,
+        N_CENTROIDS,
+        neardup_centroid_count,
+    )
+
+    # below the cap: unchanged corpus-adaptive law (gate-SF hashes depend
+    # on this exact value)
+    assert neardup_centroid_count(20_000, 1) == int(20_000 ** 0.5) + 1
+    assert neardup_centroid_count(20_000, 2) == int(2 * 20_000 ** 0.5) + 1
+    # at/above the cap: bounded regardless of corpus size
+    assert neardup_centroid_count(10**11, 1) == CODEBOOK_MAX_CENTROIDS
+    assert neardup_centroid_count(10**14, 2) == CODEBOOK_MAX_CENTROIDS
+    # floor and None behavior unchanged
+    assert neardup_centroid_count(None) == N_CENTROIDS
+    assert neardup_centroid_count(1) == N_CENTROIDS
