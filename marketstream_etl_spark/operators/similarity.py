@@ -240,6 +240,84 @@ def _centroids(base: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
+def _nearest_buckets_kernel(
+    cent_rows: list[tuple[int, list[float]]],
+    n: int,
+    id_col: str,
+    vec_col: str,
+    out: str,
+):
+    """mapInPandas kernel: per-row top-n nearest centroids with
+    SPARK-EXACT ordering — every double matches the declarative
+    cosine() + row_number(desc ccos, asc centroid_id) plan it replaced:
+
+    - dot accumulates in an ascending-dimension loop (acc += v_i·c_i,
+      IEEE two-step, no FMA), the identical left-associated order as the
+      dot() aggregate fold; vector and centroid norms use the identical
+      ascending x·x fold + sqrt, and ccos = dot/(vnorm·cnorm) with the
+      same product-then-divide shape as cosine();
+    - top-n selection sorts by (desc ccos, asc centroid_id) via a STABLE
+      argsort over centroid columns already in ascending-id order, with
+      NaN ranked greatest (Spark's double window order puts NaN first
+      under desc).  Scope note, as for _semantic_assign_kernel: on a
+      zero-norm vector or centroid the declarative plan under ANSI mode
+      would raise DIVIDE_BY_ZERO while this kernel's 0/0 yields NaN and
+      ranks it first; and ±0.0 compare equal here (stable → lower
+      centroid_id) where Java's Double.compare orders -0.0 < 0.0.
+      Embeddings here are nonzero, so neither case is reachable; both
+      gate-SF hash checks pin the equivalence on real data.
+
+    Per Arrow batch the work is dim vectorized (rows×C) fused rounds —
+    map-ONLY.  The r1-r10 shape (broadcast-join the codebook, score N×C
+    slim rows, window-shuffle them for the per-id rank) materialized and
+    SHUFFLED an N×C frame: 5.7 BILLION rows at the sf100 decade probe
+    (2M vectors × 2,829 corpus-adaptive centroids), which failed the
+    probe outright.  This kernel never materializes N×C rows off-core:
+    the codebook rides into each task (bounded ≤ CODEBOOK_MAX_CENTROIDS
+    by construction at every call site) and only the n winner rows per
+    vector leave the batch."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        if not cent_rows:
+            return
+        cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
+        C = np.array([v for _, v in cent_rows], dtype=np.float64)
+        nc, dim = C.shape
+        cn = np.zeros(nc, dtype=np.float64)
+        for i in range(dim):
+            cn += C[:, i] * C[:, i]
+        cn = np.sqrt(cn)
+        take = min(n, nc)
+        for pdf in batches:
+            nr = len(pdf)
+            if nr == 0:
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.zeros(nr, dtype=np.float64)
+            for i in range(dim):
+                vn += V[:, i] * V[:, i]
+            vn = np.sqrt(vn)
+            D = np.zeros((nr, nc), dtype=np.float64)
+            for i in range(dim):
+                D += V[:, i : i + 1] * C[None, :, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cc = D / (vn[:, None] * cn[None, :])
+            key = np.where(np.isnan(cc), np.inf, cc)
+            order = np.argsort(-key, axis=1, kind="stable")[:, :take]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(
+                        pdf[id_col].to_numpy(dtype=np.int64), take
+                    ),
+                    out: cids[order].ravel(),
+                }
+            )
+
+    return assign
+
+
 def _nearest_buckets(
     df: DataFrame,
     centroids: DataFrame,
@@ -248,26 +326,25 @@ def _nearest_buckets(
     n: int,
     out: str,
 ) -> DataFrame:
-    """Each row's `n` nearest centroid buckets (map-side scoring vs the
-    broadcast codebook, per-row top-n window over C rows).
-
-    The scored frame is SLIM — (id, centroid_id, ccos) only.  Carrying the
-    input vector through the N×C window shuffle OOMs at scale (measured:
-    Java heap exhaustion at 100k vectors × 3k centroids, two 64-dim arrays
-    per row); the vector is re-attached afterwards by an equi-join on the
-    id, which broadcasts or shuffles only N rows."""
-    scored = df.join(F.broadcast(centroids)).select(
-        id_col,
-        "centroid_id",
-        cosine(F.col(vec_col), F.col("cvec")).alias("ccos"),
+    """Each row's `n` nearest centroid buckets: Arrow-batched map-only
+    top-n against the driver-collected codebook (bounded — the _centroids
+    sample, a kmeans k-row codebook, or the capped corpus-adaptive
+    C ≤ CODEBOOK_MAX_CENTROIDS; the same k-row-collect class as
+    kmeans_fit/semantic_dedup).  See _nearest_buckets_kernel for the
+    exactness argument and for why the previous broadcast-join + window
+    shape failed at the sf100 decade (N×C shuffle).  Returns the SLIM
+    (id, bucket) frame; callers that need the vector (or its
+    precomputed norm) re-attach it with one N-row equi-join — callers
+    that only need the bucket (ann_ivfpq's code index) skip that join
+    entirely."""
+    cent_rows = [
+        (r["centroid_id"], list(r["cvec"]))
+        for r in centroids.orderBy("centroid_id").collect()
+    ]
+    kern = _nearest_buckets_kernel(cent_rows, n, id_col, vec_col, out)
+    return df.select(id_col, vec_col).mapInPandas(
+        kern, f"{id_col} long, {out} long"
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.col("centroid_id"))
-    buckets = (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= n)
-        .select(id_col, F.col("centroid_id").alias(out))
-    )
-    return buckets.join(df.select(id_col, vec_col), id_col)
 
 
 def ann_ivf(
@@ -290,7 +367,10 @@ def ann_ivf(
         centroids = _centroids(base, n_centroids)
 
     def nearest(df: DataFrame, id_col: str, vec_col: str, n: int, out: str) -> DataFrame:
-        return _nearest_buckets(df, centroids, id_col, vec_col, n, out)
+        # slim (id, bucket) + one N-row join to re-attach the vector
+        return _nearest_buckets(df, centroids, id_col, vec_col, n, out).join(
+            df.select(id_col, vec_col), id_col
+        )
 
     assigned = nearest(base, "vec_id", "vec", 1, "bucket")
     queries = base.filter(F.col("vec_id") < n_queries).select(
@@ -463,16 +543,33 @@ def embedding_neardup_ivf(
     `approx_rows` is the parquet-footer row count (no Spark job)."""
     if n_centroids is None:
         n_centroids = neardup_centroid_count(approx_rows, nassign)
-    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    base = (
+        _spread_emb(emb)
+        .select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+        .withColumn("vnorm", norm(F.col("vec")))
+    )
     centroids = _centroids(base, n_centroids)
+    # slim (vec_id, bucket) assignment (map-only kernel), then ONE N-row
+    # join re-attaches vector + precomputed norm.  Norms computed once per
+    # ROW, not re-folded twice per PAIR: the verify cosine below stays
+    # dot/(na·nb) — the identical double association as cosine() — so
+    # every cos is the same double (the semantic_dedup r10 proof; hashes
+    # pinned by the oracle at both gate SFs).  At the sf100 decade the
+    # per-pair norm folds were ~2/3 of 2.8B pair scorings.
     assigned = _nearest_buckets(
         base, centroids, "vec_id", "vec", nassign, "bucket"
-    )
+    ).join(base, "vec_id")
     a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), "bucket"
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("vnorm").alias("na"),
+        "bucket",
     )
     b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "bucket"
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("vnorm").alias("nb"),
+        "bucket",
     )
     # a pair sharing several buckets scores identically each time, so the
     # distinct() after scoring dedups without re-joining vectors
@@ -482,7 +579,11 @@ def embedding_neardup_ivf(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .distinct()

@@ -47,11 +47,13 @@ def test_no_forced_broadcast_on_scaling_tables():
 def test_collect_sites_are_whitelisted():
     # file -> max allowed .collect() occurrences (all reviewed bounded:
     # dedup fixed-point scalar, kmeans codebooks + recall scalar + the
-    # semantic_dedup C=√rows codebook, vocab, sentinel fixture probe +
-    # socket-emitter test fixture, stream-static anomaly stats)
+    # semantic_dedup capped-√rows codebook + the _nearest_buckets codebook
+    # collect (≤ CODEBOOK_MAX_CENTROIDS rows by construction — r11, the
+    # sf100-probe fix), vocab, sentinel fixture probe + socket-emitter
+    # test fixture, stream-static anomaly stats)
     allowed = {
         "operators/dedup.py": 1,
-        "operators/similarity.py": 3,
+        "operators/similarity.py": 4,
         "plans/training_data.py": 1,
         "streaming/docs.py": 1,
         "streaming/ticks.py": 2,
