@@ -764,8 +764,12 @@ def edit_distance_pairs(
     return (
         cand.join(la, "doc_a")
         .join(lb, "doc_b")
-        .withColumn("edit_dist", F.levenshtein("la", "lb"))
-        .filter(F.col("edit_dist") <= max_dist)
+        # threshold form: banded O(len·t) DP with early exit instead of
+        # the full O(len²) table; EXACT distance for every surviving row
+        # (returns -1 iff dist > max_dist, so >= 0 is the same predicate
+        # as <= max_dist) — output bit-identical, verify ~5x cheaper
+        .withColumn("edit_dist", F.levenshtein("la", "lb", max_dist))
+        .filter(F.col("edit_dist") >= 0)
         .select("doc_a", "doc_b", "edit_dist")
         .orderBy("doc_a", "doc_b")
     )
@@ -1026,8 +1030,11 @@ def snm_pairs(docs: DataFrame, window: int = SNM_WINDOW) -> DataFrame:
             (F.col("pb") > F.col("pa"))
             & (F.col("pb") - F.col("pa") <= w - F.lit(1))
         )
-        .withColumn("edit_dist", F.levenshtein("la", "lb"))
-        .filter(F.col("edit_dist") <= SNM_MAX_DIST)
+        # threshold form — banded DP + early exit, exact for survivors
+        # (see edit_distance_pairs); the r11 sf10 decomposition measured
+        # the full-DP verify at 91% of SNM's 24.7 s wall
+        .withColumn("edit_dist", F.levenshtein("la", "lb", SNM_MAX_DIST))
+        .filter(F.col("edit_dist") >= 0)
     )
     return pairs.select(
         F.least("id_a", "id_b").alias("doc_a"),
