@@ -451,63 +451,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family and the LLM-pipeline north-star ops.  Everything after slot 50
     # still runs under tools/check_oracle.py locally.
     qs = {
-        # r11 rotation (r10 VERDICT item 1 — retire gate-rotation debt):
-        # 29 rows that have NEVER held a driver slot take the gate this
-        # round (never-gated count 93 -> 64), leaving 21 family anchors
-        # in-gate.  Anchors kept (one per SURVEY-§2 / north-star family):
-        # validate_split (V1-V6/F1), csv_fixture_roundtrip (S1/S2
-        # golden), indicators (A1-A4/W), symbol_leaderboard (A8/O2/O3),
-        # parquet_sink_roundtrip (S11/S12/X11), parallel_jdbc_roundtrip
-        # (S8/S9), streaming_websocket (S4/S5/ST6), streaming_ohlc
-        # (ST4 watermark+window bars), streaming_join_full_outer (banded
-        # interval join), streaming_stateful (ST3 +
-        # applyInPandasWithState surface), streaming_jdbc_sink
-        # (ST7/S10/S13), asof_enrich (J2), bucketed_join (S7),
-        # partition_pruning (F5/O5), generator_invariants (S3/X7/X8/
-        # X10), ks_drift (drift), text_analysis (text; populates the
-        # analyzed cache for everything after it), dedup_minhash_lsh
-        # (dedup), multimodal_features (multimodal), roc_auc
-        # (classifier eval), t_closeness (privacy).
-        # OUT — 29 rows, every one driver-green in the r10 gate
-        # (CORRECTNESS_r10.json) or earlier, each family kept in-gate
-        # per the anchor list above, all still check_oracle-verified
-        # in the 232-query local sweep below the fold:
-        # validation_counts, rsi_wilder, mannwhitney_drift (drift by
-        # ks_drift), candlestick_patterns (bars by streaming_ohlc),
-        # streaming_counts/windowed/deadletter/dedup_watermarked/ks/
-        # sessions/mwu/roc/iv/embedding_drift (streaming family keeps 5
-        # anchors + gains 8 first-time rows), key_skew_profile (skew
-        # engineering by skew_salted_join), cusum_changepoints,
-        # session_transitions (sequences by sessionization),
-        # dedup_sorted_neighborhood (dedup gains 4 first-time rows),
-        # source_pagerank (graph by link_prediction), ann_bruteforce
-        # (ANN gains 4 first-time rows), corpus_curation,
-        # hll_cardinality (sketch by hll_set_ops), bloom_contamination
-        # (decontamination by contamination_verbatim/neardup),
-        # winnowing_pairs, bm25_search, lm_perplexity (retrieval/text
-        # stats by tfidf_keywords + text_analysis), calibration_ece,
-        # information_value, embedding_drift (eval/drift by roc_auc +
-        # ks_drift).
-        # --- trade domain (reference parity, SURVEY §2.2-2.5) ---
+        # r12 rotation (r11 VERDICT item 3 — keep retiring gate-rotation
+        # debt): 29 rows that have NEVER held a driver slot take the
+        # gate this round (never-gated count 64 -> 35), keeping the SAME
+        # 21 family anchors as r11 (one per SURVEY-§2 / north-star
+        # family): validate_split (V1-V6/F1), csv_fixture_roundtrip
+        # (S1/S2 golden), indicators (A1-A4/W), symbol_leaderboard
+        # (A8/O2/O3), parquet_sink_roundtrip (S11/S12/X11),
+        # parallel_jdbc_roundtrip (S8/S9), streaming_websocket
+        # (S4/S5/ST6), streaming_ohlc (ST4 watermark+window bars),
+        # streaming_join_full_outer (banded interval join),
+        # streaming_stateful (ST3 + applyInPandasWithState surface),
+        # streaming_jdbc_sink (ST7/S10/S13), asof_enrich (J2),
+        # bucketed_join (S7), partition_pruning (F5/O5),
+        # generator_invariants (S3/X7/X8/X10), ks_drift (drift),
+        # text_analysis (text; populates the analyzed cache for
+        # everything after it), dedup_minhash_lsh (dedup),
+        # multimodal_features (multimodal), roc_auc (classifier eval),
+        # t_closeness (privacy).
+        # OUT — the 29 r11 first-timers, every one driver-green in the
+        # r11 gate (CORRECTNESS_r11.json), each family still anchored
+        # per the list above, all still check_oracle-verified in the
+        # 232-query local sweep below the fold: merge_upsert,
+        # scd2_customers, skew_salted_join, window_analytics,
+        # sessionization (warehouse surface), streaming_upsert/
+        # contamination/ivf_assign/token_drift/psi/benford/hdr/
+        # python_datasource (streaming keeps its 5 anchors),
+        # link_prediction, hll_set_ops, containment_pairs,
+        # dedup_edit_distance, sentence_dedup, incremental_dedup,
+        # embedding_neardup, embedding_neardup_ivf,
+        # ann_ivf_trained_recall, ann_ivfpq, contamination_verbatim,
+        # contamination_neardup, tfidf_keywords, vocab_topk,
+        # sequence_packing, tokenize_ids.
+        # --- trade domain anchors (reference parity, SURVEY §2.2-2.5) ---
         "validate_split": analytics.q_validate_split,
         "csv_fixture_roundtrip": analytics.q_csv_fixture_roundtrip,
         "indicators": analytics.q_indicators,
         "symbol_leaderboard": analytics.q_symbol_leaderboard,
         "parquet_sink_roundtrip": analytics.q_parquet_sink_roundtrip,
         "parallel_jdbc_roundtrip": analytics.q_parallel_jdbc_roundtrip,  # S9
-        # --- warehouse/relational surface (r11 first-timers) ---
-        "merge_upsert": advanced.q_merge_upsert,
-        "scd2_customers": advanced.q_scd2_customers,
-        "skew_salted_join": advanced.q_skew_salted_join,
-        "window_analytics": advanced.q_window_analytics,
-        "sessionization": advanced.q_sessionization,
-        # --- streaming (real Structured Streaming runs; ST1-ST7) — 13:
-        # 5 anchors + 8 first-time rows ---
+        # --- streaming anchors (real Structured Streaming runs) ---
         "streaming_websocket": _stream_websocket,
         "streaming_ohlc": _stream_ohlc,
         "streaming_join_full_outer": _stream_join_full_outer,
         "streaming_stateful": _stream_stateful,
         "streaming_jdbc_sink": _stream_jdbc_sink,
+        # --- remaining family anchors ---
+        "asof_enrich": advanced.q_asof_enrich,  # J2
+        "bucketed_join": _bucketed_join,  # S7 + co-located join
+        "partition_pruning": advanced.q_partition_pruning,  # F5/O5
+        "generator_invariants": advanced.q_generator_invariants,  # S3/X7/X8
+        "ks_drift": advanced.q_ks_drift,
+        # text_analysis first among document rows so the gate attributes
+        # the shared analyzed-cache population to the text row, as in
+        # every prior round; dedup_minhash_lsh likewise owns the shared
+        # LSH/shingle cache
+        "text_analysis": training_data.q_text_analysis,
+        "dedup_minhash_lsh": training_data.q_dedup_minhash_lsh,
+        "multimodal_features": training_data.q_multimodal_features,
+        "roc_auc": training_data.q_roc_auc,
+        "t_closeness": advanced.q_t_closeness,
+        # --- r12 first-timers: LLM-pipeline user-reachable rows ---
+        "quality_classifier": training_data.q_quality_classifier,
+        "quality_percentile_filter": training_data.q_quality_percentile_filter,
+        "langid_confusion": training_data.q_langid_confusion,
+        "token_drift": training_data.q_token_drift,
+        "top_pmi_bigrams": training_data.q_top_pmi_bigrams,
+        "udtf_doc_terms": training_data.q_udtf_doc_terms,
+        "chunk_documents": training_data.q_chunk_documents,
+        "train_test_split": training_data.q_train_test_split,
+        "stratified_sample": training_data.q_stratified_sample,
+        "kfold_assign": training_data.q_kfold_assign,
+        "split_leakage": training_data.q_split_leakage,
+        "source_overlap": training_data.q_source_overlap,
+        "source_mixture": training_data.q_source_mixture,
+        "snapshot_diff": training_data.q_snapshot_diff,
+        "dedup_family_agreement": training_data.q_dedup_family_agreement,
+        "cluster_profile": training_data.q_cluster_profile,
+        # --- r12 first-timers: embedding / ANN rows ---
+        "embedding_stats": training_data.q_embedding_stats,
+        "embedding_quantize": training_data.q_embedding_quantize,
+        "ann_ivf_recall": training_data.q_ann_ivf_recall,
+        "ann_truncated_recall": training_data.q_ann_truncated_recall,
+        "array_functions": training_data.q_array_functions,
+        # --- r12 first-timers: source/sink format roundtrips ---
+        "jsonl_roundtrip": advanced.q_jsonl_roundtrip,
+        "orc_roundtrip": advanced.q_orc_roundtrip,
+        "xml_roundtrip": advanced.q_xml_roundtrip,
+        "binary_ingest": training_data.q_binary_ingest,
+        # --- r12 first-timers: OLAP grouping surface ---
+        "grouping_sets": advanced.q_grouping_sets,
+        "cube_events": advanced.q_cube_events,
+        "rollup_lineitem": advanced.q_rollup_lineitem,
+        "pivot_status": advanced.q_pivot_status,
+        # ---------------- fold: slot 51+ ----------------
+        # r12 rotation OUT rows (the 29 r11 first-timers, all
+        # driver-green in the r11 gate):
+        "merge_upsert": advanced.q_merge_upsert,
+        "scd2_customers": advanced.q_scd2_customers,
+        "skew_salted_join": advanced.q_skew_salted_join,
+        "window_analytics": advanced.q_window_analytics,
+        "sessionization": advanced.q_sessionization,
         "streaming_upsert": _stream_upsert,
         "streaming_contamination": _stream_contamination,
         "streaming_ivf_assign": training_data.q_streaming_ivf_assign,
@@ -516,21 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_benford": _stream_benford,
         "streaming_hdr": _stream_hdr,
         "streaming_python_datasource": advanced.q_streaming_python_datasource,
-        # --- one per remaining SURVEY-§2 family ---
-        "asof_enrich": advanced.q_asof_enrich,  # J2
-        "bucketed_join": _bucketed_join,  # S7 + co-located join
-        "partition_pruning": advanced.q_partition_pruning,  # F5/O5
-        "generator_invariants": advanced.q_generator_invariants,  # S3/X7/X8
-        "ks_drift": advanced.q_ks_drift,
         "link_prediction": tpch.q_link_prediction,
         "hll_set_ops": training_data.q_hll_set_ops,
-        # --- LLM training-data north star; text_analysis first so the
-        # gate attributes the shared analyzed-cache population to the
-        # text row, as in every prior round ---
-        "text_analysis": training_data.q_text_analysis,
-        # dedup block: minhash_lsh first so the shared LSH/shingle cache
-        # is attributed to the anchor row
-        "dedup_minhash_lsh": training_data.q_dedup_minhash_lsh,
         "containment_pairs": training_data.q_containment_pairs,
         "dedup_edit_distance": training_data.q_dedup_edit_distance,
         "sentence_dedup": training_data.q_sentence_dedup,
@@ -545,10 +576,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": training_data.q_vocab_topk,
         "sequence_packing": training_data.q_sequence_packing,
         "tokenize_ids": training_data.q_tokenize_ids,
-        "multimodal_features": training_data.q_multimodal_features,
-        "roc_auc": training_data.q_roc_auc,
-        "t_closeness": advanced.q_t_closeness,
-        # ---------------- fold: slot 51+ ----------------
         # r11 rotation OUT rows (all driver-green r10 or earlier):
         "validation_counts": analytics.q_validation_counts,
         "rsi_wilder": analytics.q_rsi_wilder,
@@ -613,7 +640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_quantiles_grouped": advanced.q_hdr_quantiles_grouped,
         "bollinger_breaches": analytics.q_bollinger_breaches,
         "mad_outliers": training_data.q_mad_outliers,
-        "kfold_assign": training_data.q_kfold_assign,
         "zipf_audit": training_data.q_zipf_audit,
         "source_entropy": training_data.q_source_entropy,
         "python_datasource": advanced.q_python_datasource,
@@ -655,36 +681,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_imbalance": analytics.q_order_imbalance,
         "price_outliers": analytics.q_price_outliers,
         "return_autocorr": analytics.q_return_autocorr,
-        "ann_ivf_recall": training_data.q_ann_ivf_recall,
-        "embedding_stats": training_data.q_embedding_stats,
         "simhash": training_data.q_simhash,
-        "train_test_split": training_data.q_train_test_split,
-        "array_functions": training_data.q_array_functions,
-        "stratified_sample": training_data.q_stratified_sample,
-        "chunk_documents": training_data.q_chunk_documents,
-        "udtf_doc_terms": training_data.q_udtf_doc_terms,
         "bpe_merge_candidates": training_data.q_bpe_merge_candidates,
-        "quality_classifier": training_data.q_quality_classifier,
-        "source_overlap": training_data.q_source_overlap,
         "streaming_socket": _stream_socket,
-        "source_mixture": training_data.q_source_mixture,
         "multimodal_metadata": training_data.q_multimodal_metadata,
         "multimodal_frames": training_data.q_multimodal_frames,
         "ann_ivf": training_data.q_ann_ivf,
         "dedup_collapse_weighted": training_data.q_dedup_collapse_weighted,
-        "binary_ingest": training_data.q_binary_ingest,
-        "embedding_quantize": training_data.q_embedding_quantize,
-        "quality_percentile_filter": training_data.q_quality_percentile_filter,
-        "top_pmi_bigrams": training_data.q_top_pmi_bigrams,
-        "token_drift": training_data.q_token_drift,
-        "dedup_family_agreement": training_data.q_dedup_family_agreement,
-        "cluster_profile": training_data.q_cluster_profile,
-        "ann_truncated_recall": training_data.q_ann_truncated_recall,
-        "langid_confusion": training_data.q_langid_confusion,
-        "split_leakage": training_data.q_split_leakage,
         "vwap_deviation": analytics.q_vwap_deviation,
         "symbol_affinity": analytics.q_symbol_affinity,
-        "snapshot_diff": training_data.q_snapshot_diff,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
@@ -713,27 +718,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- advanced OLAP surface ---
         "events_tumbling": advanced.q_events_tumbling,
         "range_join_bands": advanced.q_range_join_bands,
-        "rollup_lineitem": advanced.q_rollup_lineitem,
-        "pivot_status": advanced.q_pivot_status,
         "set_ops": advanced.q_set_ops,
         "percentiles": advanced.q_percentiles,
         "json_props": advanced.q_json_props,
         "approx_aggs": advanced.q_approx_aggs,
-        "cube_events": advanced.q_cube_events,
-        "grouping_sets": advanced.q_grouping_sets,
         "variant_props": advanced.q_variant_props,
-        "orc_roundtrip": advanced.q_orc_roundtrip,
         "rolling_time_window": advanced.q_rolling_time_window,
         "incremental_agg": advanced.q_incremental_agg,
         "price_histogram": advanced.q_price_histogram,
         "column_profile": advanced.q_column_profile,
         "compaction_roundtrip": advanced.q_compaction_roundtrip,
         "fk_orphans": advanced.q_fk_orphans,
-        "jsonl_roundtrip": advanced.q_jsonl_roundtrip,
         "federated_join": advanced.q_federated_join,
         "partition_backfill": advanced.q_partition_backfill,
         "schema_evolution": advanced.q_schema_evolution,
-        "xml_roundtrip": advanced.q_xml_roundtrip,
         "recursive_rollup": advanced.q_recursive_rollup,
         "funnel": advanced.q_funnel,
         "retention_cohorts": advanced.q_retention_cohorts,
@@ -1910,7 +1908,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_sorted_neighborhood": _dedup.snm_pairs_sql(),
         "ann_pq": _sim.ann_pq_sql(),
         "source_pagerank": _graph.source_pagerank_sql(),
-        "ann_ivfpq": _sim.ann_ivfpq_sql(),
+        # coarse-codebook size derives from the gate SF's footer row
+        # count on BOTH sides (capped √N rule, r11 VERDICT item 5), so
+        # Spark and the oracle bucket identically
+        "ann_ivfpq": _sim.ann_ivfpq_sql(
+            n_centroids=_sim.neardup_centroid_count(
+                _table_row_count("/root/testdata/sf0.01", "embeddings"),
+                nassign=1,
+            )
+        ),
         "bm25_search": _relevance.bm25_search_sql(),
         "tfidf_keywords": _relevance.tfidf_keywords_sql(),
         "benford_audit": advanced.benford_audit_sql(),

@@ -240,8 +240,71 @@ def _centroids(base: DataFrame, n_centroids: int) -> DataFrame:
     )
 
 
+def _rebuild_codebook_handle(bc):
+    """Unpickle hook: executor-side handles carry only the broadcast."""
+    h = _CodebookHandle.__new__(_CodebookHandle)
+    h._centroids = None
+    h._bc = bc
+    return h
+
+
+class _CodebookHandle:
+    """Lazy driver-side codebook for the map-only assignment kernel.
+
+    Three properties, each an r11 ADVICE fix:
+
+    - LAZY (as lazy as mapInPandas allows): the bounded centroid frame is
+      collected only when the first kernel closure is PICKLED
+      (``__reduce__``).  Classic PySpark serializes a mapInPandas command
+      at DataFrame CONSTRUCTION, so a build-vs-execute harness still sees
+      one bounded collect job during the first consumer's plan build —
+      full deferral past build is not expressible for a mapInPandas
+      closure (the command must be self-contained when the plan node is
+      created).  What laziness buys: constructing the handle itself runs
+      nothing, and per query build at most ONE collect fires no matter
+      how many consumers share the handle.
+    - BROADCAST: the collected codebook is packed into two numpy arrays
+      (int64 ids + a float64 (C, dim) matrix — raw doubles, not boxed
+      Python floats) and shipped via ``sc.broadcast``, so at the
+      CODEBOOK_MAX_CENTROIDS cap the ~34 MB payload rides the torrent
+      once per executor instead of being re-pickled into every task
+      command.
+    - SHARED: sibling calls (ann_ivf / ann_ivfpq assign + probe) pass
+      ONE handle, so each query build collects and broadcasts the
+      codebook once, not twice.
+    """
+
+    def __init__(self, centroids: DataFrame):
+        self._centroids = centroids
+        self._bc = None
+
+    def _materialize(self):
+        import numpy as np
+
+        rows = self._centroids.orderBy("centroid_id").collect()
+        cids = np.array([r["centroid_id"] for r in rows], dtype=np.int64)
+        cmat = (
+            np.array([list(r["cvec"]) for r in rows], dtype=np.float64)
+            if rows
+            else np.zeros((0, 0), dtype=np.float64)
+        )
+        return cids, cmat
+
+    def arrays(self):
+        """(cids int64[C], cmat float64[C, dim]); collects + broadcasts on
+        first driver-side use, reads the broadcast executor-side."""
+        if self._bc is None:
+            sc = self._centroids.sparkSession.sparkContext
+            self._bc = sc.broadcast(self._materialize())
+        return self._bc.value
+
+    def __reduce__(self):
+        self.arrays()  # ensure the broadcast exists before shipping
+        return (_rebuild_codebook_handle, (self._bc,))
+
+
 def _nearest_buckets_kernel(
-    cent_rows: list[tuple[int, list[float]]],
+    codebook: "_CodebookHandle",
     n: int,
     id_col: str,
     vec_col: str,
@@ -280,10 +343,9 @@ def _nearest_buckets_kernel(
     import pandas as pd
 
     def assign(batches):
-        if not cent_rows:
+        cids, C = codebook.arrays()
+        if C.size == 0:
             return
-        cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
-        C = np.array([v for _, v in cent_rows], dtype=np.float64)
         nc, dim = C.shape
         cn = np.zeros(nc, dtype=np.float64)
         for i in range(dim):
@@ -320,28 +382,32 @@ def _nearest_buckets_kernel(
 
 def _nearest_buckets(
     df: DataFrame,
-    centroids: DataFrame,
+    centroids: "DataFrame | _CodebookHandle",
     id_col: str,
     vec_col: str,
     n: int,
     out: str,
 ) -> DataFrame:
     """Each row's `n` nearest centroid buckets: Arrow-batched map-only
-    top-n against the driver-collected codebook (bounded — the _centroids
-    sample, a kmeans k-row codebook, or the capped corpus-adaptive
-    C ≤ CODEBOOK_MAX_CENTROIDS; the same k-row-collect class as
-    kmeans_fit/semantic_dedup).  See _nearest_buckets_kernel for the
-    exactness argument and for why the previous broadcast-join + window
-    shape failed at the sf100 decade (N×C shuffle).  Returns the SLIM
-    (id, bucket) frame; callers that need the vector (or its
+    top-n against the lazily-collected, broadcast codebook (bounded — the
+    _centroids sample, a kmeans k-row codebook, or the capped
+    corpus-adaptive C ≤ CODEBOOK_MAX_CENTROIDS; the same k-row-collect
+    class as kmeans_fit/semantic_dedup).  `centroids` is either the
+    codebook DataFrame or a pre-built _CodebookHandle — callers that
+    assign twice per query (ann_ivf/ann_ivfpq) pass one handle so the
+    collect + broadcast happens once.  See _nearest_buckets_kernel for
+    the exactness argument and for why the previous broadcast-join +
+    window shape failed at the sf100 decade (N×C shuffle).  Returns the
+    SLIM (id, bucket) frame; callers that need the vector (or its
     precomputed norm) re-attach it with one N-row equi-join — callers
     that only need the bucket (ann_ivfpq's code index) skip that join
     entirely."""
-    cent_rows = [
-        (r["centroid_id"], list(r["cvec"]))
-        for r in centroids.orderBy("centroid_id").collect()
-    ]
-    kern = _nearest_buckets_kernel(cent_rows, n, id_col, vec_col, out)
+    codebook = (
+        centroids
+        if isinstance(centroids, _CodebookHandle)
+        else _CodebookHandle(centroids)
+    )
+    kern = _nearest_buckets_kernel(codebook, n, id_col, vec_col, out)
     return df.select(id_col, vec_col).mapInPandas(
         kern, f"{id_col} long, {out} long"
     )
@@ -365,10 +431,11 @@ def ann_ivf(
     base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
     if centroids is None:
         centroids = _centroids(base, n_centroids)
+    codebook = _CodebookHandle(centroids)  # one collect+broadcast for both
 
     def nearest(df: DataFrame, id_col: str, vec_col: str, n: int, out: str) -> DataFrame:
         # slim (id, bucket) + one N-row join to re-attach the vector
-        return _nearest_buckets(df, centroids, id_col, vec_col, n, out).join(
+        return _nearest_buckets(df, codebook, id_col, vec_col, n, out).join(
             df.select(id_col, vec_col), id_col
         )
 
@@ -1395,27 +1462,41 @@ def ann_ivfpq(
     emb: DataFrame,
     n_queries: int = N_QUERIES,
     k: int = TOP_K,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
     nprobe: int = N_PROBE,
     n_codes: int = PQ_K,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: IVF coarse quantizer restricts each query to its
     `nprobe` nearest centroid buckets; within them, neighbors are ranked
     by PQ/ADC distance over the code index.  Output shape = ann_pq.
 
+    Codebook sizing (r11 VERDICT item 5): when `n_centroids` is not
+    given, C = neardup_centroid_count(approx_rows, nassign=1) — the
+    capped √N rule embedding_neardup_ivf already uses, so per-query scan
+    cost is nprobe·N/C ≈ nprobe·√N instead of nprobe·N/16.  The r11
+    sf100 law row attributed ann_ivfpq's ×14.9 decade ratio to the fixed
+    C=16 default spilling a 16M-row code-index join; the corpus-adaptive
+    default restores the √N balance.  `approx_rows` is the parquet-footer
+    row count (no Spark job); with neither knob the demo default
+    N_CENTROIDS=16 still applies (neardup_centroid_count(None) == 16).
+
     Plan: the code index (vec_id, bucket, m, code) is the ONLY corpus-
     sized frame after encode; probes and ADC tables are broadcast, so the
     scan is one map-side join chain + one partial-aggregated groupBy."""
+    if n_centroids is None:
+        n_centroids = neardup_centroid_count(approx_rows, nassign=1)
     base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
     centroids = _centroids(base, n_centroids)
+    codebook = _CodebookHandle(centroids)  # one collect+broadcast for both
     assigned = _nearest_buckets(
-        base, centroids, "vec_id", "vec", 1, "bucket"
+        base, codebook, "vec_id", "vec", 1, "bucket"
     ).select("vec_id", "bucket")
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
     probes = _nearest_buckets(
-        queries, centroids, "query_id", "qvec", nprobe, "bucket"
+        queries, codebook, "query_id", "qvec", nprobe, "bucket"
     ).select("query_id", "bucket")
 
     subs = _subvectors(base, "vec_id", "vec")
@@ -1616,7 +1697,7 @@ def embedding_quantize_error_sql(
 
 # --- semantic dedup (SemDeDup) ----------------------------------------------
 
-def _semantic_assign_kernel(cent_rows: list[tuple[int, list[float]]]):
+def _semantic_assign_kernel(codebook: "_CodebookHandle"):
     """mapInPandas kernel: nearest-centroid assignment with SPARK-EXACT
     arithmetic — every double matches the declarative
     dot/(norm·norm) + max(struct(ccos, -centroid_id)) plan bit-for-bit:
@@ -1646,10 +1727,9 @@ def _semantic_assign_kernel(cent_rows: list[tuple[int, list[float]]]):
     import pandas as pd
 
     def assign(batches):
-        if not cent_rows:
+        cids, C = codebook.arrays()
+        if C.size == 0:
             return
-        cids = np.array([c for c, _ in cent_rows], dtype=np.int64)
-        C = np.array([v for _, v in cent_rows], dtype=np.float64)
         nc, dim = C.shape
         cn = np.zeros(nc, dtype=np.float64)
         for i in range(dim):
@@ -1756,15 +1836,12 @@ def semantic_dedup(
         .select("vec_id", _dvec(F.col("embedding")).alias("vec"))
         .withColumn("vnorm", norm(F.col("vec")))
     )
-    # bounded codebook collect: C = √rows rows of dim doubles (same class
-    # as the kmeans k-row codebook; whitelisted in test_scale_lints)
-    cent_rows = [
-        (r["centroid_id"], list(r["cvec"]))
-        for r in _centroids(base, n_centroids)
-        .orderBy("centroid_id")
-        .collect()
-    ]
-    assign = _semantic_assign_kernel(cent_rows)
+    # bounded codebook: C = √rows rows of dim doubles (same class as the
+    # kmeans k-row codebook); collected lazily at first kernel pickle and
+    # shipped as a Spark broadcast, like _nearest_buckets (r12)
+    assign = _semantic_assign_kernel(
+        _CodebookHandle(_centroids(base, n_centroids))
+    )
     # asg feeds THREE consumers (both self-join legs and the final verdict
     # join); without truncation each re-runs the NxC assignment scoring
     # pass (plan audit: 18 scans before, one assignment pass after).

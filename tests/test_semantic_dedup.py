@@ -136,15 +136,15 @@ def test_assignment_kernel_matches_declarative_plan(spark):
         .collect()
     }
 
-    cent_rows = [
-        (r["centroid_id"], list(r["cvec"]))
-        for r in cents.orderBy("centroid_id").collect()
-    ]
+    from marketstream_etl_spark.operators.similarity import _CodebookHandle
+
     got = {
         r["vec_id"]: (r["bucket"], r["cent_e6"])
         for r in base.select("vec_id", "vec", "vnorm")
         .mapInPandas(
-            _semantic_assign_kernel(cent_rows),
+            _semantic_assign_kernel(
+                _CodebookHandle(cents.select("centroid_id", "cvec"))
+            ),
             "vec_id long, bucket long, cent_e6 long",
         )
         .collect()

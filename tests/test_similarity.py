@@ -211,3 +211,95 @@ def test_quantize_error_bounded_by_half_step(spark, sf_dir):
     )
     r = embedding_quantize_error(const).collect()[0]
     assert r["max_abs_err"] == 0.0 and r["mse"] == 0.0
+
+
+def test_nearest_buckets_kernel_matches_declarative_plan(spark):
+    """The r11 map-only IVF assignment kernel must be bit-identical to the
+    declarative cosine() + row_number(desc ccos, asc centroid_id) plan it
+    replaced (r11 VERDICT item 2): same ascending-dimension IEEE dot fold,
+    same stable top-n tie order — over a corpus engineered for exact-cosine
+    ties (exact/scaled copies of a centroid, a duplicated centroid
+    direction inside the codebook) and a 1-ulp near-tie, at top-n 1 and 3."""
+    import numpy as np
+    from pyspark.sql import Row, Window
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.similarity import (
+        _centroids,
+        _dvec,
+        _nearest_buckets,
+        cosine,
+    )
+
+    rng = np.random.default_rng(12)
+    dim = 6
+    vecs = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(48)]
+    # duplicate centroid DIRECTION inside the codebook: centroid 1 is a
+    # scaled copy of centroid 0, so every vector's cosine to both is equal
+    # whenever the scaled norm/dot folds round identically (exact tie →
+    # stable order must pick the lower centroid_id first)
+    vecs[1] = (1, [3.0 * x for x in vecs[0][1]])
+    vecs.append((48, list(vecs[0][1])))              # exact copy of centroid 0
+    vecs.append((49, [0.5 * x for x in vecs[0][1]]))  # scaled copy
+    bumped = list(vecs[2][1])                         # 1-ulp near-tie corpus row
+    bumped[0] = float(np.nextafter(bumped[0], np.inf))
+    vecs.append((50, bumped))
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in vecs])
+    base = df.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    cents = _centroids(base, 8)
+
+    for n in (1, 3):
+        got = sorted(
+            (r["vec_id"], r["bucket"])
+            for r in _nearest_buckets(
+                base, cents, "vec_id", "vec", n, "bucket"
+            ).collect()
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("ccos"), F.col("centroid_id")
+        )
+        ref = sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in base.join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "centroid_id",
+                cosine(F.col("vec"), F.col("cvec")).alias("ccos"),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= n)
+            .collect()
+        )
+        assert got == ref
+
+
+def test_nearest_buckets_codebook_collected_once_and_shared(spark):
+    """r11 ADVICE: the codebook handle is lazy until the FIRST kernel
+    closure is pickled (classic PySpark pickles mapInPandas commands at
+    DataFrame construction, so that is plan-build of the first consumer —
+    pure handle construction runs nothing), and SHARED: sibling
+    assign/probe calls on one handle collect + broadcast exactly once,
+    and later plan builds / actions reuse the same broadcast."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.similarity import (
+        _CodebookHandle,
+        _centroids,
+        _dvec,
+        _nearest_buckets,
+    )
+
+    emb = emb_df(
+        spark, [[float(i == j) for j in range(4)] for i in range(4)] * 3
+    )
+    base = emb.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    handle = _CodebookHandle(_centroids(base, 2))
+    assert handle._bc is None, "handle construction must not collect"
+    a = _nearest_buckets(base, handle, "vec_id", "vec", 1, "bucket")
+    bc = handle._bc
+    assert bc is not None, "first plan build pickles the kernel → collect"
+    b = _nearest_buckets(base, handle, "vec_id", "vec", 2, "bucket")
+    assert handle._bc is bc, "sibling plan build reuses the broadcast"
+    assert a.count() == 12
+    assert b.count() == 24
+    assert handle._bc is bc, "actions reuse the broadcast too"

@@ -55,14 +55,27 @@ def main() -> None:
     for stage in ("bare_replay_count", "session_window", "post_sink_batch"):
         rows[stage] = []
     for i, d in enumerate(dirs):
-        # (a) bare replay: stateless per-batch count
+        # (a) bare replay: stateless per-batch count over the SAME
+        # projection the session stage reads (user_id + the
+        # timestamp_micros ts-normalization), so the baseline prices
+        # scan + normalization, not a column-pruned narrower scan
+        # (r11 ADVICE: select("user_id") alone let pruning skip ts)
         bare = float("inf")
         for r in range(N):
-            ev = stream_events(spark, d).select("user_id")
+            ev = stream_events(spark, d).select(
+                "user_id",
+                F.timestamp_micros(F.expr("ts div 1000")).alias(
+                    "event_time"
+                ),
+            )
             bare = min(
                 bare,
                 run_stream(
-                    ev.groupBy().count(), f"dsx_bare_{i}_{r}", "complete"
+                    ev.groupBy().agg(
+                        F.count("*"), F.max("event_time")
+                    ),
+                    f"dsx_bare_{i}_{r}",
+                    "complete",
                 ),
             )
         rows["bare_replay_count"].append(bare)
