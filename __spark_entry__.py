@@ -1908,15 +1908,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_sorted_neighborhood": _dedup.snm_pairs_sql(),
         "ann_pq": _sim.ann_pq_sql(),
         "source_pagerank": _graph.source_pagerank_sql(),
-        # coarse-codebook size derives from the gate SF's footer row
-        # count on BOTH sides (capped √N rule, r11 VERDICT item 5), so
-        # Spark and the oracle bucket identically
-        "ann_ivfpq": _sim.ann_ivfpq_sql(
-            n_centroids=_sim.neardup_centroid_count(
-                _table_row_count("/root/testdata/sf0.01", "embeddings"),
-                nassign=1,
-            )
-        ),
+        "ann_ivfpq": _sim.ann_ivfpq_sql(),
         "bm25_search": _relevance.bm25_search_sql(),
         "tfidf_keywords": _relevance.tfidf_keywords_sql(),
         "benford_audit": advanced.benford_audit_sql(),
