@@ -68,3 +68,13 @@ def test_bench_stops_jvm_before_headline_print():
 def test_bench_disables_console_progress():
     src = BENCH.read_text()
     assert '"spark.ui.showConsoleProgress": "false"' in src
+
+
+def test_canary_missing_fixture_returns_none(monkeypatch):
+    """r11 ADVICE: a missing canary fixture must record null, not abort
+    the bench before any query runs.  The existence guard fires before
+    any Spark use, so spark=None proves no probe was attempted."""
+    import bench
+
+    monkeypatch.setattr(bench, "CANARY_PARQUET", "/nonexistent/lineitem.parquet")
+    assert bench.run_canary(None) is None
