@@ -42,10 +42,11 @@ def run_stream(df, name: str, mode: str) -> float:
 
 def main() -> None:
     dirs = sys.argv[1:] or DIRS
-    from tools.sweep_sf import ensure_driver_mem
+    from tools.sweep_sf import ensure_driver_mem, ensure_shuffle_width
 
     for d in dirs:
         ensure_driver_mem(d)
+        ensure_shuffle_width(d)
     spark = get_spark(
         "decompose-sessions",
         extra_conf={"spark.ui.showConsoleProgress": "false"},

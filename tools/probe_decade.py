@@ -60,10 +60,11 @@ def main() -> None:
     # list that includes a >64 MB decade must not OOM the default 4g test
     # heap mid-batch (an sf10 dedup_clusters probe killed the context via
     # GCLocker allocation failure and poisoned every later row)
-    from tools.sweep_sf import ensure_driver_mem
+    from tools.sweep_sf import ensure_driver_mem, ensure_shuffle_width
 
     for d in dirs:
         ensure_driver_mem(d)
+        ensure_shuffle_width(d)
     spark = get_spark("probe-decade")
     qs = entrymod.queries()
     hdr = "".join(f"{d.rstrip('/').rsplit('/', 1)[-1]:>18}" for d in dirs)

@@ -35,6 +35,35 @@ BIG_SWEEP_BYTES = 64 * 1024 * 1024
 BIG_SWEEP_MEM = "32g"  # still modest: 1 GiB per local[32] thread
 
 
+def ensure_shuffle_width(sf_dir: str) -> None:
+    """Input-scaled shuffle width for decade-scale runs (r12): fixed 32
+    reduce slots spill once per-partition shuffle blocks outgrow memory
+    — tfidf_keywords' ~300M-row postings shuffles measured 90.0 s at 32
+    vs 57.0 s at 256 warm (226 -> 84 s cold) at the sf100 decade.  Sets
+    SPARK_GRAFT_SHUFFLE_PARTITIONS (read by session.get_spark) to
+    ~input_bytes/32MB clamped to [32, 1024]; small inputs stay at the
+    harness default and an explicitly-set env is respected.  On a real
+    cluster this is the ops-owned spark.sql.shuffle.partitions sizing —
+    a global AQE initialPartitionNum fix was tried and rejected by
+    measurement (see session.py)."""
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        return
+    nbytes = sum(
+        os.stat(p).st_size
+        for pat in ("*.parquet", "*/*.parquet")
+        for p in glob.glob(os.path.join(sf_dir, pat))
+    )
+    width = max(32, min(1024, nbytes // (32 * 1024 * 1024)))
+    if width > 32:
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(width)
+        print(
+            f"sweep: input {nbytes / 1e6:.0f} MB — auto-set "
+            f"SPARK_GRAFT_SHUFFLE_PARTITIONS={width} (fixed 32 spills at "
+            "decade scale; see session.get_spark)",
+            flush=True,
+        )
+
+
 def _mem_gib(spec: str) -> float:
     spec = spec.strip().lower()
     units = {"k": 1 / (1024 * 1024), "m": 1 / 1024, "g": 1, "t": 1024}
@@ -86,6 +115,7 @@ def main() -> int:
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     ensure_driver_mem(sf_dir)
+    ensure_shuffle_width(sf_dir)
     spark = get_spark("sweep-sf")
     qs = entrymod.queries()
     fails: list[str] = []
