@@ -55,6 +55,15 @@ def main() -> None:
         i = args.index("--ops")
         ops = args[i + 1].split(",")
         del args[i : i + 2]
+    # --force-columns: materialize via sum(hash(*)) instead of count().
+    # count() lets Catalyst PRUNE expensive columns nothing consumes —
+    # honest for aggregate-shaped queries (the window feeds the agg) but
+    # it under-priced rolling_time_window 0.28 s vs 17.84 s forced at
+    # sf100 (r12).  Use this flag when probing ops whose cost lives in a
+    # projected-but-unaggregated column.
+    force_columns = "--force-columns" in args
+    if force_columns:
+        args.remove("--force-columns")
     dirs = args or [SF01, SF1]
     # same fail-fast heap provisioning as the scale-abort sweep: a probe
     # list that includes a >64 MB decade must not OOM the default 4g test
@@ -81,7 +90,14 @@ def main() -> None:
                 runs, rows = [], 0
                 for _ in range(N):
                     t0 = time.perf_counter()
-                    rows = fn(spark, sf).count()
+                    df = fn(spark, sf)
+                    if force_columns:
+                        from pyspark.sql import functions as F
+
+                        df.select(F.sum(F.hash(*df.columns))).collect()
+                        rows = -1  # rows not counted on this basis
+                    else:
+                        rows = df.count()
                     runs.append(time.perf_counter() - t0)
                 best = min(runs)
                 ratio = "" if prev is None else f" x{best / prev:.1f}"
