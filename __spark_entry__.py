@@ -451,38 +451,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family and the LLM-pipeline north-star ops.  Everything after slot 50
     # still runs under tools/check_oracle.py locally.
     qs = {
-        # r12 rotation (r11 VERDICT item 3 — keep retiring gate-rotation
-        # debt): 29 rows that have NEVER held a driver slot take the
-        # gate this round (never-gated count 64 -> 35), keeping the SAME
-        # 21 family anchors as r11 (one per SURVEY-§2 / north-star
-        # family): validate_split (V1-V6/F1), csv_fixture_roundtrip
-        # (S1/S2 golden), indicators (A1-A4/W), symbol_leaderboard
-        # (A8/O2/O3), parquet_sink_roundtrip (S11/S12/X11),
-        # parallel_jdbc_roundtrip (S8/S9), streaming_websocket
-        # (S4/S5/ST6), streaming_ohlc (ST4 watermark+window bars),
-        # streaming_join_full_outer (banded interval join),
-        # streaming_stateful (ST3 + applyInPandasWithState surface),
-        # streaming_jdbc_sink (ST7/S10/S13), asof_enrich (J2),
-        # bucketed_join (S7), partition_pruning (F5/O5),
-        # generator_invariants (S3/X7/X8/X10), ks_drift (drift),
-        # text_analysis (text; populates the analyzed cache for
-        # everything after it), dedup_minhash_lsh (dedup),
+        # r13 rotation (r12 VERDICT item 1 — FINISH the gate-rotation
+        # program): 29 of the 35 rows that have never held a driver slot
+        # take the gate this round (never-gated count 35 -> 6), keeping
+        # the SAME 21 family anchors as r11/r12 (one per SURVEY-§2 /
+        # north-star family): validate_split (V1-V6/F1),
+        # csv_fixture_roundtrip (S1/S2 golden), indicators (A1-A4/W),
+        # symbol_leaderboard (A8/O2/O3), parquet_sink_roundtrip
+        # (S11/S12/X11), parallel_jdbc_roundtrip (S8/S9),
+        # streaming_websocket (S4/S5/ST6), streaming_ohlc (ST4
+        # watermark+window bars), streaming_join_full_outer (banded
+        # interval join), streaming_stateful (ST3 +
+        # applyInPandasWithState surface), streaming_jdbc_sink
+        # (ST7/S10/S13), asof_enrich (J2), bucketed_join (S7),
+        # partition_pruning (F5/O5), generator_invariants (S3/X7/X8/X10),
+        # ks_drift (drift), text_analysis (text; populates the analyzed
+        # cache for everything after it), dedup_minhash_lsh (dedup),
         # multimodal_features (multimodal), roc_auc (classifier eval),
         # t_closeness (privacy).
-        # OUT — the 29 r11 first-timers, every one driver-green in the
-        # r11 gate (CORRECTNESS_r11.json), each family still anchored
+        # The 6 rows deferred to the r14 gate are all trade-analytics
+        # twins of long-driver-green families (bollinger_breaches,
+        # hdr_quantiles_grouped, price_outliers, return_autocorr,
+        # symbol_affinity, vwap_deviation) — the 29 slotted here are the
+        # operator-distinct capability rows (OLAP long tail, warehouse
+        # maintenance, format/federation surface).
+        # OUT — the 29 r12 first-timers, every one driver-green in the
+        # r12 gate (CORRECTNESS_r12.json), each family still anchored
         # per the list above, all still check_oracle-verified in the
-        # 232-query local sweep below the fold: merge_upsert,
-        # scd2_customers, skew_salted_join, window_analytics,
-        # sessionization (warehouse surface), streaming_upsert/
-        # contamination/ivf_assign/token_drift/psi/benford/hdr/
-        # python_datasource (streaming keeps its 5 anchors),
-        # link_prediction, hll_set_ops, containment_pairs,
-        # dedup_edit_distance, sentence_dedup, incremental_dedup,
-        # embedding_neardup, embedding_neardup_ivf,
-        # ann_ivf_trained_recall, ann_ivfpq, contamination_verbatim,
-        # contamination_neardup, tfidf_keywords, vocab_topk,
-        # sequence_packing, tokenize_ids.
+        # local sweep below the fold: quality_classifier,
+        # quality_percentile_filter, langid_confusion, token_drift,
+        # top_pmi_bigrams, udtf_doc_terms, chunk_documents,
+        # train_test_split, stratified_sample, kfold_assign,
+        # split_leakage, source_overlap, source_mixture, snapshot_diff,
+        # dedup_family_agreement, cluster_profile, embedding_stats,
+        # embedding_quantize, ann_ivf_recall, ann_truncated_recall,
+        # array_functions, jsonl/orc/xml_roundtrip, binary_ingest,
+        # grouping_sets, cube_events, rollup_lineitem, pivot_status.
         # --- trade domain anchors (reference parity, SURVEY §2.2-2.5) ---
         "validate_split": analytics.q_validate_split,
         "csv_fixture_roundtrip": analytics.q_csv_fixture_roundtrip,
@@ -511,7 +515,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": training_data.q_multimodal_features,
         "roc_auc": training_data.q_roc_auc,
         "t_closeness": advanced.q_t_closeness,
-        # --- r12 first-timers: LLM-pipeline user-reachable rows ---
+        # --- r13 first-timers: advanced OLAP long tail ---
+        "events_tumbling": advanced.q_events_tumbling,
+        "range_join_bands": advanced.q_range_join_bands,
+        "set_ops": advanced.q_set_ops,
+        "percentiles": advanced.q_percentiles,
+        "json_props": advanced.q_json_props,
+        "approx_aggs": advanced.q_approx_aggs,
+        "variant_props": advanced.q_variant_props,
+        "rolling_time_window": advanced.q_rolling_time_window,
+        "incremental_agg": advanced.q_incremental_agg,
+        "price_histogram": advanced.q_price_histogram,
+        "column_profile": advanced.q_column_profile,
+        "recursive_rollup": advanced.q_recursive_rollup,
+        "funnel": advanced.q_funnel,
+        "retention_cohorts": advanced.q_retention_cohorts,
+        "rolling_distinct_users": advanced.q_rolling_distinct_users,
+        "lateness_audit": advanced.q_lateness_audit,
+        "asof_events_tolerance": advanced.q_asof_events_tolerance,
+        # --- r13 first-timers: warehouse maintenance / federation ---
+        "compaction_roundtrip": advanced.q_compaction_roundtrip,
+        "fk_orphans": advanced.q_fk_orphans,
+        "federated_join": advanced.q_federated_join,
+        "partition_backfill": advanced.q_partition_backfill,
+        "schema_evolution": advanced.q_schema_evolution,
+        # --- r13 first-timers: statistical-audit / LLM-pipeline rows ---
+        "mad_outliers": training_data.q_mad_outliers,
+        "zipf_audit": training_data.q_zipf_audit,
+        "source_entropy": training_data.q_source_entropy,
+        "padding_efficiency": training_data.q_padding_efficiency,
+        "ngram_novelty": training_data.q_ngram_novelty,
+        "bpe_merge_candidates": training_data.q_bpe_merge_candidates,
+        "dedup_collapse_weighted": training_data.q_dedup_collapse_weighted,
+        # ---------------- fold: slot 51+ ----------------
+        # r13 rotation OUT rows (the 29 r12 first-timers, all
+        # driver-green in the r12 gate):
         "quality_classifier": training_data.q_quality_classifier,
         "quality_percentile_filter": training_data.q_quality_percentile_filter,
         "langid_confusion": training_data.q_langid_confusion,
@@ -528,23 +566,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": training_data.q_snapshot_diff,
         "dedup_family_agreement": training_data.q_dedup_family_agreement,
         "cluster_profile": training_data.q_cluster_profile,
-        # --- r12 first-timers: embedding / ANN rows ---
         "embedding_stats": training_data.q_embedding_stats,
         "embedding_quantize": training_data.q_embedding_quantize,
         "ann_ivf_recall": training_data.q_ann_ivf_recall,
         "ann_truncated_recall": training_data.q_ann_truncated_recall,
         "array_functions": training_data.q_array_functions,
-        # --- r12 first-timers: source/sink format roundtrips ---
         "jsonl_roundtrip": advanced.q_jsonl_roundtrip,
         "orc_roundtrip": advanced.q_orc_roundtrip,
         "xml_roundtrip": advanced.q_xml_roundtrip,
         "binary_ingest": training_data.q_binary_ingest,
-        # --- r12 first-timers: OLAP grouping surface ---
         "grouping_sets": advanced.q_grouping_sets,
         "cube_events": advanced.q_cube_events,
         "rollup_lineitem": advanced.q_rollup_lineitem,
         "pivot_status": advanced.q_pivot_status,
-        # ---------------- fold: slot 51+ ----------------
         # r12 rotation OUT rows (the 29 r11 first-timers, all
         # driver-green in the r11 gate):
         "merge_upsert": advanced.q_merge_upsert,
@@ -639,17 +673,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join_outer": _stream_join_outer,
         "hdr_quantiles_grouped": advanced.q_hdr_quantiles_grouped,
         "bollinger_breaches": analytics.q_bollinger_breaches,
-        "mad_outliers": training_data.q_mad_outliers,
-        "zipf_audit": training_data.q_zipf_audit,
-        "source_entropy": training_data.q_source_entropy,
         "python_datasource": advanced.q_python_datasource,
         "zorder_skipping": advanced.q_zorder_skipping,
         "pattern_similarity": advanced.q_pattern_similarity,
         "part_triangles": tpch.q_part_triangles,
         "weighted_sample": training_data.q_weighted_sample,
-        "rolling_distinct_users": advanced.q_rolling_distinct_users,
-        "lateness_audit": advanced.q_lateness_audit,
-        "padding_efficiency": training_data.q_padding_efficiency,
         "rolling_indicators": advanced.q_rolling_indicators,  # W
         "kmeans_embeddings": training_data.q_kmeans_embeddings,
         "dedup_clusters": training_data.q_dedup_clusters,
@@ -660,8 +688,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_price": analytics.q_ewma_price,
         "scalar_functions": advanced.q_scalar_functions,  # X5
         "simhash_pairs": training_data.q_simhash_pairs,
-        "asof_events_tolerance": advanced.q_asof_events_tolerance,
-        "ngram_novelty": training_data.q_ngram_novelty,
         "streaming_dedup": _stream_dedup,
         "dedup_ngram_jaccard": training_data.q_dedup_ngram_jaccard,
         "ann_lsh": training_data.q_ann_lsh,
@@ -682,12 +708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_outliers": analytics.q_price_outliers,
         "return_autocorr": analytics.q_return_autocorr,
         "simhash": training_data.q_simhash,
-        "bpe_merge_candidates": training_data.q_bpe_merge_candidates,
         "streaming_socket": _stream_socket,
         "multimodal_metadata": training_data.q_multimodal_metadata,
         "multimodal_frames": training_data.q_multimodal_frames,
         "ann_ivf": training_data.q_ann_ivf,
-        "dedup_collapse_weighted": training_data.q_dedup_collapse_weighted,
         "vwap_deviation": analytics.q_vwap_deviation,
         "symbol_affinity": analytics.q_symbol_affinity,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
@@ -715,26 +739,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21": tpch.q21_waiting_suppliers,
         "tpch_q22": tpch.q22_idle_customers,
         "top_parts_by_revenue": tpch.q_top_parts_by_revenue,
-        # --- advanced OLAP surface ---
-        "events_tumbling": advanced.q_events_tumbling,
-        "range_join_bands": advanced.q_range_join_bands,
-        "set_ops": advanced.q_set_ops,
-        "percentiles": advanced.q_percentiles,
-        "json_props": advanced.q_json_props,
-        "approx_aggs": advanced.q_approx_aggs,
-        "variant_props": advanced.q_variant_props,
-        "rolling_time_window": advanced.q_rolling_time_window,
-        "incremental_agg": advanced.q_incremental_agg,
-        "price_histogram": advanced.q_price_histogram,
-        "column_profile": advanced.q_column_profile,
-        "compaction_roundtrip": advanced.q_compaction_roundtrip,
-        "fk_orphans": advanced.q_fk_orphans,
-        "federated_join": advanced.q_federated_join,
-        "partition_backfill": advanced.q_partition_backfill,
-        "schema_evolution": advanced.q_schema_evolution,
-        "recursive_rollup": advanced.q_recursive_rollup,
-        "funnel": advanced.q_funnel,
-        "retention_cohorts": advanced.q_retention_cohorts,
     }
     from marketstream_etl_spark.streaming.tws import HAS_TWS_RUNTIME
 

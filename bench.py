@@ -11,6 +11,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -500,9 +501,25 @@ def main() -> None:
         "extras_split": extras_split,
         "canary_seconds": canary,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    # The committed round-close BENCH_DETAIL.json is the canary-adjudicated
+    # artifact; ad-hoc and driver post-close runs must NOT clobber it in the
+    # working tree (r12 VERDICT item 3).  Default to a timestamped /tmp path;
+    # only --commit-detail (or SPARK_GRAFT_COMMIT_DETAIL=1) writes the repo
+    # copy, so a driver bench run leaves `git status` clean.
+    commit_detail = (
+        "--commit-detail" in sys.argv
+        or os.environ.get("SPARK_GRAFT_COMMIT_DETAIL") == "1"
     )
+    if commit_detail:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+    else:
+        detail_path = os.path.join(
+            tempfile.gettempdir(),
+            "BENCH_DETAIL_%s_%d.json"
+            % (time.strftime("%Y%m%dT%H%M%S"), os.getpid()),
+        )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     line = json.dumps(
@@ -516,7 +533,7 @@ def main() -> None:
             "n_runs": N_RUNS,
             "extras_total": round(sum(extras.values()), 4),
             "canary_seconds": canary,
-            "detail": "BENCH_DETAIL.json",
+            "detail": detail_path,
         }
     )
     if len(line) > 1900:
@@ -534,7 +551,7 @@ def main() -> None:
                 "n_runs": N_RUNS,
                 "extras_total": round(sum(extras.values()), 4),
                 "canary_seconds": canary,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_path,
                 "note": "queries dict trimmed: full line exceeded 1900 chars",
             }
         )

@@ -48,7 +48,9 @@ def get_spark(
         # is the ops-owned spark.sql.shuffle.partitions sizing; the env
         # override is its harness analog.
         env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
-        if env_parts and env_parts.isdigit():
+        # r12 ADVICE: isdigit() alone admits "0", which Spark rejects at
+        # session build — require a strictly positive int or fall back.
+        if env_parts and env_parts.isdigit() and int(env_parts) > 0:
             shuffle_partitions = int(env_parts)
         else:
             shuffle_partitions = (

@@ -78,3 +78,39 @@ def test_canary_missing_fixture_returns_none(monkeypatch):
 
     monkeypatch.setattr(bench, "CANARY_PARQUET", "/nonexistent/lineitem.parquet")
     assert bench.run_canary(None) is None
+
+
+def test_bench_detail_path_gated_on_commit_flag(monkeypatch, tmp_path):
+    """r12 VERDICT item 3: an ad-hoc or driver bench run must not clobber
+    the committed round-close BENCH_DETAIL.json.  The repo-root path is
+    chosen only under --commit-detail / SPARK_GRAFT_COMMIT_DETAIL=1;
+    default runs go to a timestamped tempdir path.  Static check mirrors
+    the stop-before-print test: the repo-root join must sit inside the
+    commit_detail branch."""
+    src = BENCH.read_text()
+    assert "--commit-detail" in src
+    assert "SPARK_GRAFT_COMMIT_DETAIL" in src
+    tree = ast.parse(src)
+    main_fn = next(
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "main"
+    )
+    repo_root_writes = []
+    for node in ast.walk(main_fn):
+        if isinstance(node, ast.Constant) and node.value == "BENCH_DETAIL.json":
+            repo_root_writes.append(node.lineno)
+    assert repo_root_writes, "repo-root BENCH_DETAIL.json branch removed"
+    guarded = []
+    for node in ast.walk(main_fn):
+        if isinstance(node, ast.If):
+            test_src = ast.get_source_segment(src, node.test) or ""
+            if "commit_detail" in test_src:
+                body_lines = {
+                    n.lineno for b in node.body for n in ast.walk(b)
+                    if hasattr(n, "lineno")
+                }
+                guarded.extend(l for l in repo_root_writes if l in body_lines)
+    assert set(guarded) == set(repo_root_writes), (
+        "the repo-root BENCH_DETAIL.json path must only be selected inside "
+        "the commit_detail branch"
+    )

@@ -93,8 +93,22 @@ def main() -> None:
                     df = fn(spark, sf)
                     if force_columns:
                         from pyspark.sql import functions as F
+                        from pyspark.sql import types as T
 
-                        df.select(F.sum(F.hash(*df.columns))).collect()
+                        # r12 ADVICE: F.hash(*df.columns) throws on map
+                        # columns (Spark cannot hash MapType) and dotted
+                        # names would mis-resolve as paths; index via
+                        # df[c] and to_json any unhashable column so the
+                        # probe still forces full-row materialization.
+                        cols = [
+                            F.to_json(df[c])
+                            if isinstance(
+                                f.dataType, (T.MapType, T.VariantType)
+                            )
+                            else df[c]
+                            for c, f in zip(df.columns, df.schema.fields)
+                        ]
+                        df.select(F.sum(F.hash(*cols))).collect()
                         rows = -1  # rows not counted on this basis
                     else:
                         rows = df.count()

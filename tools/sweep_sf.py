@@ -45,17 +45,30 @@ def ensure_shuffle_width(sf_dir: str) -> None:
     harness default and an explicitly-set env is respected.  On a real
     cluster this is the ops-owned spark.sql.shuffle.partitions sizing —
     a global AQE initialPartitionNum fix was tried and rejected by
-    measurement (see session.py)."""
-    if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
-        return
+    measurement (see session.py).
+
+    Multi-dir runs (probe_decade, decompose_sessions) call this once per
+    dir BEFORE the shared session is built; r12 ADVICE caught that an
+    early-return on an already-set env let the FIRST >32-width dir win,
+    so ascending dirs (sf1, sf10, sf100) ran the largest decade at the
+    smaller dir's width.  An auto-set width (marked by the _AUTO twin
+    env) is therefore raised to the max over all dirs seen; only a
+    user-set env (no marker) is respected as-is."""
+    env_width = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    auto_marked = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS_AUTO") == "1"
+    if env_width and not auto_marked:
+        return  # user-set: respect verbatim
     nbytes = sum(
         os.stat(p).st_size
         for pat in ("*.parquet", "*/*.parquet")
         for p in glob.glob(os.path.join(sf_dir, pat))
     )
     width = max(32, min(1024, nbytes // (32 * 1024 * 1024)))
+    if auto_marked and env_width and env_width.isdigit():
+        width = max(width, int(env_width))
     if width > 32:
         os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(width)
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS_AUTO"] = "1"
         print(
             f"sweep: input {nbytes / 1e6:.0f} MB — auto-set "
             f"SPARK_GRAFT_SHUFFLE_PARTITIONS={width} (fixed 32 spills at "
