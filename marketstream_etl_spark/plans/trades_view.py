@@ -78,7 +78,13 @@ def load_trades(
     artifact; a no-op once the scan splits naturally)."""
     events = load_table(spark, sf_dir, "events")
     if fan_out:
+        import os
+
         from marketstream_etl_spark.sources.layout import fan_out_small_scan
 
-        events = fan_out_small_scan(events)
+        try:
+            nbytes = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+        except OSError:
+            nbytes = None  # non-file layout: legacy RDD-probe path
+        events = fan_out_small_scan(events, input_bytes=nbytes)
     return trades_from_events(events)

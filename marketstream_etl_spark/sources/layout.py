@@ -60,17 +60,57 @@ def read_pruned(
     return df.filter(df[partition_col] == value)
 
 
-def fan_out_small_scan(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to full parallelism when the scan has fewer
-    splits than cores.
+# COMPRESSED bytes of input per fan-out task.  The fanned-out consumers
+# are expression-heavy maps (JSON access, regex validation, window prep);
+# parquet compresses these string-heavy rows ~5-10x, so 512 KB compressed
+# ≈ 3-5 MB of decompressed work ≈ 20-50 ms per task — comfortably above
+# local task-launch overhead (~5-15 ms).  Measured on the sf0.1 events
+# scan (2.0 MB → width 4): validate-split noop best-of-5 was 0.554 s at
+# width 4 / 0.562 at 8 vs 0.697 at the natural width 1 and ~0.62 at the
+# old unconditional full-parallelism 32, so width ≈ size/512 KB sits at
+# the measured optimum while still reaching full cluster width once the
+# input exceeds 512 KB × defaultParallelism.
+_FAN_OUT_TARGET_BYTES = 512 * 1024
+
+
+def fan_out_small_scan(df: DataFrame, input_bytes: int | None = None) -> DataFrame:
+    """Round-robin repartition toward full parallelism when the scan has
+    fewer splits than the data warrants.
 
     Parquet scans split by byte range (`spark.sql.files.maxPartitionBytes`),
     but a file with a single row group yields exactly one task no matter the
     setting, so downstream regex/window/JSON work would serialize on one
     core.  The shuffle moves only the scan's raw bytes (small by premise);
-    callers apply it BEFORE expensive projections so those run wide.  When
-    the scan already has enough splits this returns the input unchanged."""
+    callers apply it BEFORE expensive projections so those run wide.
+
+    The width is INPUT-SCALED when the caller supplies `input_bytes`
+    (optimization guide §2: derive partitioning from input size, not a
+    constant tuned for one deployment): ceil(bytes / 2 MB) clamped to
+    [1, defaultParallelism].  A tiny input keeps its natural split count —
+    r13 measured the old unconditional repartition(32) costing ~0.9 s of
+    pure task scheduling per query at sf0.1 (32 near-empty partitions
+    through every downstream stage) — while anything over
+    2 MB * defaultParallelism still fans out to full width exactly as
+    before.  Skipped entirely when the scan itself already yields at least
+    that many splits (estimated from maxPartitionBytes driver-side; no
+    df.rdd materialization, which cost ~50 ms per plan build).
+
+    Without `input_bytes` the legacy behavior stands: probe the RDD and
+    fan out to full parallelism when narrower."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+    para = sc.defaultParallelism
+    if input_bytes is None:
+        if df.rdd.getNumPartitions() >= para:
+            return df
+        return df.repartition(para)
+    width = min(para, max(1, -(-int(input_bytes) // _FAN_OUT_TARGET_BYTES)))
+    try:
+        max_pb = int(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    splits_est = max(1, -(-int(input_bytes) // max_pb))
+    if width <= splits_est:
         return df
-    return df.repartition(sc.defaultParallelism)
+    return df.repartition(width)

@@ -138,9 +138,40 @@ def ensure_engine_confs(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
 
 
+# Driver-side schema cache for the testdata parquet scans, keyed by
+# (file path, file mtime).  `spark.read.parquet(path)` without a schema
+# runs footer-based schema inference on EVERY call — measured ~0.2 s of
+# pure driver work per call at sf0.1 (Hadoop FS + footer parse + pandas
+# metadata), paid again on every warm bench run because queries rebuild
+# their DataFrames each run.  Caching the inferred StructType and passing
+# it back via `.schema(...)` is exactly what a table format's catalog
+# metadata does at scale (manifest-held schemas — optimization guide §6);
+# it caches PLAN metadata, never data or results.  The mtime key means a
+# regenerated testdata file re-infers.  The inferred schema depends on
+# spark.sql.legacy.parquet.nanosAsLong, which ensure_engine_confs pins
+# before every inference, so entries are session-portable.
+_SCHEMA_CACHE: dict[tuple[str, int], object] = {}
+
+
+def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        return spark.read.parquet(path)  # let Spark raise its own error
+    key = (path, mtime)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _read_parquet_cached_schema(
+        spark, os.path.join(sf_dir, f"{name}.parquet")
+    )
     if name == "events":
         df = normalize_event_ts(spark, df)
     return df
