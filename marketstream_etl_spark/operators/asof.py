@@ -154,7 +154,7 @@ def asof_events_tolerance(
         F.when(back_ok, F.col("t_ns") - F.col("v_t")).alias("view_gap_ns"),
         F.when(fwd_ok, F.col("c_id")).alias("next_click_id"),
         F.when(fwd_ok, F.col("c_t") - F.col("t_ns")).alias("click_gap_ns"),
-    ).orderBy("event_id")
+    )
 
 
 def asof_events_tolerance_sql(tol_ns: int = ASOF_TOL_NS) -> str:

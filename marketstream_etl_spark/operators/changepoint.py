@@ -97,7 +97,6 @@ def cusum_changepoints(trades: DataFrame) -> DataFrame:
     return (
         bars.groupBy("symbol")
         .applyInPandas(_cusum_group, schema=_OUT_SCHEMA)
-        .orderBy("symbol")
     )
 
 

@@ -206,7 +206,6 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -360,7 +359,6 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
         .persist()  # tiny result; curation/contamination consumers and
         # repeat calls resolve to this cache instead of re-running the
         # candidate join + verify
@@ -571,7 +569,6 @@ def simhash_near_pairs(
     out = (
         cand.filter(F.col("hamming") <= max_hamming)
         .distinct()
-        .orderBy("doc_a", "doc_b")
         .persist()  # tiny result; repeat calls and consumers hit the cache
     )
     _rotate_caches(
@@ -685,7 +682,6 @@ def cluster_report(pairs: DataFrame) -> DataFrame:
     return (
         comp.groupBy("cluster_rep")
         .agg(F.count("*").alias("n_docs"), F.max("id").alias("max_doc"))
-        .orderBy("cluster_rep")
     )
 
 
@@ -771,7 +767,6 @@ def edit_distance_pairs(
         .withColumn("edit_dist", F.levenshtein("la", "lb", max_dist))
         .filter(F.col("edit_dist") >= 0)
         .select("doc_a", "doc_b", "edit_dist")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -842,7 +837,6 @@ def collapse_weighted(docs: DataFrame, pairs: DataFrame) -> DataFrame:
             "source",
             F.coalesce("w", F.lit(1)).cast("int").alias("dup_weight"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -928,7 +922,6 @@ def containment_pairs(docs: DataFrame) -> DataFrame:
             F.round(F.col("inter").cast("double") / small.cast("double"), 6)
             .alias("containment"),
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -1041,7 +1034,7 @@ def snm_pairs(docs: DataFrame, window: int = SNM_WINDOW) -> DataFrame:
         F.greatest("id_a", "id_b").alias("doc_b"),
         (F.col("pb") - F.col("pa")).alias("pos_gap"),
         "edit_dist",
-    ).orderBy("doc_a", "doc_b", "pos_gap")
+    )
 
 
 def snm_pairs_sql(window: int = SNM_WINDOW) -> str:

@@ -103,7 +103,7 @@ def hybrid_search_rrf(
         "lex_rank",
         "vec_rank",
         "rank",
-    ).orderBy("query_id", "rank")
+    )
 
 
 def hybrid_search_rrf_sql(

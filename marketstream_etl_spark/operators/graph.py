@@ -108,8 +108,18 @@ def pagerank(
                     f" + ({damp_num} * coalesce(c, 0L)) div {damp_den}"
                 ).cast("long").alias("rank_fp"),
             )
-            .localCheckpoint()
+            # NON-eager: still truncates the Catalyst plan per iteration
+            # (the DataFrame becomes an RDD scan node), but defers the
+            # per-iteration materialization to ONE job at the end instead
+            # of `iters` driver-blocking jobs during plan build.  RDD
+            # lineage grows only across the bounded iterations; the
+            # cached ew/nodes serve every iteration inside that one job.
+            .localCheckpoint(eager=False)
         )
+    # single materialization job for the whole iteration cascade, so the
+    # persisted ew/nodes are still live while iterations execute and can
+    # be released immediately after
+    ranks = ranks.localCheckpoint(eager=True)
     ew.unpersist()
     nodes.unpersist()
     return ranks.select(
@@ -161,7 +171,6 @@ def source_pagerank(docs: DataFrame, pairs: DataFrame) -> DataFrame:
                 "n_dup_edges"
             ),
         )
-        .orderBy(F.desc("pagerank"), "source")
     )
 
 
@@ -356,7 +365,7 @@ def part_triangles(lineitem: DataFrame, min_weight: int = TRI_MIN_WEIGHT) -> Dat
         .groupBy("l_partkey")
         .agg(F.sum("c").cast("long").alias("triangles"))
     )
-    return per_part.orderBy(F.desc("triangles"), "l_partkey")
+    return per_part
 
 
 def part_triangles_sql(min_weight: int = TRI_MIN_WEIGHT) -> str:

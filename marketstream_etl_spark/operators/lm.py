@@ -111,7 +111,7 @@ def lm_perplexity(docs: DataFrame) -> DataFrame:
         "n_bigrams",
         "avg_logprob",
         F.round(F.exp(-F.col("avg_logprob")), 4).alias("perplexity"),
-    ).orderBy("doc_id")
+    )
 
 
 def lm_perplexity_sql() -> str:

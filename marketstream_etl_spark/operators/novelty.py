@@ -128,7 +128,7 @@ def ngram_novelty(docs: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
             .alias("coverage_ppm"),
         )
     )
-    return out.orderBy("doc_id")
+    return out
 
 
 def ngram_novelty_sql() -> str:

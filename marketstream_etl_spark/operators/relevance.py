@@ -117,9 +117,7 @@ def bm25_search(
         order_by=[F.desc("bm25"), F.col("doc_id")],
         k=k,
         salt_src="doc_id",
-    ).select("query_id", "doc_id", "bm25", "rank").orderBy(
-        "query_id", "rank"
-    )
+    ).select("query_id", "doc_id", "bm25", "rank")
     return out
 
 
@@ -244,7 +242,6 @@ def tfidf_keywords(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
             salt_src="term",
         )
         .select("doc_id", "term", "tfidf", "rank")
-        .orderBy("doc_id", "rank")
     )
 
 

@@ -135,16 +135,28 @@ def ann_bruteforce(
     Output: (query_id, neighbor_id, cos, rank) — rank by cosine desc,
     neighbor_id asc tie-break.
     """
-    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    # norms once per VECTOR, not per pair (the semantic_dedup r10 lesson:
+    # the generic cosine() helper re-folds both 64-dim norms per pair —
+    # ~2/3 of all per-pair HOF work).  The per-pair expression stays
+    # dot/(qn·nn), the identical double association as cosine(), so every
+    # cos value is the same double bit-for-bit.
+    base = _spread_emb(emb).select(
+        "vec_id", _dvec(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
     queries = base.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qvec"), F.col("vec")).alias("cos_raw"),
+            (
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos_raw"),
         )
     )
     topk = top_k_per_key(
@@ -159,7 +171,7 @@ def ann_bruteforce(
         "neighbor_id",
         F.round("cos_raw", 6).alias("cos"),
         "rank",
-    ).orderBy("query_id", "rank")
+    )
 
 
 def ann_bruteforce_gt_cached(emb: DataFrame) -> DataFrame:
@@ -446,20 +458,26 @@ def ann_ivf(
     `centroids` swaps in an externally trained codebook, (centroid_id,
     cvec array<double>)-shaped — e.g. kmeans_fit's output — in place of
     the deterministic sample."""
-    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    # norm once per vector (see ann_bruteforce: same doubles, 1/3 the
+    # per-pair fold work)
+    base = _spread_emb(emb).select(
+        "vec_id", _dvec(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", norm(F.col("vec")))
     if centroids is None:
         centroids = _centroids(base, n_centroids)
     codebook = _CodebookHandle(centroids)  # one collect+broadcast for both
 
     def nearest(df: DataFrame, id_col: str, vec_col: str, n: int, out: str) -> DataFrame:
-        # slim (id, bucket) + one N-row join to re-attach the vector
+        # slim (id, bucket) + one N-row join to re-attach vector + norm
         return _nearest_buckets(df, codebook, id_col, vec_col, n, out).join(
-            df.select(id_col, vec_col), id_col
+            df, id_col
         )
 
     assigned = nearest(base, "vec_id", "vec", 1, "bucket")
     queries = base.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
     )
     probes = nearest(queries, "query_id", "qvec", nprobe, "bucket")
 
@@ -469,7 +487,10 @@ def ann_ivf(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qvec"), F.col("vec")).alias("cos_raw"),
+            (
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos_raw"),
         )
         .distinct()
     )
@@ -485,7 +506,7 @@ def ann_ivf(
         "neighbor_id",
         F.round("cos_raw", 6).alias("cos"),
         "rank",
-    ).orderBy("query_id", "rank")
+    )
 
 
 def ann_ivf_sql(
@@ -546,20 +567,36 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs among the first `n_queries`
     vectors (bounded block so the demo stays quadratic-in-small-n; the scale
     path is ann_ivf with a threshold filter)."""
-    base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec")).filter(
-        F.col("vec_id") < n_queries
+    base = (
+        _spread_emb(emb)
+        .select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+        .filter(F.col("vec_id") < n_queries)
+        # norm once per vector, dot/(na·nb) per pair — identical doubles
+        # as cosine() (see ann_bruteforce / semantic_dedup)
+        .withColumn("nrm", norm(F.col("vec")))
     )
-    a = base.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
-    b = base.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -672,7 +709,6 @@ def embedding_neardup_ivf(
         )
         .filter(F.col("cos") >= threshold)
         .distinct()
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -757,7 +793,7 @@ def embedding_stats(emb: DataFrame) -> DataFrame:
             ).alias("centroid_norm")
         )
     )
-    return stats.join(cent, "label").orderBy("label")
+    return stats.join(cent, "label")
 
 
 def embedding_stats_sql() -> str:
@@ -875,7 +911,6 @@ def kmeans_train(
             F.round(fsum_fx(F.col("dist")), 4).alias("inertia"),
         )
         .withColumn("centroid_norm", norm_map[F.col("cid")])
-        .orderBy("cid")
     )
 
 
@@ -1123,16 +1158,22 @@ def ann_lsh(
     base = _spread_emb(emb).select(
         "vec_id", _dvec(F.col("embedding")).alias("vec")
     ).withColumn(
+        # norm once per vector, materialized in the checkpoint (see
+        # ann_bruteforce: dot/(qn·nn) is the identical double association)
+        "nrm", norm(F.col("vec"))
+    ).withColumn(
         "bkeys", lsh_band_keys(F.col("vec"), hp, band_bits)
     ).localCheckpoint(eager=False)
     corpus_bands = base.select(
         "vec_id",
         "vec",
+        "nrm",
         F.posexplode("bkeys").alias("band_id", "band_key"),
     )
     query_bands = corpus_bands.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qn"),
         F.col("band_id").alias("qband_id"),
         F.col("band_key").alias("qband_key"),
     )
@@ -1151,7 +1192,10 @@ def ann_lsh(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qvec"), F.col("vec")).alias("cos_pair"),
+            (
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos_pair"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.first("cos_pair").alias("cos_raw"))
@@ -1175,7 +1219,6 @@ def ann_lsh(
             "rank",
             "n_candidates",
         )
-        .orderBy("query_id", "rank")
     )
 
 
@@ -1405,7 +1448,7 @@ def ann_pq(
     )
     return topk.select(
         "query_id", "neighbor_id", "adc_dist", "rank"
-    ).orderBy("query_id", "rank")
+    )
 
 
 def ann_pq_sql(
@@ -1544,7 +1587,7 @@ def ann_ivfpq(
     )
     return topk.select(
         "query_id", "neighbor_id", "adc_dist", "rank"
-    ).orderBy("query_id", "rank")
+    )
 
 
 def ann_ivfpq_sql(
@@ -1682,7 +1725,6 @@ def embedding_quantize_error(emb: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             F.round(F.max("err"), 6).alias("max_abs_err"),
             F.round(F.avg(F.col("err") * F.col("err")), 9).alias("mse"),
         )
-        .orderBy("label")
     )
 
 
@@ -1920,7 +1962,6 @@ def semantic_dedup(
                 "n_dominating"
             ),
         )
-        .orderBy("vec_id")
     )
 
 

@@ -109,7 +109,7 @@ def cms_heavy_hitters(
             (F.col("est_n") >= F.col("exact_n"))
             & (F.col("est_n") - F.col("exact_n") <= F.lit(bound))
         ).alias("within_bound"),
-    ).orderBy(F.desc("exact_n"), "tok")
+    )
 
 
 def streaming_cms_heavy_hitters(spark, sf_dir: str) -> DataFrame:
@@ -200,7 +200,7 @@ def streaming_cms_heavy_hitters(spark, sf_dir: str) -> DataFrame:
             (F.col("est_n") >= F.col("exact_n"))
             & (F.col("est_n") - F.col("exact_n") <= F.lit(bound))
         ).alias("within_bound"),
-    ).orderBy(F.desc("exact_n"), "tok")
+    )
 
 
 def cms_heavy_hitters_sql(
@@ -409,7 +409,7 @@ def _hll_report(regs: DataFrame, keyed: DataFrame) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long"),
     )
-    return out.orderBy("scope")
+    return out
 
 
 def hll_cardinality_sql() -> str:
@@ -595,7 +595,6 @@ def bloom_contamination(docs: DataFrame) -> DataFrame:
             "exact_hits",
             (F.col("bloom_hits") - F.col("exact_hits")).alias("false_hits"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -903,7 +902,7 @@ def _hdr_report(counted: DataFrame, cents: DataFrame) -> DataFrame:
             & (F.col("target_rank") <= F.col("exact_rank_hi"))
         ).alias("within"),
         F.expr("(1000000 * (hi - lo + 1)) DIV lo").alias("rel_width_ppm"),
-    ).orderBy("q_ppm")
+    )
 
 
 def hdr_quantiles_sql() -> str:
@@ -1096,7 +1095,7 @@ def hdr_quantiles_grouped(lineitem: DataFrame) -> DataFrame:
             (F.col("exact_rank_lo") < F.col("target_rank"))
             & (F.col("target_rank") <= F.col("exact_rank_hi"))
         ).alias("within"),
-    ).orderBy("flag", "q_ppm")
+    )
 
 
 def hdr_quantiles_grouped_sql() -> str:
@@ -1311,7 +1310,7 @@ def hll_set_ops(docs: DataFrame) -> DataFrame:
             "(1000000 * abs(union_e4 - (exa + exb - exact_inter) * 10000))"
             " DIV ((exa + exb - exact_inter) * 10000)"
         ).alias("union_err_ppm"),
-    ).orderBy("source_a", "source_b")
+    )
 
 
 def hll_set_ops_sql() -> str:

@@ -431,7 +431,7 @@ def readability(docs: DataFrame) -> DataFrame:
         (F.col("fk_fp").cast("double") / F.lit(1e4)).alias("fk_grade"),
         (F.col("ease_fp").cast("double") / F.lit(1e4)).alias("flesch_ease"),
         band.alias("band"),
-    ).orderBy("doc_id")
+    )
 
 
 def readability_sql() -> str:

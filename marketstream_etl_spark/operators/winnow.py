@@ -172,7 +172,6 @@ def winnowing_pairs(docs: DataFrame) -> DataFrame:
         shared.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", "shared_fps", "na", "nb", sim.alias("sim_e6"))
-        .orderBy("doc_a", "doc_b")
     )
 
 

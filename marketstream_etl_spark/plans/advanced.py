@@ -39,7 +39,7 @@ def q_rolling_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sma", 6).alias("sma"),
         F.round("rsi", 6).alias("rsi"),
         F.round("vwap", 6).alias("vwap"),
-    ).orderBy("trade_id")
+    )
 
 
 def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,7 +72,7 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("asof_sma", 6).alias("asof_sma"),
         F.round("asof_rsi", 6).alias("asof_rsi"),
         F.round("asof_vwap", 6).alias("asof_vwap"),
-    ).orderBy("trade_id")
+    )
 
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +87,6 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
-        .orderBy("day_start_ns", "event_type")
     )
 
 
@@ -119,7 +118,6 @@ def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("dur_s"), 6).alias("avg_session_s"),
             F.round(F.max("dur_s"), 6).alias("max_session_s"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -147,7 +145,6 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.round(F.sum("l_quantity"), 4))
         .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
-        .orderBy("l_returnflag")
     )
 
 
@@ -167,7 +164,6 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ca.intersect(cb).withColumn("cohort", F.lit("both"))
         .unionByName(ca.exceptAll(cb).withColumn("cohort", F.lit("only_1996")))
         .unionByName(cb.exceptAll(ca).withColumn("cohort", F.lit("only_1997")))
-        .orderBy("cohort", "o_custkey")
     )
 
 
@@ -183,7 +179,6 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99_price"),
             F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -201,7 +196,6 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 6).alias("avg_k"),
             F.countDistinct("k").alias("distinct_k"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -286,7 +280,6 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("low"))
             .alias("tax_band"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 
@@ -305,7 +298,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_upsert(trades, source, ["trade_id"])
     return merged.select(
         "trade_id", "symbol", F.round("price", 6).alias("price"), "volume"
-    ).orderBy("trade_id")
+    )
 
 
 def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,7 +318,7 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") + 100, 6).alias("acctbal"),
     )
     out = scd2_apply(dim, changes, "k", ["acctbal"], SCD2_VERSION_TS)
-    return out.orderBy("k", "valid_from")
+    return out
 
 
 def q_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,7 +386,6 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rnk") <= 3)
-        .orderBy("user_id", "rnk", "event_id")
     )
 
 
@@ -440,7 +432,6 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("above_avg"),
             F.round(F.max("type_avg"), 6).alias("type_avg"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -586,7 +577,6 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("z_e6")) > AB_Z_CRIT_E6, F.lit(False)
             ).alias("significant"),
         )
-        .orderBy("variant")
     )
 
 
@@ -662,7 +652,6 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_ns", "week_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
-        .orderBy("cohort_ns", "week_offset")
     )
 
 
@@ -704,7 +693,6 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
         )
-        .orderBy("band")
     )
 
 
@@ -733,7 +721,6 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -758,7 +745,6 @@ def q_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         )
-        .orderBy("l_linestatus")
     )
 
 
@@ -776,7 +762,6 @@ def q_udaf_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(vwap(F.col("price"), F.col("volume")), 6).alias("vwap"),
             count_udaf(F.col("volume")).alias("n_trades"),
         )
-        .orderBy("symbol")
     )
 
 
@@ -798,7 +783,6 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
-        .orderBy("k_decade")
     )
 
 
@@ -817,7 +801,6 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderdate").alias("first_date"),
             F.max("o_orderdate").alias("last_date"),
         )
-        .orderBy("o_orderstatus")
     )
 
 
@@ -844,7 +827,7 @@ def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count("*").over(w).alias("n_1h"),
         F.round(F.sum("value").over(w), 4).alias("sum_1h"),
-    ).orderBy("event_id")
+    )
 
 
 def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -869,7 +852,6 @@ def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
-        .orderBy("l_returnflag")
     )
 
 
@@ -888,7 +870,6 @@ def q_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .orderBy("day")
     )
 
 
@@ -919,7 +900,6 @@ def q_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
-        .orderBy("s_nationkey")
     )
 
 
@@ -936,7 +916,6 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
             F.min("s_name").alias("first_name"),
         )
-        .orderBy("s_nationkey")
     )
 
 
@@ -957,7 +936,6 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
-        .orderBy("status")
     )
 
 
@@ -981,7 +959,7 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orphan_rows"),
         F.count_distinct("l_orderkey").alias("n_orphan_orders"),
         F.round(F.sum("l_extendedprice"), 2).alias("orphan_value"),
-    ).orderBy("l_returnflag")
+    )
 
 
 def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -996,7 +974,7 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.count_distinct("doc_id").alias("n_ids"),
         F.sum(F.length("text")).alias("total_chars"),
-    ).orderBy("lang")
+    )
 
 
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1029,7 +1007,6 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("max_value"),
             F.round(F.avg("value"), 4).alias("mean_value"),
         )
-        .orderBy("metric")
     )
 
 
@@ -1051,7 +1028,6 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
             F.round(F.sum("l_extendedprice"), 2).alias("bucket_value"),
         )
-        .orderBy("bucket")
     )
 
 
@@ -1097,7 +1073,7 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("total_spend") / F.col("n_orders"), 4).alias(
             "avg_order"
         ),
-    ).orderBy("o_custkey")
+    )
 
 
 def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1124,7 +1100,6 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts_ns").alias("first_ts"),
             F.max("ts_ns").alias("last_ts"),
         )
-        .orderBy("symbol")
     )
 
 
@@ -1142,7 +1117,6 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_name").alias("first_name"),
             F.max("n_name").alias("last_name"),
         )
-        .orderBy("n_regionkey")
     )
 
 
@@ -1210,7 +1184,7 @@ def q_streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     q.awaitTermination()
-    return spark.table(name).orderBy("symbol")
+    return spark.table(name)
 
 
 def q_asof_events_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1369,7 +1343,6 @@ def benford_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
                 "benford_ok"
             ),
         )
-        .orderBy("digit")
     )
 
 
@@ -1525,7 +1498,7 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("key_col")
+    return out
 
 
 def key_skew_profile_sql() -> str:
@@ -1654,7 +1627,6 @@ def q_attribution_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1e6)
             ).alias("value_sum"),
         )
-        .orderBy("model", "touch_type")
     )
 
 
@@ -1777,7 +1749,6 @@ def psi_from_counts(spark: SparkSession, seg: DataFrame) -> DataFrame:
             ),
             band.alias("band"),
         )
-        .orderBy("bucket")
     )
 
 
@@ -1933,7 +1904,6 @@ def ks_from_counts(spark: SparkSession, seg: DataFrame) -> DataFrame:
                 F.col("ks_e6") > F.col("crit_e6"), F.lit(False)
             ).alias("drifted"),
         )
-        .orderBy("bucket")
     )
 
 
@@ -2363,7 +2333,6 @@ def chi2_from_counts(spark: SparkSession, seg: DataFrame) -> DataFrame:
                 F.col("chi2_e6") > F.col("crit_e6"), F.lit(False)
             ).alias("drifted"),
         )
-        .orderBy("bucket")
     )
 
 
@@ -2547,7 +2516,6 @@ def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n").cast("double") / F.col("n_from").cast("double"), 6
             ).alias("prob"),
         )
-        .orderBy("from_type", "to_type")
     )
 
 
@@ -2620,7 +2588,6 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             F.size(F.collect_set("user_id").over(w)).alias("hourly_users"),
         )
-        .orderBy("event_id")
     )
 
 
@@ -2679,7 +2646,6 @@ def q_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.percentile(F.col("late_ns"), 0.95) / F.lit(ms), 6
             ).alias("p95_late_ms"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -2819,7 +2785,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_users") > 0, F.col("conv_from_first")).otherwise(
             F.lit(0.0)
         ),
-    ).orderBy("step")
+    )
 
 
 def funnel_steps_sql() -> str:
@@ -2956,7 +2922,6 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         banded.join(F.broadcast(total))
         .select("band", "n_classes", "n_rows", "n_users",
                 share.alias("share_rows"))
-        .orderBy("band")
     )
 
 
@@ -3045,7 +3010,6 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         banded.join(F.broadcast(total))
         .select("band", "n_classes", "n_rows", share.alias("share_rows"))
-        .orderBy("band")
     )
 
 
@@ -3199,7 +3163,6 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_tvd"
             ),
         )
-        .orderBy("band")
     )
 
 

@@ -127,7 +127,7 @@ def q_validate_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades = read_trades_csv(spark, csv_file)
     return with_validation(trades).select(
         "trade_id", "symbol", "price", "volume", "is_valid", "reject_reason"
-    ).orderBy("trade_id")
+    )
 
 
 # S2-focused CSV fixture: every defaults rule of the reference parser
@@ -168,7 +168,7 @@ def q_csv_fixture_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_pro",
         "is_valid",
         "reject_reason",
-    ).orderBy("trade_id")
+    )
 
 
 def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +196,6 @@ def q_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("price") * F.col("volume")), 2).alias("notional"),
         )
         .withColumn("run_file", F.lit(os.path.basename(out)))
-        .orderBy("side")
     )
 
 
@@ -262,7 +261,6 @@ def q_parallel_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "notional"
             ),
         )
-        .orderBy("stream_id")
     )
 
 
@@ -297,7 +295,7 @@ def q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rsi", 6).alias("rsi"),
         F.round("vwap", 6).alias("vwap"),
         "period",
-    ).orderBy("symbol")
+    )
 
 
 def q_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,7 +307,7 @@ def q_rsi_wilder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_changes",
         F.round("rsi_wilder", 4).alias("rsi_wilder"),
         "signal",
-    ).orderBy("symbol")
+    )
 
 
 def q_trade_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,7 +373,6 @@ def q_vwap_by_symbol(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("vwap")
         )
-        .orderBy("symbol")
     )
 
 
@@ -415,7 +412,6 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.withColumn("bar", bar)
         .groupBy("symbol", "bar")
         .agg(*_ohlc_aggs())
-        .orderBy("symbol", "bar")
     )
 
 
@@ -465,7 +461,6 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(F.sum("ffill"), 2).alias("filled_sum"),
         )
-        .orderBy("symbol")
     )
 
 
@@ -521,7 +516,6 @@ def q_pairwise_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "covar_close"
             ),
         )
-        .orderBy("symbol_a", "symbol_b")
     )
 
 
@@ -543,7 +537,6 @@ def q_symbol_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.round(F.regr_r2("close", "index_close"), 6).alias("r2"),
         )
-        .orderBy("symbol")
     )
 
 
@@ -574,7 +567,6 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("peak"), 4).alias("peak_close"),
             F.round(F.min("drawdown"), 6).alias("max_drawdown"),
         )
-        .orderBy("symbol")
     )
 
 
@@ -638,7 +630,6 @@ def q_ewma_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(weight * F.col("close")), 4).alias("ewma_close"),
             F.round(F.max_by("close", "j"), 4).alias("last_close"),
         )
-        .orderBy("symbol")
     )
 
 
@@ -662,7 +653,6 @@ def q_realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("log_ret"), 6).alias("volatility"),
             F.round(F.avg("log_ret"), 6).alias("mean_return"),
         )
-        .orderBy("symbol")
     )
 
 
@@ -684,7 +674,6 @@ def q_order_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("imbalance"),
         )
-        .orderBy("symbol")
     )
 
 
@@ -731,7 +720,6 @@ def q_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_outliers"),
             F.round(F.max("abs_z"), 4).alias("max_abs_z"),
         )
-        .orderBy("symbol")
     )
 
 
@@ -760,7 +748,6 @@ def q_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("log_ret", "lag1"), 6).alias("autocorr_lag1"),
             F.round(F.corr("log_ret", "lag2"), 6).alias("autocorr_lag2"),
         )
-        .orderBy("symbol")
     )
 
 
@@ -813,7 +800,6 @@ def q_vwap_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "max_abs_dev"
             ),
         )
-        .orderBy("symbol")
     )
 
 
@@ -880,7 +866,6 @@ def q_symbol_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "symbol_b")
         .crossJoin(F.broadcast(n_accounts))
         .select("symbol_a", "symbol_b", "n_both", lift.alias("lift"))
-        .orderBy("symbol_a", "symbol_b")
     )
 
 
@@ -959,7 +944,6 @@ def q_bollinger_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max_by("sd", "bar"), 6).alias("last_sd"),
             F.round(F.max_by("pctb", "bar"), 6).alias("last_pctb"),
         )
-        .orderBy("symbol")
     )
 
 
@@ -993,7 +977,6 @@ def q_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.groupBy("symbol", "bar")
         .agg(*_ohlc_aggs())
-        .orderBy("symbol", "bar")
     )
 
 
@@ -1060,7 +1043,7 @@ def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             n_train.cast("double") / F.col("n_total").cast("double"), 6
         ).alias("train_frac"),
-    ).orderBy("fold")
+    )
 
 
 # --- microstructure estimators -------------------------------------------------
@@ -1124,7 +1107,6 @@ def q_microstructure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("amihud_x1e6"),
         )
-        .orderBy("symbol")
     )
 
 
@@ -1207,7 +1189,6 @@ def q_candlestick_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_bear_engulf"
             ),
         )
-        .orderBy("symbol")
     )
 
 

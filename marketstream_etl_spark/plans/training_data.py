@@ -35,7 +35,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     are synthetic) so the redactor is provably exercised — see
     operators/text.inject_pii for the contract."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.redact_pii(text.inject_pii(docs)).orderBy("doc_id")
+    return text.redact_pii(text.inject_pii(docs))
 
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,7 +52,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round("rep", 6).alias("rep_3gram"),
         (F.col("rep") >= 0.2).alias("flag_repetitive"),
-    ).orderBy("doc_id")
+    )
 
 
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,7 +69,7 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups: normalized-content md5 fingerprint groupBy."""
     return dedup.exact_dedup_groups(
         load_table(spark, sf_dir, "documents")
-    ).orderBy("fingerprint")
+    )
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,7 +92,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash signatures (weighted token signs)."""
-    return dedup.simhash(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+    return dedup.simhash(load_table(spark, sf_dir, "documents"))
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,7 +152,6 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", split.alias("split"))
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
-        .orderBy("split")
     )
 
 
@@ -217,7 +216,6 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bpe_ish_tokens").alias("total_tokens"),
             F.round(F.avg("quality_score"), 6).alias("avg_quality"),
         )
-        .orderBy("lang_pred")
     )
 
 
@@ -250,7 +248,6 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("hits"), F.lit(0)) / F.col("k"), 6
             ).alias("recall_at_5"),
         )
-        .orderBy("query_id")
     )
 
 
@@ -279,13 +276,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}")
             for i in range(8)
         ],
-    ).orderBy("media_id")
+    )
 
 
 def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM-side binary metadata (length/checksum/magic sniff) — oracle-able."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
-    return media_metadata(media).orderBy("media_id")
+    return media_metadata(media)
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,7 +298,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.octet_length("frame").alias("frame_bytes"),
         F.md5("frame").alias("checksum"),
-    ).orderBy("media_id", "frame_idx")
+    )
 
 
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,7 +397,6 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_overlap") / F.col("n_shingles").cast("double"), 4
             ).alias("contamination"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -444,7 +440,6 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
         )
-        .orderBy("lane", "bin")
     )
 
 
@@ -481,7 +476,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chunk_tokens"
         ),
         F.md5(chunk_text).alias("checksum"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
 
 
 def q_udtf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -492,7 +487,7 @@ def q_udtf_doc_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from marketstream_etl_spark.operators.udtf_ops import doc_top_terms
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return doc_top_terms(spark, docs).orderBy("doc_id", "term_rank")
+    return doc_top_terms(spark, docs)
 
 
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,7 +519,6 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("keep"), F.col("n_chars")).otherwise(0)
             ).alias("chars_kept"),
         )
-        .orderBy("source")
     )
 
 
@@ -618,7 +612,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(score, 6).alias("quality_prob"),
         (score >= 0.5).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,7 +680,6 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.sum(F.coalesce("_shard_dup", F.lit(0)))
             ).alias("n_survivors"),
         )
-        .orderBy("source")
     )
 
 
@@ -724,7 +717,6 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_dup_pairs"),
             F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
         )
-        .orderBy("source_a", "source_b")
     )
 
 
@@ -799,7 +791,6 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("pos_frac"), 4).alias("avg_pos_frac"),
             F.round(F.max("max_comp"), 4).alias("max_component"),
         )
-        .orderBy("label")
     )
 
 
@@ -866,7 +857,6 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                 weight * F.col("tot_tokens") / F.col("n_tokens"), 4
             ).alias("epochs"),
         )
-        .orderBy("source")
     )
 
 
@@ -928,7 +918,6 @@ def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids_head"),
             F.md5(id_str).alias("ids_md5"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1007,7 +996,7 @@ def q_ann_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return out.select(
         "query_id", "recall_sampled", "recall_trained"
-    ).orderBy("query_id")
+    )
 
 
 def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1198,7 +1187,6 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("q"), 6).alias("min_kept_score"),
             F.round(F.avg("q"), 6).alias("avg_kept_score"),
         )
-        .orderBy("source")
     )
 
 
@@ -1309,7 +1297,6 @@ def chi2_by_source(per: DataFrame) -> DataFrame:
                 / F.lit(1e4)
             ).alias("chi2"),
         )
-        .orderBy("source")
     )
 
 
@@ -1430,7 +1417,6 @@ def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tot.join(maj, "cid")
         .select("cid", "n_vectors", "majority_label", purity.alias("purity"))
-        .orderBy("cid")
     )
 
 
@@ -1479,7 +1465,7 @@ def q_ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return out.select(
         "query_id", "recall_d16", "recall_d32"
-    ).orderBy("query_id")
+    )
 
 
 def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,7 +1534,6 @@ def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_hits") > 0)
         .select("doc_id", "n_13grams", "n_hits", frac.alias("verbatim_frac"))
-        .orderBy("doc_id")
     )
 
 
@@ -1589,7 +1574,6 @@ def q_contamination_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
             F.min("bench_id").alias("first_bench_id"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1627,7 +1611,6 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cells.join(row_tot, cells["lang"] == row_tot["r_lang"])
         .select("lang", "lang_pred", "n", share.alias("row_share"))
-        .orderBy("lang", "lang_pred")
     )
 
 
@@ -1669,7 +1652,6 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_leaked_pairs"),
             F.max("jaccard").alias("max_jaccard"),
         )
-        .orderBy("split_a", "split_b")
     )
 
 
@@ -1852,7 +1834,6 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
             F.round(zmax, 6).alias("z_max"),
         )
-        .orderBy("source")
     )
 
 
@@ -1904,7 +1885,6 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("chi_term"),
         )
-        .orderBy("fold", "lang")
     )
 
 
@@ -2074,7 +2054,7 @@ def q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_terms").cast("double") / F.col("n_tokens").cast("double"),
             6,
         ).alias("type_token_ratio"),
-    ).orderBy("source")
+    )
 
 
 def source_entropy_sql() -> str:
@@ -2158,7 +2138,7 @@ def q_padding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("real_tokens").cast("double") / slots.cast("double"), 6
         ).alias("efficiency"),
-    ).orderBy("bucket")
+    )
 
 
 def padding_efficiency_sql() -> str:
@@ -2576,7 +2556,6 @@ def calibration_from_counts(spark: SparkSession, per: DataFrame) -> DataFrame:
                 F.col("ece_e6") <= F.lit(CAL_ECE_THRESH_E6), F.lit(False)
             ).alias("well_calibrated"),
         )
-        .orderBy("bin")
     )
 
 
@@ -2739,7 +2718,6 @@ def iv_from_counts(spark: SparkSession, grp: DataFrame) -> DataFrame:
             ),
             band.alias("predictiveness"),
         )
-        .orderBy("bin")
     )
 
 
@@ -2917,7 +2895,6 @@ def emb_drift_from_counts(spark: SparkSession, cnt: DataFrame) -> DataFrame:
             ),
             "n_drifted_dims",
         )
-        .orderBy("dim")
     )
 
 

@@ -78,7 +78,6 @@ def binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("content")).alias("checksum"),
             F.hex(F.expr("substring(content, 1, 8)")).alias("magic8"),
         )
-        .orderBy("file")
     )
 
 

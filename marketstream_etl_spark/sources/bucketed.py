@@ -91,5 +91,4 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("revenue"),
         )
-        .orderBy("o_orderpriority")
     )

@@ -170,9 +170,6 @@ def json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "px",
         F.col("_bad").alias("bad_payload"),
         F.col("_bad").isNotNull().alias("quarantined"),
-    ).orderBy(
-        F.coalesce(F.col("id"), F.lit(-1)),
-        F.coalesce(F.col("bad_payload"), F.lit("")),
     )
 
 

@@ -85,13 +85,12 @@ def fan_out_small_scan(df: DataFrame, input_bytes: int | None = None) -> DataFra
 
     The width is INPUT-SCALED when the caller supplies `input_bytes`
     (optimization guide §2: derive partitioning from input size, not a
-    constant tuned for one deployment): ceil(bytes / 2 MB) clamped to
-    [1, defaultParallelism].  A tiny input keeps its natural split count —
-    r13 measured the old unconditional repartition(32) costing ~0.9 s of
-    pure task scheduling per query at sf0.1 (32 near-empty partitions
-    through every downstream stage) — while anything over
-    2 MB * defaultParallelism still fans out to full width exactly as
-    before.  Skipped entirely when the scan itself already yields at least
+    constant tuned for one deployment): ceil(bytes / 512 KB) clamped to
+    [1, defaultParallelism] — see _FAN_OUT_TARGET_BYTES for the width
+    measurement.  A tiny input keeps its natural split count while
+    anything over 512 KB * defaultParallelism still fans out to full
+    width exactly as before.  Skipped entirely when the scan itself
+    already yields at least
     that many splits (estimated from maxPartitionBytes driver-side; no
     df.rdd materialization, which cost ~50 ms per plan build).
 

@@ -602,7 +602,9 @@ def test_ks_disjoint_distributions_drifted(spark, monkeypatch):
         rows, ["event_id", "user_id", "ts", "event_type", "value", "props"]
     )
     monkeypatch.setattr(adv, "load_table", lambda sp, sf, name: ev)
-    out = adv.q_ks_drift(spark, "x").collect()
+    out = sorted(
+        adv.q_ks_drift(spark, "x").collect(), key=lambda r: r["bucket"]
+    )  # output order is unspecified (r13)
     assert out[0]["ks_stat"] == 1.0
     assert all(r["drifted"] is True for r in out)
     # bucket 0 holds all click mass and no purchase mass

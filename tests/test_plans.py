@@ -228,10 +228,10 @@ def test_tokenize_ids_encode_is_map_only(spark, sf_dir):
 
     plan = plan_of(q_tokenize_ids(spark, sf_dir))
     assert "Join" not in plan
-    # the only exchange is the output sort's range partitioning — no
-    # hash shuffle of the corpus anywhere
+    # r13: the presentational output sort is gone too — the encode pass
+    # is now fully exchange-free (no hash shuffle, no range partitioning)
     assert "hashpartitioning" not in plan
-    assert plan.count("rangepartitioning") == 1
+    assert plan.count("rangepartitioning") == 0
 
 
 def test_kmeans_assignment_no_join_no_udf(spark, sf_dir):

@@ -264,7 +264,12 @@ def test_embedding_drift_snapshot_swap_symmetry(spark, monkeypatch):
         monkeypatch.setattr(
             td, "load_table", lambda sp, sf, name, _s=shift: frame(sp, _s)
         )
-        outs.append(td.q_embedding_drift(spark, "x").collect())
+        outs.append(
+            sorted(
+                td.q_embedding_drift(spark, "x").collect(),
+                key=lambda r: r["dim"],
+            )  # output order is unspecified (r13)
+        )
     for a, b in zip(outs[0], outs[1]):
         assert a["dim"] == b["dim"] and a["psi"] == b["psi"]
     assert outs[0][0]["max_psi"] == outs[1][0]["max_psi"]
