@@ -157,7 +157,11 @@ def source_pagerank(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     graph, ordered by rank desc then source — the derivative-content
     leaderboard."""
     nodes = docs.select(F.col("source").alias("node")).distinct()
-    edges = source_dup_edges(docs, pairs)
+    # two consumers (pagerank's ew build and the deg report below) —
+    # without a barrier the pairs→source join + symmetric union runs
+    # twice per query; non-eager localCheckpoint materializes it once
+    # and frees blocks on RDD GC (no explicit unpersist needed)
+    edges = source_dup_edges(docs, pairs).localCheckpoint(eager=False)
     ranks = pagerank(edges, nodes)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("n_dup_edges")
