@@ -132,10 +132,16 @@ def ensure_engine_confs(spark: SparkSession) -> None:
       sf0.01); 32 matches session.py.  Batch plans are unaffected either
       way — AQE coalesces them at runtime.
     """
+    # memoized per session OBJECT: every load_table call otherwise pays
+    # 2 py4j conf reads (~ms each); the flag dies with the session, and a
+    # fresh getOrCreate() session re-runs the checks
+    if getattr(spark, "_msetl_engine_confs_done", False):
+        return
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if spark.conf.get("spark.sql.shuffle.partitions") == "200":
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark._msetl_engine_confs_done = True
 
 
 # Driver-side schema cache for the testdata parquet scans, keyed by
