@@ -50,6 +50,33 @@ def _postings(docs: DataFrame) -> DataFrame:
     )
 
 
+def _bm25_index(docs: DataFrame) -> tuple[DataFrame, ...]:
+    """Generation-cached lexical index: postings PLUS the corpus
+    statistics every consumer previously re-aggregated per run — doc
+    length `dl(doc_id, dl)`, document frequency `dfreq(term, df)`, and
+    the 1-row `(n_docs, avgdl)` stats frame.  These are exactly the
+    static structures a real inverted index stores next to the postings
+    (Lucene: norms + term dictionary df + segment stats), derived from
+    the input alone — never from a query — so they belong to the same
+    generation cache as the postings themselves (guide §2.4: two full
+    postings shuffles per steady-state search removed)."""
+    key = _cache_key(docs)
+    hit = _lookup("bm25_postings", key, current=docs)
+    if hit is not None:
+        return tuple(hit)
+    post = _postings(docs).persist()
+    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl")).persist()
+    dfreq = post.groupBy("term").agg(F.count("*").alias("df")).persist()
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).persist()
+    _rotate_caches(
+        "bm25_postings", key, [post, dl, dfreq, stats], _input_paths(docs)
+    )
+    return post, dl, dfreq, stats
+
+
 def bm25_search(
     docs: DataFrame,
     n_queries: int = N_QUERIES,
@@ -65,23 +92,10 @@ def bm25_search(
 
     Output: (query_id, doc_id, bm25, rank) — rank by score desc, doc_id
     asc tie-break; the query document itself is excluded."""
-    # postings feed df, dl, and both scoring-join sides: persist ONE
-    # materialization per input generation under the repo's shared
-    # rotation registry (bounded LRU, stale-proof keying) instead of
-    # leaking an unmanaged cache per call
-    key = _cache_key(docs)
-    hit = _lookup("bm25_postings", key, current=docs)
-    if hit is not None:
-        post = hit[0]
-    else:
-        post = _postings(docs).persist()
-        _rotate_caches("bm25_postings", key, [post], _input_paths(docs))
-    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df_ = post.groupBy("term").agg(F.count("*").alias("df"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
+    # the full lexical index (postings + dl + dfreq + stats) lives in the
+    # shared per-generation rotation cache (bounded LRU, stale-proof
+    # keying); a steady-state search touches only slim cached frames
+    post, dl, df_, stats = _bm25_index(docs)
     qterms = (
         post.filter(F.col("doc_id") < n_queries)
         .select(F.col("doc_id").alias("query_id"), "term")
@@ -202,16 +216,10 @@ def tfidf_keywords(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
     idf attach is a shuffle equi-join on term (the full vocabulary is
     NOT broadcast — at the 100 TB posture it is multi-GB); top-k per doc
     is the salted two-phase ranking, no single reducer."""
-    key = _cache_key(docs)
-    hit = _lookup("bm25_postings", key, current=docs)
-    if hit is not None:
-        post = hit[0]
-    else:
-        post = _postings(docs).persist()
-        _rotate_caches("bm25_postings", key, [post], _input_paths(docs))
-    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df_ = post.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = dl.agg(F.count("*").cast("double").alias("n_docs"))
+    post, dl, df_, _stats = _bm25_index(docs)
+    # n_docs = count over dl, the same definition the cached stats frame
+    # holds (docs with >= 1 token) — one shared 1-row broadcast
+    n_docs = _stats.select("n_docs")
     idf = (
         F.log(
             (F.lit(1.0) + F.col("n_docs"))

@@ -481,6 +481,12 @@ def ann_ivf(
     )
     probes = nearest(queries, "query_id", "qvec", nprobe, "bucket")
 
+    # every vector lives in exactly ONE bucket (n=1 assignment) and the
+    # nprobe probe buckets per query are distinct centroid ids, so the
+    # bucket equi-join emits each (query, neighbor) candidate at most
+    # once — the old .distinct() here was a full Exchange + dedup pass
+    # over the candidate set for rows that were already unique (guide
+    # §2.4; ann_ivfpq's cand path documents the same invariant)
     scored = (
         assigned.join(F.broadcast(probes), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -492,7 +498,6 @@ def ann_ivf(
                 / (F.col("qn") * F.col("nrm"))
             ).alias("cos_raw"),
         )
-        .distinct()
     )
     topk = top_k_per_key(
         scored,
@@ -1199,6 +1204,12 @@ def ann_lsh(
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.first("cos_pair").alias("cos_raw"))
+        # cand feeds TWO consumers (the n_candidates audit and the top-k
+        # ranking); without truncation the banded join + cosine + dedup
+        # subtree executes once per consumer (the repo's reused-frame
+        # plan-audit lesson).  The frame is slim (query_id, neighbor_id,
+        # cos) and candidate-bounded at any scale.
+        .localCheckpoint(eager=False)
     )
     n_cand = cand.groupBy("query_id").agg(
         F.count("*").alias("n_candidates")

@@ -367,11 +367,15 @@ def _hll_report(regs: DataFrame, keyed: DataFrame) -> DataFrame:
             F.expr(f"shiftleft(cast(1 as bigint), {HLL_WBITS + 1} - m_j)")
         ).alias("t_filled"),
     )
-    # exact side (audit only): distinct (source, shingle) / global distinct
+    # exact side (audit only): `keyed` is already distinct on
+    # (source, shingle) — h is h60(shingle), a pure function of the
+    # shingle, so the upstream distinct over (source, shingle, h) is a
+    # distinct over (source, shingle).  A plain per-source count replaces
+    # the old re-distinct (one full Exchange + dedup pass over the keyed
+    # frame, guide §2.4); the global audit below still needs its own
+    # distinct because one shingle can appear under many sources.
     ex_src = (
-        keyed.select("source", "shingle")
-        .distinct()
-        .groupBy("source")
+        keyed.groupBy("source")
         .agg(F.count("*").alias("exact_distinct"))
         .withColumnRenamed("source", "scope")
     )
