@@ -410,6 +410,98 @@ def _nearest_buckets_kernel(
     return assign
 
 
+def _assign_probe_kernel(
+    codebook: "_CodebookHandle",
+    nprobe: int,
+    n_queries: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Fused variant of _nearest_buckets_kernel for the IVF consumers
+    that need BOTH the corpus top-1 assignment and the query rows'
+    top-nprobe probe lists (queries are a prefix subset of the corpus:
+    id < n_queries).  The cosine matrix for a batch is computed ONCE and
+    serves both selections — arithmetic per row is identical to two
+    separate kernel passes (row-wise ops are independent), so every
+    emitted double/bucket matches the two-pass plan bit-for-bit.  Emits
+    (id, bucket, probe): probe=0 rows are the assignment (1 per vector),
+    probe=1 rows the query probe lists (nprobe per query).  Halves the
+    JVM→Python Arrow roundtrips and job count of the assignment phase
+    (guide §4.1: the boundary itself is the cost at small batches)."""
+    import numpy as np
+    import pandas as pd
+
+    def assign(batches):
+        cids, C = codebook.arrays()
+        if C.size == 0:
+            return
+        nc, dim = C.shape
+        cn = np.zeros(nc, dtype=np.float64)
+        for i in range(dim):
+            cn += C[:, i] * C[:, i]
+        cn = np.sqrt(cn)
+        take_p = min(nprobe, nc)
+        for pdf in batches:
+            nr = len(pdf)
+            if nr == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vn = np.zeros(nr, dtype=np.float64)
+            for i in range(dim):
+                vn += V[:, i] * V[:, i]
+            vn = np.sqrt(vn)
+            D = np.zeros((nr, nc), dtype=np.float64)
+            for i in range(dim):
+                D += V[:, i : i + 1] * C[None, :, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cc = D / (vn[:, None] * cn[None, :])
+            key = np.where(np.isnan(cc), np.inf, cc)
+            order = np.argsort(-key, axis=1, kind="stable")
+            out_ids = [ids]
+            out_buckets = [cids[order[:, 0]]]
+            out_probe = [np.zeros(nr, dtype=np.int32)]
+            qmask = ids < n_queries
+            nq = int(qmask.sum())
+            if nq:
+                out_ids.append(np.repeat(ids[qmask], take_p))
+                out_buckets.append(cids[order[qmask, :take_p]].ravel())
+                out_probe.append(np.ones(nq * take_p, dtype=np.int32))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "bucket": np.concatenate(out_buckets),
+                    "probe": np.concatenate(out_probe),
+                }
+            )
+
+    return assign
+
+
+def _assign_and_probe(
+    df: DataFrame,
+    codebook: "_CodebookHandle",
+    id_col: str,
+    vec_col: str,
+    n_queries: int,
+    nprobe: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(assigned, probes) from ONE fused kernel pass over the corpus —
+    see _assign_probe_kernel.  The combined slim output (N + Q·nprobe
+    rows) is truncated behind a non-eager localCheckpoint so its two
+    filtered consumers share a single materialization instead of each
+    re-running the Arrow pass."""
+    kern = _assign_probe_kernel(codebook, nprobe, n_queries, id_col, vec_col)
+    combined = (
+        df.select(id_col, vec_col)
+        .mapInPandas(kern, f"{id_col} long, bucket long, probe int")
+        .localCheckpoint(eager=False)
+    )
+    assigned = combined.filter(F.col("probe") == 0).select(id_col, "bucket")
+    probes = combined.filter(F.col("probe") == 1).select(id_col, "bucket")
+    return assigned, probes
+
+
 def _nearest_buckets(
     df: DataFrame,
     centroids: "DataFrame | _CodebookHandle",
@@ -467,19 +559,23 @@ def ann_ivf(
         centroids = _centroids(base, n_centroids)
     codebook = _CodebookHandle(centroids)  # one collect+broadcast for both
 
-    def nearest(df: DataFrame, id_col: str, vec_col: str, n: int, out: str) -> DataFrame:
-        # slim (id, bucket) + one N-row join to re-attach vector + norm
-        return _nearest_buckets(df, codebook, id_col, vec_col, n, out).join(
-            df, id_col
-        )
-
-    assigned = nearest(base, "vec_id", "vec", 1, "bucket")
+    # ONE fused kernel pass over the corpus yields the top-1 assignment
+    # AND the query probe lists (queries are the id < n_queries prefix of
+    # the same corpus) — half the Arrow roundtrips of the old two-pass
+    # shape, bit-identical buckets (see _assign_probe_kernel); the slim
+    # (id, bucket) outputs re-attach vector + norm with one N-row join
+    a_slim, p_slim = _assign_and_probe(
+        base, codebook, "vec_id", "vec", n_queries, nprobe
+    )
+    assigned = a_slim.join(base, "vec_id")
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("nrm").alias("qn"),
     )
-    probes = nearest(queries, "query_id", "qvec", nprobe, "bucket")
+    probes = p_slim.withColumnRenamed("vec_id", "query_id").join(
+        queries, "query_id"
+    )
 
     # every vector lives in exactly ONE bucket (n=1 assignment) and the
     # nprobe probe buckets per query are distinct centroid ids, so the
@@ -683,9 +779,16 @@ def embedding_neardup_ivf(
     # every cos is the same double (the semantic_dedup r10 proof; hashes
     # pinned by the oracle at both gate SFs).  At the sf100 decade the
     # per-pair norm folds were ~2/3 of 2.8B pair scorings.
-    assigned = _nearest_buckets(
-        base, centroids, "vec_id", "vec", nassign, "bucket"
-    ).join(base, "vec_id")
+    # the slim assignment feeds BOTH legs of the bucket self-join below;
+    # without truncation the Arrow kernel pass executes once per leg
+    # (identical-subtree reuse only applies to exchanges, and the legs
+    # project different columns).  The checkpointed frame is the bounded
+    # (vec_id, bucket) pairs — N·nassign slim rows, never the vectors.
+    assigned = (
+        _nearest_buckets(base, centroids, "vec_id", "vec", nassign, "bucket")
+        .localCheckpoint(eager=False)
+        .join(base, "vec_id")
+    )
     a = assigned.select(
         F.col("vec_id").alias("id_a"),
         F.col("vec").alias("va"),
@@ -1563,15 +1666,13 @@ def ann_ivfpq(
     base = _spread_emb(emb).select("vec_id", _dvec(F.col("embedding")).alias("vec"))
     centroids = _centroids(base, n_centroids)
     codebook = _CodebookHandle(centroids)  # one collect+broadcast for both
-    assigned = _nearest_buckets(
-        base, codebook, "vec_id", "vec", 1, "bucket"
-    ).select("vec_id", "bucket")
-    queries = base.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    # fused assignment + probe: one Arrow pass over the corpus instead of
+    # two (queries are the id < n_queries prefix), bit-identical buckets
+    # — see _assign_probe_kernel
+    assigned, p_slim = _assign_and_probe(
+        base, codebook, "vec_id", "vec", n_queries, nprobe
     )
-    probes = _nearest_buckets(
-        queries, codebook, "query_id", "qvec", nprobe, "bucket"
-    ).select("query_id", "bucket")
+    probes = p_slim.withColumnRenamed("vec_id", "query_id")
 
     subs = _subvectors(base, "vec_id", "vec")
     cb = _pq_codebook(subs, n_codes)
