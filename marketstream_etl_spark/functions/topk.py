@@ -45,3 +45,24 @@ def top_k_per_key(
         survivors.withColumn(rank_col, F.row_number().over(w2))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def top_k_per_key_bounded(
+    df: DataFrame,
+    key: str,
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Single-window top-k for inputs whose per-key row count is BOUNDED
+    BY CONSTRUCTION (e.g. RRF fusion of two lists capped at k_each rows
+    per system: ≤ 2·k_each rows per key at ANY corpus size).  There the
+    salted two-phase shape buys nothing — no reducer can receive more
+    than the cap — and costs one extra Exchange + sort pass.  Identical
+    results to top_k_per_key (same ordering + tie-break).  Callers whose
+    per-key cardinality scales with the data MUST keep the salted form."""
+    w = Window.partitionBy(key).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

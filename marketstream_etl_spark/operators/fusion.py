@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from marketstream_etl_spark.functions.topk import top_k_per_key
+from marketstream_etl_spark.functions.topk import top_k_per_key_bounded
 from marketstream_etl_spark.operators.relevance import bm25_search, bm25_search_sql
 from marketstream_etl_spark.operators.similarity import (
     ann_bruteforce,
@@ -89,12 +89,15 @@ def hybrid_search_rrf(
             (_contrib("lex_rank") + _contrib("vec_rank")).alias("rrf_score"),
         )
     )
-    out = top_k_per_key(
+    # fused is bounded at ≤ 2·k_each rows per query BY CONSTRUCTION (each
+    # system contributes a capped candidate list), so the single-window
+    # rank is exact and safe at any corpus size — one Exchange instead of
+    # the salted two-phase pair (guide §2.4)
+    out = top_k_per_key_bounded(
         fused,
         key="query_id",
         order_by=[F.desc("rrf_score"), F.col("item_id")],
         k=k,
-        salt_src="item_id",
     )
     return out.select(
         "query_id",

@@ -97,3 +97,33 @@ def test_tfidf_rank_is_dense_per_doc_and_capped(spark):
     for ranks in by_doc.values():
         assert ranks == sorted(ranks) and ranks[0] == 1
         assert len(ranks) <= 3
+
+
+def test_bm25_index_statistics_cached_per_generation(spark):
+    """r13: the generation cache holds the FULL lexical index — postings
+    plus doc-length, document-frequency and (n_docs, avgdl) stats — and a
+    second call over the same input serves all four frames from the
+    registry (same handles), so steady-state searches re-aggregate
+    nothing.  The stats must equal a fresh aggregation of the postings."""
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.relevance import _bm25_index
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} alpha") for i in range(6)],
+        "doc_id long, text string",
+    )
+    post, dl, dfreq, stats = _bm25_index(docs)
+    post2, dl2, dfreq2, stats2 = _bm25_index(docs)
+    assert post is post2 and dl is dl2 and dfreq is dfreq2 and stats is stats2
+
+    fresh_dl = {
+        r["doc_id"]: r["dl"]
+        for r in post.groupBy("doc_id").agg(F.sum("tf").alias("dl")).collect()
+    }
+    assert {r["doc_id"]: r["dl"] for r in dl.collect()} == fresh_dl
+    srow = stats.collect()[0]
+    assert srow["n_docs"] == float(len(fresh_dl))
+    assert srow["avgdl"] == sum(fresh_dl.values()) / len(fresh_dl)
+    ndf = {r["term"]: r["df"] for r in dfreq.collect()}
+    assert ndf["alpha"] == 6 and ndf[f"doc{0}"] == 1

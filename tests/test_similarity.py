@@ -303,3 +303,64 @@ def test_nearest_buckets_codebook_collected_once_and_shared(spark):
     assert a.count() == 12
     assert b.count() == 24
     assert handle._bc is bc, "actions reuse the broadcast too"
+
+
+def test_assign_and_probe_matches_two_pass_kernel(spark):
+    """The r13 fused assign+probe kernel must be bit-identical to the two
+    separate _nearest_buckets passes it replaced (one corpus top-1 pass +
+    one query top-nprobe pass): the batch cosine matrix is shared, but
+    row-wise arithmetic and the stable tie order are unchanged — checked
+    over the same tie-engineered corpus as the kernel-vs-declarative test
+    (scaled centroid copies, duplicated centroid direction, 1-ulp bump)."""
+    import numpy as np
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from marketstream_etl_spark.operators.similarity import (
+        _CodebookHandle,
+        _assign_and_probe,
+        _centroids,
+        _dvec,
+        _nearest_buckets,
+    )
+
+    rng = np.random.default_rng(12)
+    dim = 6
+    vecs = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(48)]
+    vecs[1] = (1, [3.0 * x for x in vecs[0][1]])
+    vecs.append((48, list(vecs[0][1])))
+    vecs.append((49, [0.5 * x for x in vecs[0][1]]))
+    bumped = list(vecs[2][1])
+    bumped[0] = float(np.nextafter(bumped[0], np.inf))
+    vecs.append((50, bumped))
+    df = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in vecs])
+    base = df.select("vec_id", _dvec(F.col("embedding")).alias("vec"))
+    cents = _centroids(base, 8)
+
+    n_queries, nprobe = 5, 3
+    handle = _CodebookHandle(cents)
+    a_slim, p_slim = _assign_and_probe(
+        base, handle, "vec_id", "vec", n_queries, nprobe
+    )
+    got_assign = sorted(
+        (r["vec_id"], r["bucket"]) for r in a_slim.collect()
+    )
+    got_probe = sorted(
+        (r["vec_id"], r["bucket"]) for r in p_slim.collect()
+    )
+
+    ref_assign = sorted(
+        (r["vec_id"], r["bucket"])
+        for r in _nearest_buckets(
+            base, cents, "vec_id", "vec", 1, "bucket"
+        ).collect()
+    )
+    queries = base.filter(F.col("vec_id") < n_queries)
+    ref_probe = sorted(
+        (r["vec_id"], r["bucket"])
+        for r in _nearest_buckets(
+            queries, cents, "vec_id", "vec", nprobe, "bucket"
+        ).collect()
+    )
+    assert got_assign == ref_assign
+    assert got_probe == ref_probe
