@@ -3144,13 +3144,31 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice), 2) AS bucket_value
             FROM lineitem GROUP BY 1 ORDER BY 1
         """,
-        # partial-merge refresh must equal the full recompute
+        # partial-merge refresh must equal the full recompute; exact
+        # integer-cent partials (repo fixed-point convention — a double
+        # sum through a two-level merge is association-dependent and ~6%
+        # of custkeys sit exactly on a round(avg,4) half-boundary), with
+        # derived doubles from one int->double cast + one division so
+        # both engines produce bit-identical values
         "incremental_agg": """
-            SELECT o_custkey, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_spend,
-                   round(max(o_totalprice), 2) AS max_order,
-                   round(sum(o_totalprice) / count(*), 4) AS avg_order
-            FROM orders GROUP BY o_custkey ORDER BY o_custkey
+            WITH c AS (
+                SELECT o_custkey,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders
+            ), m AS (
+                SELECT o_custkey,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       CAST(sum(cents) AS BIGINT) AS total_cents,
+                       max(cents) AS max_cents
+                FROM c GROUP BY o_custkey
+            )
+            SELECT o_custkey, n_orders,
+                   CAST(total_cents AS DOUBLE) / 100.0 AS total_spend,
+                   CAST(max_cents AS DOUBLE) / 100.0 AS max_order,
+                   CAST((200 * total_cents + n_orders) // (2 * n_orders)
+                        AS DOUBLE) / 10000.0 AS avg_order
+            FROM m ORDER BY o_custkey
         """,
         # z-ordered layout must not change any value: plain-scan equivalent
         "zorder_skipping": """

@@ -1041,18 +1041,30 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     between a full recompute and a refresh proportional to the new data.
     Derived measures (avg) are computed from the merged partials at read
     time, never stored.  The oracle is the full recompute over base+delta:
-    the merge must be exactly equivalent."""
+    the merge must be exactly equivalent.
+
+    The partials are exact integer cents (the repo's fixed-point
+    convention, see vwap_deviation): a double `sum()` through a two-level
+    partial merge is association-dependent, and ~6% of the custkeys sit
+    EXACTLY on a round(avg, 4) half-boundary (n a multiple of 8 with an
+    odd cent total makes 200*S/n an odd integer), so float partials flip
+    the 4th decimal against the oracle's single-pass sum depending on
+    merge arrival order.  Integer partials make the merge bit-exact under
+    any partitioning, and the derived doubles (one integer->double cast +
+    one division) are bit-identical across engines."""
     from marketstream_etl_spark.sources.tables import load_table
 
     orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    orders = orders.withColumn("cents", cents)
     base = orders.filter(F.col("o_orderkey") % 32 != 0)
     delta = orders.filter(F.col("o_orderkey") % 32 == 0)
 
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy("o_custkey").agg(
             F.count("*").alias("n_orders"),
-            F.sum("o_totalprice").alias("total_spend"),
-            F.max("o_totalprice").alias("max_order"),
+            F.sum("cents").alias("total_cents"),
+            F.max("cents").alias("max_cents"),
         )
 
     merged = (
@@ -1061,18 +1073,27 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.sum("n_orders").alias("n_orders"),
-            F.sum("total_spend").alias("total_spend"),
-            F.max("max_order").alias("max_order"),
+            F.sum("total_cents").alias("total_cents"),
+            F.max("max_cents").alias("max_cents"),
         )
     )
+    # Derived measures from the exact partials: round-half-up in integer
+    # arithmetic, then one exact int->double cast and one division — the
+    # identical IEEE ops the oracle SQL performs, so every double is
+    # bit-equal.  avg at 4 decimals: round_half_up(cents*100 / n) =
+    # (200*cents + n) // (2*n).
     return merged.select(
         "o_custkey",
         "n_orders",
-        F.round("total_spend", 2).alias("total_spend"),
-        F.round("max_order", 2).alias("max_order"),
-        F.round(F.col("total_spend") / F.col("n_orders"), 4).alias(
-            "avg_order"
-        ),
+        (F.col("total_cents").cast("double") / 100.0).alias("total_spend"),
+        (F.col("max_cents").cast("double") / 100.0).alias("max_order"),
+        (
+            F.expr(
+                "CAST((200 * total_cents + n_orders) DIV (2 * n_orders)"
+                " AS DOUBLE)"
+            )
+            / 10000.0
+        ).alias("avg_order"),
     )
 
 

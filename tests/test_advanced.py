@@ -929,3 +929,48 @@ def test_t_closeness_matches_hand_computed_tvd(spark, monkeypatch):
     assert abs(by_band[">t" if flagged else "<=t"]["max_tvd"] - worst) < 1e-6
     assert sum(r["n_classes"] for r in out) == 2
     assert sum(r["n_rows"] for r in out) == 14
+
+
+def test_incremental_agg_bit_deterministic_under_partitioning(spark, sf_dir):
+    # The two-level partial merge must be bit-exact under ANY partitioning:
+    # integer-cent partials make the merged sums association-free, and the
+    # derived doubles come from one int->double cast + one division.  A
+    # float-sum merge flips round(avg, 4) on exact half-boundary custkeys
+    # (n_orders a multiple of 8 with odd cent total) depending on merge
+    # arrival order — the r13 driver-gate failure.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(
+            tuple(r) for r in advanced.q_incremental_agg(spark, sf_dir).collect()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = sorted(
+            tuple(r) for r in advanced.q_incremental_agg(spark, sf_dir).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+    # and the merge equals the single-pass full recompute in exact cents
+    from pyspark.sql import functions as F
+    from marketstream_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    )
+    full = {
+        r["o_custkey"]: (r["n"], r["s"], r["m"])
+        for r in orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("s"),
+            F.max("cents").alias("m"),
+        )
+        .collect()
+    }
+    for ck, n, spend, mx, avg in a:
+        fn, fs, fm = full[ck]
+        assert n == fn
+        assert spend == fs / 100.0
+        assert mx == fm / 100.0
+        assert avg == ((200 * fs + fn) // (2 * fn)) / 10000.0

@@ -2,7 +2,8 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, schema
 shape, and an order-insensitive value hash.
 
-Usage: python tools/check_oracle.py [--vanilla] [--json OUT] [query ...]
+Usage: python tools/check_oracle.py [--vanilla] [--strict-floats]
+           [--json OUT] [query ...]
 
 --json writes a machine-readable summary (the CORRECTNESS_LOCAL.json
 artifact committed per round) after the run.
@@ -29,6 +30,16 @@ from marketstream_etl_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.01"
 
+# Float normalization width.  The default 6 significant digits matched the
+# external driver for 13 rounds of green queries, but r13's incremental_agg
+# failure proved the driver compares floats at (at least) full double
+# precision: the 8 offending rows differed only in the 10th significant
+# digit and this replica still said PASS.  `--strict-floats` hashes at %.17g
+# (exact double round-trip) so the local sweep can catch what the driver
+# catches; the default stays %.6g for continuity with the committed
+# CORRECTNESS_LOCAL.json history.
+FLOAT_FMT = ".6g"
+
 
 def norm_cell(v):
     if v is None:
@@ -38,7 +49,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return format(v, FLOAT_FMT)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -60,6 +71,10 @@ def main() -> int:
     vanilla = "--vanilla" in args
     if vanilla:
         args.remove("--vanilla")
+    if "--strict-floats" in args:
+        global FLOAT_FMT
+        FLOAT_FMT = ".17g"
+        args.remove("--strict-floats")
     json_out = None
     if "--json" in args:
         i = args.index("--json")
