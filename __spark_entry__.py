@@ -451,6 +451,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # family and the LLM-pipeline north-star ops.  Everything after slot 50
     # still runs under tools/check_oracle.py locally.
     qs = {
+        # r14 rotation (r13 VERDICT item 7 — retire the never-gated
+        # list): the final 6 rows that have never held a driver slot
+        # (bollinger_breaches, hdr_quantiles_grouped, price_outliers,
+        # return_autocorr, symbol_affinity, vwap_deviation — the
+        # trade-analytics twins deferred in r13) take the gate this
+        # round; never-gated count 6 -> 0.  To make room, 6 of the 28
+        # driver-green r13 first-timers rotate below the fold, chosen
+        # where an incoming row covers the same capability class
+        # (set_ops, percentiles, json_props, recursive_rollup,
+        # rolling_distinct_users, mad_outliers — all CORRECTNESS_r13
+        # green, all still check_oracle-verified below the fold).
+        # incremental_agg KEEPS its slot: it is the r13 red row and the
+        # driver gate must witness the fix (VERDICT item 1 "Done").
         # r13 rotation (r12 VERDICT item 1 — FINISH the gate-rotation
         # program): 29 of the 35 rows that have never held a driver slot
         # take the gate this round (never-gated count 35 -> 6), keeping
@@ -518,19 +531,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r13 first-timers: advanced OLAP long tail ---
         "events_tumbling": advanced.q_events_tumbling,
         "range_join_bands": advanced.q_range_join_bands,
-        "set_ops": advanced.q_set_ops,
-        "percentiles": advanced.q_percentiles,
-        "json_props": advanced.q_json_props,
         "approx_aggs": advanced.q_approx_aggs,
         "variant_props": advanced.q_variant_props,
         "rolling_time_window": advanced.q_rolling_time_window,
         "incremental_agg": advanced.q_incremental_agg,
         "price_histogram": advanced.q_price_histogram,
         "column_profile": advanced.q_column_profile,
-        "recursive_rollup": advanced.q_recursive_rollup,
         "funnel": advanced.q_funnel,
         "retention_cohorts": advanced.q_retention_cohorts,
-        "rolling_distinct_users": advanced.q_rolling_distinct_users,
         "lateness_audit": advanced.q_lateness_audit,
         "asof_events_tolerance": advanced.q_asof_events_tolerance,
         # --- r13 first-timers: warehouse maintenance / federation ---
@@ -539,8 +547,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "federated_join": advanced.q_federated_join,
         "partition_backfill": advanced.q_partition_backfill,
         "schema_evolution": advanced.q_schema_evolution,
+        # --- r14 first-timers: the last 6 never-gated rows (trade
+        # analytics twins; never-gated count -> 0) ---
+        "bollinger_breaches": analytics.q_bollinger_breaches,
+        "hdr_quantiles_grouped": advanced.q_hdr_quantiles_grouped,
+        "price_outliers": analytics.q_price_outliers,
+        "return_autocorr": analytics.q_return_autocorr,
+        "symbol_affinity": analytics.q_symbol_affinity,
+        "vwap_deviation": analytics.q_vwap_deviation,
         # --- r13 first-timers: statistical-audit / LLM-pipeline rows ---
-        "mad_outliers": training_data.q_mad_outliers,
         "zipf_audit": training_data.q_zipf_audit,
         "source_entropy": training_data.q_source_entropy,
         "padding_efficiency": training_data.q_padding_efficiency,
@@ -548,6 +563,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": training_data.q_bpe_merge_candidates,
         "dedup_collapse_weighted": training_data.q_dedup_collapse_weighted,
         # ---------------- fold: slot 51+ ----------------
+        # r14 rotation OUT rows (6 of the 29 r13 first-timers, all
+        # driver-green in the r13 gate; displaced by the final
+        # never-gated six above):
+        "set_ops": advanced.q_set_ops,
+        "percentiles": advanced.q_percentiles,
+        "json_props": advanced.q_json_props,
+        "recursive_rollup": advanced.q_recursive_rollup,
+        "rolling_distinct_users": advanced.q_rolling_distinct_users,
+        "mad_outliers": training_data.q_mad_outliers,
         # r13 rotation OUT rows (the 29 r12 first-timers, all
         # driver-green in the r12 gate):
         "quality_classifier": training_data.q_quality_classifier,
@@ -671,8 +695,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": analytics.q_ohlc_bars,
         "streaming_join": _stream_join,
         "streaming_join_outer": _stream_join_outer,
-        "hdr_quantiles_grouped": advanced.q_hdr_quantiles_grouped,
-        "bollinger_breaches": analytics.q_bollinger_breaches,
         "python_datasource": advanced.q_python_datasource,
         "zorder_skipping": advanced.q_zorder_skipping,
         "pattern_similarity": advanced.q_pattern_similarity,
@@ -705,15 +727,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_drawdown": analytics.q_max_drawdown,
         "realized_volatility": analytics.q_realized_volatility,
         "order_imbalance": analytics.q_order_imbalance,
-        "price_outliers": analytics.q_price_outliers,
-        "return_autocorr": analytics.q_return_autocorr,
         "simhash": training_data.q_simhash,
         "streaming_socket": _stream_socket,
         "multimodal_metadata": training_data.q_multimodal_metadata,
         "multimodal_frames": training_data.q_multimodal_frames,
         "ann_ivf": training_data.q_ann_ivf,
-        "vwap_deviation": analytics.q_vwap_deviation,
-        "symbol_affinity": analytics.q_symbol_affinity,
         "dedup_exact_docs": training_data.q_dedup_exact_docs,
         # --- general OLAP (joins/set ops the engine adds, SURVEY §2.6) ---
         "tpch_q1": tpch.q1_pricing_summary,
