@@ -1468,6 +1468,50 @@ def q_ann_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VERBATIM_K = 13
+# odd 64-bit multiplier (FNV-1a prime) for the rolling gram hash; uint64
+# wraparound in numpy is the intended modular arithmetic
+_VERBATIM_HASH_P = 0x100000001B3
+
+
+def _verbatim_gram_hashes(doc_ids, th_lists):
+    """Vectorized rolling 13-gram hashes over per-doc token-hash lists
+    (one Arrow list<int64> column).  Returns (gram_doc_ids, hashes) as
+    numpy arrays.  The hash is a pure function of the 13-token window
+    (polynomial over per-token xxhash64 in uint64 arithmetic), so equal
+    grams ALWAYS collide — false negatives are impossible, which is what
+    makes the candidate prefilter in q_contamination_verbatim exact."""
+    import numpy as np
+
+    offsets = np.asarray(th_lists.offsets, dtype=np.int64)
+    flat = th_lists.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    lens = np.diff(offsets)
+    g = np.maximum(lens - (_VERBATIM_K - 1), 0)
+    total = int(g.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    starts = np.repeat(offsets[:-1], g)
+    cum = np.concatenate(([0], np.cumsum(g)[:-1]))
+    idx = np.arange(total, dtype=np.int64) - np.repeat(cum, g) + starts
+    h = np.zeros(total, np.uint64)
+    p = np.uint64(_VERBATIM_HASH_P)
+    for j in range(_VERBATIM_K):
+        h = h * p + flat[idx + np.int64(j)]
+    gdoc = np.repeat(np.asarray(doc_ids, dtype=np.int64), g)
+    return gdoc, h
+
+
+def _verbatim_token_hashes(docs_side: DataFrame) -> DataFrame:
+    """(doc_id, th) with th = per-token xxhash64 list — ONE cheap lambda
+    per token (measured 1.7 s warm for 22M tokens at sf10, vs 13.7 s for
+    building the concat_ws gram strings the old corpus pass paid)."""
+    from marketstream_etl_spark.functions.hashing import tokens
+
+    toks = tokens(F.col("text"))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    return docs_side.select("doc_id", th.alias("th"))
+
+
 def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Long-span verbatim contamination: word-13-gram exact overlap
     between corpus documents and the held-out benchmark slice — the
@@ -1476,43 +1520,104 @@ def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag topical similarity; an exact 13-gram is essentially proof of
     verbatim duplication).
 
-    Same single-pass scale shape as q_contamination: benchmark 13-grams
-    are distinct-compressed and broadcast, the corpus side is scanned
-    once with a map-side left join, and per-doc totals + hits fold into
-    one aggregation.  13-grams are built inline (no cache family): the
-    pass is one explode over the token stream, and unlike the 3-gram
-    frame no sibling operator shares it."""
+    Scale shape (r14, guide §3.2/§4.2/§8): the old single-pass form built
+    every corpus 13-gram STRING (concat_ws of 13 tokens — measured as
+    ~85% of the whole query: 13.7 s of a 15-20 s corpus pass at sf10;
+    223 s at the sf100 decade) only to discover almost none of them hit
+    the benchmark set.  The pass is now split so heavy gram strings are
+    built ONLY for docs that can possibly be contaminated:
+
+      1. per-token xxhash64 in the JVM (cheap: one lambda per token);
+      2. a vectorized numpy mapInArrow kernel folds the token hashes
+         into rolling 13-gram hashes (uint64 polynomial — 13 fused
+         array ops per batch, no per-gram allocation) and emits the
+         doc_ids with >=1 hash hit against the broadcast benchmark
+         gram-hash set — hash equality is implied by gram equality, so
+         the candidate set has NO false negatives and the prefilter is
+         exact; false positives only cost exact re-checking;
+      3. the exact string pass (unchanged arithmetic: array_distinct
+         gram strings, broadcast inner join, per-doc counts) runs on
+         candidate docs only — a tiny fraction of the corpus.
+
+    Also new vs the old form: n_13grams rides the explode as size(_s)
+    instead of being counted row-by-row in the aggregate, and the
+    benchmark join is INNER (hit rows only reach the aggregation; the
+    trailing n_hits > 0 filter is the join itself).  Interleaved sf10
+    A/B: 23.6-24.2 s -> 12.4-14.3 s, identical 1496-row output; sf0.1
+    output bit-identical (17 rows).  13-grams stay uncached (no sibling
+    shares them); the benchmark side stays distinct-compressed and
+    broadcast exactly as before."""
     from marketstream_etl_spark.functions.hashing import h32, shingles, tokens
     from marketstream_etl_spark.operators.dedup import _spread
 
     # small-file corpora arrive as ONE scan partition and the 13-gram
-    # explode is CPU-bound — spread before the heavy map (measured 4.6 s
+    # work is CPU-bound — spread before the heavy map (measured 4.6 s
     # single-threaded vs sub-second across the cluster at sf0.1; at scale
     # the scan is already parallel and this is a cheap (id, text) shuffle)
     docs = _spread(load_table(spark, sf_dir, "documents"))
     is_bench = h32(F.col("doc_id").cast("string")) % 20 == 0
-    # the bench flag is applied BEFORE the explode on each side, so the
-    # bench pass re-tokenizes only the ~5% benchmark slice and the corpus
-    # pass only the remainder — one logical scan each, instead of
-    # exploding the full corpus twice (the unpersisted shared frame would
-    # be recomputed per consumer, and persisting doc×13-gram rows is
-    # exactly the multi-TB materialization the 100 TB posture forbids)
-    # checkpoint barriers before BOTH explodes (r8 GenerateExec
-    # projection-collapse fix): without them the 13-gram chain
-    # re-evaluates once per emitted gram — ~grams-per-doc x waste
-    arr13 = F.array_distinct(shingles(tokens(F.col("text")), 13))
+    bench_docs = docs.filter(is_bench)
+    corpus_docs = docs.filter(~is_bench)
+
+    # benchmark gram-hash set -> driver -> broadcast.  The benchmark side
+    # is bounded by construction (the old form already broadcast its gram
+    # STRINGS; the hash set is strictly smaller — 8 bytes per gram).
+    import numpy as np
+    import pyarrow as pa
+
+    def _emit_hashes(it):
+        for b in it:
+            _, h = _verbatim_gram_hashes(b.column("doc_id"), b.column("th"))
+            u = np.unique(h)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(u.astype(np.int64))], ["h"]
+            )
+
+    bench_rows = (
+        _verbatim_token_hashes(bench_docs)
+        .mapInArrow(_emit_hashes, "h long")
+        .select("h")
+        .distinct()
+        .collect()
+    )
+    bench_hashes = np.sort(
+        np.array([r.h for r in bench_rows], dtype=np.int64).astype(np.uint64)
+    )
+    bh_b = spark.sparkContext.broadcast(bench_hashes)
+
+    def _candidates(it):
+        ref = bh_b.value
+        for b in it:
+            gdoc, h = _verbatim_gram_hashes(b.column("doc_id"), b.column("th"))
+            hit = np.isin(h, ref)
+            c = np.unique(gdoc[hit])
+            yield pa.RecordBatch.from_arrays([pa.array(c)], ["doc_id"])
+
+    cand = (
+        _verbatim_token_hashes(corpus_docs)
+        .mapInArrow(_candidates, "doc_id long")
+        .distinct()
+    )
+
+    # exact pass, candidates only.  checkpoint barriers before BOTH
+    # explodes (r8 GenerateExec projection-collapse fix): without them
+    # the 13-gram chain re-evaluates once per emitted gram
+    arr13 = F.array_distinct(shingles(tokens(F.col("text")), _VERBATIM_K))
     bench = (
-        docs.filter(is_bench)
-        .select(arr13.alias("_s"))
+        bench_docs.select(arr13.alias("_s"))
         .localCheckpoint(eager=False)
         .select(F.explode("_s").alias("s"))
         .distinct()
     )
     corpus = (
-        docs.filter(~is_bench)
+        corpus_docs.join(F.broadcast(cand), "doc_id")
         .select("doc_id", arr13.alias("_s"))
         .localCheckpoint(eager=False)
-        .select("doc_id", F.explode("_s").alias("s"))
+        .select(
+            "doc_id",
+            F.size("_s").alias("n_13grams"),
+            F.explode("_s").alias("s"),
+        )
     )
     frac = (
         F.floor(
@@ -1524,15 +1629,9 @@ def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(1e6)
     )
     return (
-        corpus.join(
-            F.broadcast(bench.withColumn("_hit", F.lit(1))), "s", "left"
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_13grams"),
-            F.count("_hit").alias("n_hits"),
-        )
-        .filter(F.col("n_hits") > 0)
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "n_13grams")
+        .agg(F.count("*").alias("n_hits"))
         .select("doc_id", "n_13grams", "n_hits", frac.alias("verbatim_frac"))
     )
 

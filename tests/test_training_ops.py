@@ -243,6 +243,39 @@ def test_contamination_verbatim_catches_copied_span(spark, tmp_path):
     assert 0.0 < r["verbatim_frac"] <= 1.0
 
 
+def test_verbatim_gram_hash_kernel_window_exactness():
+    """The rolling-hash kernel behind q_contamination_verbatim's candidate
+    prefilter: equal 13-token windows must hash equal (no false negatives
+    — the exactness contract), window extraction must respect doc
+    boundaries, and docs shorter than 13 tokens emit nothing."""
+    import numpy as np
+    import pyarrow as pa
+
+    from marketstream_etl_spark.plans.training_data import (
+        _VERBATIM_K,
+        _verbatim_gram_hashes,
+    )
+
+    # doc 7: tokens 0..19 (8 grams); doc 8: SAME window 3..15 embedded at
+    # a different position after a distinct prefix; doc 9: only 12 tokens
+    # (no grams); doc 10: empty
+    d7 = list(range(100, 120))
+    d8 = [555, 666] + list(range(103, 116)) + [777]
+    d9 = list(range(900, 912))
+    th = pa.array([d7, d8, d9, []], type=pa.list_(pa.int64()))
+    ids = pa.array([7, 8, 9, 10], type=pa.int64())
+    gdoc, h = _verbatim_gram_hashes(ids, th)
+    n7 = len(d7) - _VERBATIM_K + 1
+    n8 = len(d8) - _VERBATIM_K + 1
+    assert list(gdoc) == [7] * n7 + [8] * n8
+    # doc 8's embedded window == doc 7's window starting at token 103
+    h7 = {tuple(d7[i : i + _VERBATIM_K]): h[i] for i in range(n7)}
+    h8 = h[n7 + 2]  # doc 8 gram starting at its index 2 = tokens 103..115
+    assert h8 == h7[tuple(range(103, 116))]
+    # distinct windows hash distinct here (sanity, not a guarantee)
+    assert len(np.unique(h)) == len(h) - 1  # exactly the one shared window
+
+
 def test_langid_confusion_row_shares_sum_to_one(spark, sf_dir):
     from collections import defaultdict
 
