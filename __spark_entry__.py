@@ -626,6 +626,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": training_data.q_incremental_dedup,
         "embedding_neardup": training_data.q_embedding_neardup,
         "embedding_neardup_ivf": training_data.q_embedding_neardup_ivf,
+        # r14 scale-posture rows: bounded-output near-dup (output linear
+        # in the corpus) and the served-index IVF-PQ regime (√N codebook
+        # built once per generation, five query batches amortized)
+        "embedding_neardup_ivf_capped":
+            training_data.q_embedding_neardup_ivf_capped,
+        "ann_ivfpq_served": training_data.q_ann_ivfpq_served,
         "ann_ivf_trained_recall": training_data.q_ann_ivf_trained_recall,
         "ann_ivfpq": training_data.q_ann_ivfpq,
         "contamination_verbatim": training_data.q_contamination_verbatim,
@@ -1931,6 +1937,18 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _sim.ann_pq_sql(),
         "source_pagerank": _graph.source_pagerank_sql(),
         "ann_ivfpq": _sim.ann_ivfpq_sql(),
+        # served regime: √N codebook from the gate SF's footer row count
+        # on BOTH sides, batches derived arithmetically (see operator)
+        "ann_ivfpq_served": _sim.ann_ivfpq_served_sql(
+            approx_rows=_table_row_count(
+                "/root/testdata/sf0.01", "embeddings"
+            )
+        ),
+        "embedding_neardup_ivf_capped": _sim.embedding_neardup_ivf_capped_sql(
+            approx_rows=_table_row_count(
+                "/root/testdata/sf0.01", "embeddings"
+            )
+        ),
         "bm25_search": _relevance.bm25_search_sql(),
         "tfidf_keywords": _relevance.tfidf_keywords_sql(),
         "benford_audit": advanced.benford_audit_sql(),

@@ -864,6 +864,95 @@ def embedding_neardup_ivf_sql(
     """
 
 
+NEARDUP_MAX_PAIRS_PER_DOC = 4
+
+
+def embedding_neardup_ivf_capped(
+    emb: DataFrame,
+    threshold: float = NEARDUP_COSINE,
+    max_pairs_per_doc: int = NEARDUP_MAX_PAIRS_PER_DOC,
+    n_centroids: int | None = None,
+    nassign: int = 2,
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """BOUNDED-OUTPUT corpus near-dup (the 100 TB posture for
+    embedding_neardup_ivf, r12 VERDICT item 4): every doc keeps at most
+    its `max_pairs_per_doc` strongest pairs, so the emitted pair set is
+    <= N·cap rows — LINEAR in the corpus — where the uncapped audit's
+    output grows with true duplication density (326M pairs at the sf100
+    probe).  A pair survives if EITHER endpoint ranks it inside its own
+    top-cap (rank by cos desc, partner id asc over the ROUNDED cos — the
+    repo's cross-engine ranking convention), so every doc retains its
+    strongest witnesses and no doc's dup evidence is silently dropped by
+    a partner's popularity.  The uncapped query remains declared and
+    oracle-checked; this is the variant a downstream collapse/report
+    materializes at scale.
+
+    Cost note: candidate generation and exact verification are the SAME
+    work as the uncapped audit (the cap bounds the OUTPUT, which is what
+    downstream shuffles/writes) plus one salted top-k over the surviving
+    pairs — bounded reducers via functions/topk.py."""
+    pairs = embedding_neardup_ivf(
+        emb, threshold, n_centroids, nassign, approx_rows
+    )
+    sides = pairs.select(
+        F.col("id_a").alias("doc_id"), F.col("id_b").alias("partner"), "cos"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("partner"),
+            "cos",
+        )
+    )
+    kept = top_k_per_key(
+        sides,
+        key="doc_id",
+        order_by=[F.desc("cos"), F.col("partner")],
+        k=max_pairs_per_doc,
+        salt_src="partner",
+    )
+    return (
+        kept.select(
+            F.least("doc_id", "partner").alias("id_a"),
+            F.greatest("doc_id", "partner").alias("id_b"),
+            "cos",
+        )
+        .distinct()
+    )
+
+
+def embedding_neardup_ivf_capped_sql(
+    threshold: float = NEARDUP_COSINE,
+    max_pairs_per_doc: int = NEARDUP_MAX_PAIRS_PER_DOC,
+    n_centroids: int | None = None,
+    nassign: int = 2,
+    approx_rows: int | None = None,
+) -> str:
+    """DuckDB replay: the uncapped pair set, each pair doubled to both
+    endpoints, per-doc rank (cos desc, partner asc), cap, canonicalize."""
+    uncapped = embedding_neardup_ivf_sql(
+        threshold, n_centroids, nassign, approx_rows
+    )
+    return f"""
+        WITH pairs AS MATERIALIZED ({uncapped}),
+        sides AS (
+            SELECT id_a AS doc_id, id_b AS partner, cos FROM pairs
+            UNION ALL
+            SELECT id_b AS doc_id, id_a AS partner, cos FROM pairs
+        ),
+        kept AS (
+            SELECT doc_id, partner, cos FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY cos DESC, partner) AS r
+                FROM sides
+            ) WHERE r <= {max_pairs_per_doc}
+        )
+        SELECT DISTINCT least(doc_id, partner) AS id_a,
+               greatest(doc_id, partner) AS id_b, cos
+        FROM kept ORDER BY id_a, id_b
+    """
+
+
 def embedding_stats(emb: DataFrame) -> DataFrame:
     """Per-label corpus statistics: vector count, mean L2 norm, and the L2
     norm of the label centroid (elementwise mean) — the health metrics an
@@ -1780,6 +1869,179 @@ def ann_ivfpq_sql(
         SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= {k}
         ORDER BY query_id, rank
+    """
+
+
+# ---------------------------------------------------------------------------
+# SERVED-index IVF-PQ (r12 VERDICT item 2 / r13 item 6): the regime the
+# one-shot ann_ivfpq docstring reserves √N codebooks for — the index
+# (coarse assignment + PQ codes + codebook) is built ONCE per corpus
+# generation and query batches are served against it, so the N·C·dim
+# assignment cost amortizes over every batch while each serve pays only
+# probe (Q·C) + bucket-pruned candidate scan (~nprobe/C of the codes).
+# ---------------------------------------------------------------------------
+
+SERVED_N_BATCHES = 5
+SERVED_BATCH_SIZE = N_QUERIES  # 8 queries per batch, 5 batches = 40
+
+
+def served_centroid_count(approx_rows: int | None) -> int:
+    """√N codebook sizing for the served regime (the r12 sf100 C-sweep's
+    conclusion: √N is wrong for one-shot batches, right when the
+    assignment is built once and amortized).  floor(sqrt(n)) in double —
+    the DuckDB oracle computes the identical expression."""
+    if approx_rows is None or approx_rows <= 0:
+        return N_CENTROIDS
+    from math import floor, sqrt
+
+    return max(1, min(int(floor(sqrt(approx_rows))), CODEBOOK_MAX_CENTROIDS))
+
+
+def _ivfpq_served_index(
+    emb: DataFrame, n_centroids: int, n_codes: int = PQ_K
+) -> tuple[DataFrame, ...]:
+    """Generation-cached served IVF-PQ index: (assigned, cb, enc) —
+    coarse top-1 bucket per vector, the PQ sub-space codebook, and the
+    code index.  All three derive from the corpus alone (never from a
+    query), the same cache-family contract as the BM25 index."""
+    from marketstream_etl_spark.functions.cachegen import (
+        cache_key,
+        input_paths,
+        lookup,
+        rotate,
+    )
+
+    key = cache_key(emb)
+    hit = lookup("ivfpq_served", key, current=emb)
+    if hit is not None:
+        return tuple(hit)
+    base = _spread_emb(emb).select(
+        "vec_id", _dvec(F.col("embedding")).alias("vec")
+    )
+    handle = _CodebookHandle(_centroids(base, n_centroids))
+    assigned = _nearest_buckets(
+        base, handle, "vec_id", "vec", 1, "bucket"
+    ).persist()
+    subs = _subvectors(base, "vec_id", "vec")
+    cb = _pq_codebook(subs, n_codes).persist()
+    enc = pq_encode(emb, n_codes, subs=subs, cb=cb).persist()
+    rotate("ivfpq_served", key, [assigned, cb, enc], input_paths(emb))
+    return assigned, cb, enc
+
+
+def _adc_tables_between(
+    base: DataFrame, cb: DataFrame, lo: int, hi: int
+) -> DataFrame:
+    """_adc_tables for the query id range [lo, hi) — one serve batch."""
+    return (
+        _subvectors(
+            base.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).select(F.col("vec_id").alias("query_id"), "vec"),
+            "query_id",
+            "vec",
+        )
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "code",
+            _subdist(F.col("sub"), F.col("csub")).alias("qdist"),
+        )
+    )
+
+
+def ann_ivfpq_served(
+    emb: DataFrame,
+    n_batches: int = SERVED_N_BATCHES,
+    batch_size: int = SERVED_BATCH_SIZE,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+    n_codes: int = PQ_K,
+    approx_rows: int | None = None,
+) -> DataFrame:
+    """Serve `n_batches` independent query batches against the cached
+    √N IVF-PQ index.  Each batch is a SEPARATE probe + bucket-pruned ADC
+    scoring subplan (the serving shape: probes for 8 queries are one
+    bounded Arrow pass, the candidate scan touches ~nprobe/√N of the
+    code index, the ADC tables are per-batch broadcasts) — the union of
+    the batches is the declared result, with `batch_id` identifying the
+    serve call.  Per-query results are independent of batching, so the
+    oracle replays all queries in one pass and derives batch_id
+    arithmetically; equality with the batched Spark plan is exact.
+
+    Output: (batch_id, query_id, neighbor_id, adc_dist, rank)."""
+    n_centroids = served_centroid_count(approx_rows)
+    assigned, cb, enc = _ivfpq_served_index(emb, n_centroids, n_codes)
+    base = _spread_emb(emb).select(
+        "vec_id", _dvec(F.col("embedding")).alias("vec")
+    )
+    handle = _CodebookHandle(_centroids(base, n_centroids))
+    out = None
+    for b in range(n_batches):
+        lo, hi = b * batch_size, (b + 1) * batch_size
+        qbase = base.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        probes = _nearest_buckets(
+            qbase, handle, "vec_id", "vec", nprobe, "bucket"
+        ).withColumnRenamed("vec_id", "query_id")
+        qd = _adc_tables_between(base, cb, lo, hi)
+        cand = (
+            assigned.join(F.broadcast(probes), "bucket")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id")
+        )
+        scored = (
+            cand.join(enc, "vec_id")
+            .join(F.broadcast(qd), ["query_id", "m", "code"])
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.round(F.sum("qdist"), 6).alias("adc_dist"))
+        )
+        topk = top_k_per_key(
+            scored,
+            key="query_id",
+            order_by=[F.asc("adc_dist"), F.col("neighbor_id")],
+            k=k,
+            salt_src="neighbor_id",
+        ).select(
+            F.lit(b).alias("batch_id"),
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            "rank",
+        )
+        out = topk if out is None else out.unionByName(topk)
+    return out
+
+
+def ann_ivfpq_served_sql(
+    n_batches: int = SERVED_N_BATCHES,
+    batch_size: int = SERVED_BATCH_SIZE,
+    k: int = TOP_K,
+    nprobe: int = N_PROBE,
+    n_codes: int = PQ_K,
+    m_subs: int = PQ_M,
+    sub_dim: int = PQ_SUB_DIM,
+    approx_rows: int | None = None,
+) -> str:
+    """DuckDB replay: ann_ivfpq_sql at the served √N codebook size and
+    n_batches·batch_size queries, batch_id derived from query_id (valid
+    because per-query results are batching-independent)."""
+    n_centroids = served_centroid_count(approx_rows)
+    n_queries = n_batches * batch_size
+    inner = ann_ivfpq_sql(
+        n_queries=n_queries,
+        k=k,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        n_codes=n_codes,
+        m_subs=m_subs,
+        sub_dim=sub_dim,
+    )
+    return f"""
+        SELECT CAST(query_id // {batch_size} AS INTEGER) AS batch_id,
+               query_id, neighbor_id, adc_dist, rank
+        FROM ({inner})
+        ORDER BY batch_id, query_id, rank
     """
 
 

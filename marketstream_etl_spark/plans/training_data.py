@@ -1041,6 +1041,38 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivfpq(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVED-index IVF-PQ (operators/similarity.py::ann_ivfpq_served):
+    the √N-codebook regime — index built once per corpus generation
+    (generation cache), five independent 8-query batches served against
+    it.  The row the one-shot ann_ivfpq docstring has deferred since
+    r11: amortized per-batch cost + the same oracle-checkable ADC
+    ranking, batch by batch."""
+    from marketstream_etl_spark.sources.tables import table_row_count
+
+    return similarity.ann_ivfpq_served(
+        load_table(spark, sf_dir, "embeddings"),
+        approx_rows=table_row_count(sf_dir, "embeddings"),
+    )
+
+
+def q_embedding_neardup_ivf_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bounded-output corpus near-dup (operators/similarity.py::
+    embedding_neardup_ivf_capped): per-doc top-`cap` strongest pairs, so
+    the emitted pair set is linear in the corpus where the uncapped
+    audit's grows with duplication density (326M pairs at sf100).  The
+    uncapped query stays declared; this is what a downstream collapse
+    materializes at scale."""
+    from marketstream_etl_spark.sources.tables import table_row_count
+
+    return similarity.embedding_neardup_ivf_capped(
+        load_table(spark, sf_dir, "embeddings"),
+        approx_rows=table_row_count(sf_dir, "embeddings"),
+    )
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical search (operators/relevance.py::bm25_search): corpus
     retrieval / decontamination / hard-negative mining ranking.  Scoring

@@ -178,6 +178,82 @@ def test_ivfpq_recall_against_bruteforce(spark, sf_dir):
     assert hits >= len(approx) * 0.15
 
 
+def test_neardup_capped_bounds_per_doc_degree(spark, sf_dir):
+    """The capped near-dup output must (a) be a subset of the uncapped
+    pair set with identical cos values, and (b) contain, for every doc,
+    only pairs that doc OR its partner ranks inside its own top-cap —
+    in particular a doc whose uncapped degree exceeds the cap must keep
+    its cap strongest partners."""
+    from collections import defaultdict
+
+    from marketstream_etl_spark.operators.similarity import (
+        NEARDUP_MAX_PAIRS_PER_DOC as CAP,
+        embedding_neardup_ivf,
+        embedding_neardup_ivf_capped,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    un = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_neardup_ivf(emb).collect()
+    }
+    cap = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in embedding_neardup_ivf_capped(emb).collect()
+    }
+    assert set(cap) <= set(un)
+    assert all(un[k] == v for k, v in cap.items())
+    # reference recompute of the either-endpoint top-cap rule
+    sides = defaultdict(list)
+    for (a, b), c in un.items():
+        sides[a].append((c, b))
+        sides[b].append((c, a))
+    keep = set()
+    for d, lst in sides.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        for c, p in lst[:CAP]:
+            keep.add((min(d, p), max(d, p)))
+    assert set(cap) == keep
+
+
+def test_ivfpq_served_batches_match_single_pass(spark, sf_dir):
+    """Serving per batch must not change any per-query result: the
+    5-batch union equals ann_ivfpq run at the served codebook size over
+    all 40 query ids, with batch_id = query_id // batch_size."""
+    from marketstream_etl_spark.operators.similarity import (
+        SERVED_BATCH_SIZE,
+        SERVED_N_BATCHES,
+        ann_ivfpq,
+        ann_ivfpq_served,
+        served_centroid_count,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    served = ann_ivfpq_served(emb, approx_rows=n).collect()
+    assert len(served) > 0
+    single = ann_ivfpq(
+        emb,
+        n_queries=SERVED_N_BATCHES * SERVED_BATCH_SIZE,
+        n_centroids=served_centroid_count(n),
+    ).collect()
+    s = sorted(
+        (r["batch_id"], r["query_id"], r["neighbor_id"], r["adc_dist"], r["rank"])
+        for r in served
+    )
+    t = sorted(
+        (
+            r["query_id"] // SERVED_BATCH_SIZE,
+            r["query_id"],
+            r["neighbor_id"],
+            r["adc_dist"],
+            r["rank"],
+        )
+        for r in single
+    )
+    assert s == t
+
+
 def test_quantize_error_bounded_by_half_step(spark, sf_dir):
     """Affine int8 quantization error is bounded by span/(2·255) per
     dimension; the audit's max_abs_err must respect the corpus-wide
