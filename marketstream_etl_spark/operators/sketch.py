@@ -352,7 +352,15 @@ def hll_cardinality(docs: DataFrame) -> DataFrame:
 def _hll_report(regs: DataFrame, keyed: DataFrame) -> DataFrame:
     """Shared tail of the batch and streaming HLL ops: merge per-source
     registers, compute the exact-integer harmonic sums, and audit against
-    exact distinct counts from the keyed frame."""
+    exact distinct counts from the keyed frame.
+
+    PRECONDITION: `keyed` must already be DISTINCT on (source, shingle) —
+    the per-source exact audit is a plain count over it (the r13 §2.4
+    redundant-distinct removal), so a non-distinct frame would silently
+    inflate exact_distinct.  Both callers feed the upstream
+    `.select("source", "shingle", "h").distinct()` frame, and h = h60(
+    shingle) is a pure function of the shingle, so that distinct IS a
+    (source, shingle) distinct."""
     merged = (
         regs.groupBy("bucket")
         .agg(F.max("m_j").alias("m_j"))

@@ -1504,6 +1504,16 @@ _VERBATIM_K = 13
 # odd 64-bit multiplier (FNV-1a prime) for the rolling gram hash; uint64
 # wraparound in numpy is the intended modular arithmetic
 _VERBATIM_HASH_P = 0x100000001B3
+# Engage the hashed-candidate prefilter only when the corpus is big
+# enough for the saved gram-string work to beat the prefilter's fixed
+# costs (two extra jobs: the bench-hash collect and the candidate kernel
+# pass + Python workers ≈ 0.9 s flat).  Measured: at sf0.1 (0.6 MB of
+# documents) the prefilter LOSES 1.7 → 2.6 s; at sf1 (5 MB) it wins
+# modestly; at sf10 (64 MB) ×1.9 and at sf100 (3.4 GB) ×2.3.  4 MB of
+# compressed documents ≈ the break-even; below it the original
+# single-pass string-gram join is optimal.  Scale-adaptive per guide §2:
+# derived from input bytes, no constant tuned to one deployment.
+_VERBATIM_PREFILTER_MIN_BYTES = 4 * 1024 * 1024
 
 
 def _verbatim_gram_hashes(doc_ids, th_lists):
@@ -1575,10 +1585,18 @@ def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of being counted row-by-row in the aggregate, and the
     benchmark join is INNER (hit rows only reach the aggregation; the
     trailing n_hits > 0 filter is the join itself).  Interleaved sf10
-    A/B: 23.6-24.2 s -> 12.4-14.3 s, identical 1496-row output; sf0.1
-    output bit-identical (17 rows).  13-grams stay uncached (no sibling
-    shares them); the benchmark side stays distinct-compressed and
-    broadcast exactly as before."""
+    A/B: 23.6-24.2 s -> 12.4-14.3 s, identical 1496-row output; sf100
+    413-441 s -> 182-188 s (×2.3); sf0.1 output bit-identical (17 rows).
+    13-grams stay uncached (no sibling shares them); the benchmark side
+    stays distinct-compressed and broadcast exactly as before.
+
+    The prefilter is SCALE-ADAPTIVE (guide §2): below
+    _VERBATIM_PREFILTER_MIN_BYTES of compressed documents its two fixed
+    jobs cost more than the gram strings it avoids (measured at sf0.1),
+    so small corpora take the original single-pass form — identical
+    results either way."""
+    import os
+
     from marketstream_etl_spark.functions.hashing import h32, shingles, tokens
     from marketstream_etl_spark.operators.dedup import _spread
 
@@ -1591,49 +1609,68 @@ def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_docs = docs.filter(is_bench)
     corpus_docs = docs.filter(~is_bench)
 
-    # benchmark gram-hash set -> driver -> broadcast.  The benchmark side
-    # is bounded by construction (the old form already broadcast its gram
-    # STRINGS; the hash set is strictly smaller — 8 bytes per gram).
-    import numpy as np
-    import pyarrow as pa
+    try:
+        doc_bytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        doc_bytes = None
+    if doc_bytes is None or doc_bytes >= _VERBATIM_PREFILTER_MIN_BYTES:
+        # benchmark gram-hash set -> driver -> broadcast.  The benchmark
+        # side is bounded by construction (the old form already broadcast
+        # its gram STRINGS; the hash set is strictly smaller — 8 bytes
+        # per gram).
+        import numpy as np
+        import pyarrow as pa
 
-    def _emit_hashes(it):
-        for b in it:
-            _, h = _verbatim_gram_hashes(b.column("doc_id"), b.column("th"))
-            u = np.unique(h)
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(u.astype(np.int64))], ["h"]
+        def _emit_hashes(it):
+            for b in it:
+                _, h = _verbatim_gram_hashes(
+                    b.column("doc_id"), b.column("th")
+                )
+                u = np.unique(h)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(u.astype(np.int64))], ["h"]
+                )
+
+        bench_rows = (
+            _verbatim_token_hashes(bench_docs)
+            .mapInArrow(_emit_hashes, "h long")
+            .select("h")
+            .distinct()
+            .collect()
+        )
+        bench_hashes = np.sort(
+            np.array([r.h for r in bench_rows], dtype=np.int64).astype(
+                np.uint64
             )
+        )
+        bh_b = spark.sparkContext.broadcast(bench_hashes)
 
-    bench_rows = (
-        _verbatim_token_hashes(bench_docs)
-        .mapInArrow(_emit_hashes, "h long")
-        .select("h")
-        .distinct()
-        .collect()
-    )
-    bench_hashes = np.sort(
-        np.array([r.h for r in bench_rows], dtype=np.int64).astype(np.uint64)
-    )
-    bh_b = spark.sparkContext.broadcast(bench_hashes)
+        def _candidates(it):
+            ref = bh_b.value
+            for b in it:
+                gdoc, h = _verbatim_gram_hashes(
+                    b.column("doc_id"), b.column("th")
+                )
+                hit = np.isin(h, ref)
+                c = np.unique(gdoc[hit])
+                yield pa.RecordBatch.from_arrays([pa.array(c)], ["doc_id"])
 
-    def _candidates(it):
-        ref = bh_b.value
-        for b in it:
-            gdoc, h = _verbatim_gram_hashes(b.column("doc_id"), b.column("th"))
-            hit = np.isin(h, ref)
-            c = np.unique(gdoc[hit])
-            yield pa.RecordBatch.from_arrays([pa.array(c)], ["doc_id"])
+        cand = (
+            _verbatim_token_hashes(corpus_docs)
+            .mapInArrow(_candidates, "doc_id long")
+            .distinct()
+        )
+        # exact pass runs on candidate docs only (a broadcast semi-set)
+        corpus_docs = corpus_docs.join(F.broadcast(cand), "doc_id")
+    # else: below the break-even the single-pass string-gram join IS the
+    # optimum — the prefilter's two extra jobs cost more than the gram
+    # strings it avoids (see _VERBATIM_PREFILTER_MIN_BYTES).  Results are
+    # identical either way: the prefilter only removes docs whose n_hits
+    # would be 0.
 
-    cand = (
-        _verbatim_token_hashes(corpus_docs)
-        .mapInArrow(_candidates, "doc_id long")
-        .distinct()
-    )
-
-    # exact pass, candidates only.  checkpoint barriers before BOTH
-    # explodes (r8 GenerateExec projection-collapse fix): without them
-    # the 13-gram chain re-evaluates once per emitted gram
+    # checkpoint barriers before BOTH explodes (r8 GenerateExec
+    # projection-collapse fix): without them the 13-gram chain
+    # re-evaluates once per emitted gram
     arr13 = F.array_distinct(shingles(tokens(F.col("text")), _VERBATIM_K))
     bench = (
         bench_docs.select(arr13.alias("_s"))
@@ -1642,8 +1679,7 @@ def q_contamination_verbatim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     corpus = (
-        corpus_docs.join(F.broadcast(cand), "doc_id")
-        .select("doc_id", arr13.alias("_s"))
+        corpus_docs.select("doc_id", arr13.alias("_s"))
         .localCheckpoint(eager=False)
         .select(
             "doc_id",

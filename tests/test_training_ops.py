@@ -235,12 +235,23 @@ def test_contamination_verbatim_catches_copied_span(spark, tmp_path):
         ),
         str(tmp_path / "documents.parquet"),
     )
-    rows = q_contamination_verbatim(spark, str(tmp_path)).collect()
-    assert [r["doc_id"] for r in rows] == [clean_ids[0]]
-    r = rows[0]
-    # the copied 20-token span yields 20-13+1 = 8 shared 13-grams
-    assert r["n_hits"] == 8
-    assert 0.0 < r["verbatim_frac"] <= 1.0
+    # both execution paths must agree: the tiny fixture takes the
+    # single-pass form by default; forcing the threshold to 0 exercises
+    # the hashed-candidate prefilter on the same data
+    import marketstream_etl_spark.plans.training_data as td
+
+    for thresh in (td._VERBATIM_PREFILTER_MIN_BYTES, 0):
+        orig = td._VERBATIM_PREFILTER_MIN_BYTES
+        td._VERBATIM_PREFILTER_MIN_BYTES = thresh
+        try:
+            rows = q_contamination_verbatim(spark, str(tmp_path)).collect()
+        finally:
+            td._VERBATIM_PREFILTER_MIN_BYTES = orig
+        assert [r["doc_id"] for r in rows] == [clean_ids[0]], thresh
+        r = rows[0]
+        # the copied 20-token span yields 20-13+1 = 8 shared 13-grams
+        assert r["n_hits"] == 8
+        assert 0.0 < r["verbatim_frac"] <= 1.0
 
 
 def test_verbatim_gram_hash_kernel_window_exactness():
