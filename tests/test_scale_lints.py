@@ -50,11 +50,20 @@ def test_collect_sites_are_whitelisted():
     # semantic_dedup capped-√rows codebook + the _nearest_buckets codebook
     # collect (≤ CODEBOOK_MAX_CENTROIDS rows by construction — r11, the
     # sf100-probe fix), vocab, sentinel fixture probe + socket-emitter
-    # test fixture, stream-static anomaly stats)
+    # test fixture, stream-static anomaly stats.  training_data's second
+    # site (r14): contamination_verbatim's benchmark gram-HASH set —
+    # bounded by the benchmark slice exactly like the gram-STRING
+    # broadcast the query has always done, at 8 bytes/gram instead of a
+    # full string)
+    # relevance.py (r14): bm25_search's query-vocabulary collect —
+    # bounded by the n_queries docs' term count (a query parse, the
+    # same class as the codebook collect), applied as the IN-list that
+    # batch-prunes the term-clustered postings cache
     allowed = {
         "operators/dedup.py": 1,
+        "operators/relevance.py": 1,
         "operators/similarity.py": 4,
-        "plans/training_data.py": 1,
+        "plans/training_data.py": 2,
         "streaming/docs.py": 1,
         "streaming/ticks.py": 2,
     }
